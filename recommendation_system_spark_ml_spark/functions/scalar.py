@@ -1,1 +1,193 @@
-"""(placeholder -- populated in this round)"""
+"""Scalar function families (SURVEY.md §2.6): string / date / math /
+array / json / conditional, plus the one demonstrative vectorized
+Pandas UDF (§2.9 policy: built-ins first, Arrow-vectorized when Python
+is unavoidable, row-at-a-time udf() never).
+
+The reference's scalar surface is split('::'|'|'), casts, and Python
+``(x1-x2)**2`` (MovieLensRecommender.py:21,37,118-120,134-139); the
+families below are the engine's full public surface over the testdata
+types (timestamps, JSON props, arrays)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from recommendation_system_spark_ml_spark.registry import register
+from recommendation_system_spark_ml_spark.session import pin_session_conf
+from recommendation_system_spark_ml_spark.sources.catalog import load
+
+
+@register("fn_string", oracle="""
+SELECT p_partkey,
+       lower(p_name) AS name_lower,
+       upper(p_brand) AS brand_upper,
+       substring(p_name, 1, 4) AS name_prefix,
+       CAST(length(p_name) AS INTEGER) AS name_len,
+       concat(p_brand, ':', p_type) AS brand_type,
+       regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+       replace(p_type, 'STANDARD', 'STD') AS type_short,
+       p_name LIKE '%bolt%' AS is_bolt,
+       trim('  ' || p_type || ' ') AS type_trim
+FROM part
+""")
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_session_conf(spark)
+    return (load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 4).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        F.replace(F.col("p_type"), F.lit("STANDARD"), F.lit("STD")).alias("type_short"),
+        F.col("p_name").like("%bolt%").alias("is_bolt"),
+        F.trim(F.concat(F.lit("  "), F.col("p_type"), F.lit(" "))).alias("type_trim")))
+
+
+@register("fn_date", oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(month(o_orderdate) AS INTEGER) AS mth,
+       CAST(day(o_orderdate) AS INTEGER) AS dom,
+       CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INTEGER) AS days_since_epoch0,
+       CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_ts,
+       strftime(o_orderdate, '%Y-%m') AS ym
+FROM orders
+""")
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_session_conf(spark)
+    return (load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mth"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")).alias("days_since_epoch0"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_ts"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym")))
+
+
+@register("fn_math", oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(pow(l_quantity, 2), 4) AS qty_sq,
+       round(sqrt(l_quantity), 6) AS qty_sqrt,
+       round(abs(l_discount - 0.05), 4) AS disc_dev,
+       round(ln(l_extendedprice), 6) AS price_ln,
+       CAST(floor(l_quantity / 10) AS BIGINT) AS qty_decile,
+       CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+       CAST(round(l_extendedprice * 100, 0) AS BIGINT) % 97 AS price_mod
+FROM lineitem
+""")
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_session_conf(spark)
+    return (load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("price_ln"),
+        F.floor(F.col("l_quantity") / 10).alias("qty_decile"),
+        F.ceil(F.col("l_discount") * 100).alias("disc_pct_ceil"),
+        (F.round(F.col("l_extendedprice") * 100, 0).cast("long") % 97).alias("price_mod")))
+
+
+@register("fn_array", oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+SELECT doc_id,
+       CAST(len(words) AS INTEGER) AS n_words,
+       list_contains(words, 'spark') AS has_spark,
+       words[1] AS first_word,
+       words[-1] AS last_word,
+       CAST(len(list_filter(words, w -> length(w) > 5)) AS INTEGER) AS n_long_words,
+       array_to_string(list_transform(words[1:2], w -> upper(w)), '_') AS head_upper
+FROM t
+""")
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family: split/size/contains/index/filter/transform/join --
+    all JVM-side higher-order functions, no Python."""
+    pin_session_conf(spark)
+    words = F.split(F.col("text"), " ")
+    return (load(spark, sf_dir, "documents")
+            .select("doc_id", words.alias("words"))
+            .select(
+                "doc_id",
+                F.size("words").alias("n_words"),
+                F.array_contains("words", "spark").alias("has_spark"),
+                F.col("words").getItem(0).alias("first_word"),
+                F.element_at("words", -1).alias("last_word"),
+                F.size(F.filter(F.col("words"), lambda w: F.length(w) > 5)).alias("n_long_words"),
+                F.array_join(F.transform(F.slice("words", 1, 2), F.upper), "_")
+                .alias("head_upper")))
+
+
+@register("fn_json", oracle="""
+SELECT event_id, event_type,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) % 5 AS k_bucket,
+       json_extract_string(props, '$.missing') IS NULL AS missing_absent
+FROM events
+""")
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-in-string (events.props): extraction + typed cast. At scale
+    prefer from_json with an explicit schema once per pipeline; shown
+    via get_json_object here because the props schema is open-ended."""
+    pin_session_conf(spark)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (load(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        k.alias("k_val"),
+        (k % 5).alias("k_bucket"),
+        F.get_json_object("props", "$.missing").isNull().alias("missing_absent")))
+
+
+@register("fn_case", oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 150000 THEN 'medium'
+            ELSE 'large' END AS size_band,
+       CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'filled'
+            ELSE 'other' END AS status_name,
+       coalesce(nullif(o_orderpriority, '4-NOT SPECIFIED'), 'unspecified') AS priority_clean
+FROM orders
+""")
+def fn_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_session_conf(spark)
+    return (load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") < 50000, "small")
+         .when(F.col("o_totalprice") < 150000, "medium")
+         .otherwise("large").alias("size_band"),
+        F.when(F.col("o_orderstatus") == "O", "open")
+         .when(F.col("o_orderstatus") == "F", "filled")
+         .otherwise("other").alias("status_name"),
+        F.coalesce(F.nullif(F.col("o_orderpriority"), F.lit("4-NOT SPECIFIED")),
+                   F.lit("unspecified")).alias("priority_clean")))
+
+
+@register("udf_pandas", oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charge
+FROM lineitem
+""")
+def udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9: the one demonstrative vectorized UDF. The charge formula is
+    deliberately also SQL-expressible so the Arrow path itself is
+    oracle-verified; real uses are the non-SQL kernels (see
+    operators/similarity.py, operators/multimodal.py)."""
+    pin_session_conf(spark)
+
+    @F.pandas_udf(T.DoubleType())
+    def charge(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+        return price * (1 - disc) * (1 + tax)
+
+    return (load(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_linenumber",
+                    F.round(charge("l_extendedprice", "l_discount", "l_tax"), 6)
+                    .alias("charge")))

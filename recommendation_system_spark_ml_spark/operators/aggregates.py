@@ -1,1 +1,203 @@
-"""(placeholder -- populated in this round)"""
+"""Aggregation family (SURVEY.md §2.4).
+
+A1 group-avg (MovieLensRecommender.py:75-76), A2 global sum (MLR.py:164
+-- there a Python rdd.map().sum(); here a JVM-side aggregate), A3
+distinct (MLR.py:117-121 -- there a driver set(); here agg distinct),
+A4 RMSE-as-aggregate (MLR.py:148-151), A6 argmin (MLR.py:63,182), plus
+the gap operators: count/min/max/stddev, count distinct (exact +
+approx), HAVING, rollup/cube, pivot.
+
+Money sums are computed in integer cents (exact 64-bit arithmetic,
+identical across engines) and divided once at the end -- this makes
+oracle hashes exact instead of FP-noise-dependent, and at 100 TB it is
+also the overflow-safe pattern (sum of cents < 2^63 up to ~9e16 cents).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from recommendation_system_spark_ml_spark.registry import register
+from recommendation_system_spark_ml_spark.session import pin_session_conf
+from recommendation_system_spark_ml_spark.sources.catalog import load
+
+
+def _cents(col: str) -> F.Column:
+    return F.round(F.col(col) * 100, 0).cast("long")
+
+
+@register("agg_avg_groupby", oracle="""
+SELECT o_custkey, CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 / count(*) AS avg_price
+FROM orders GROUP BY 1, 2
+""")
+def agg_avg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: the reference's heart -- two-key group-by average
+    (MLR.py:75-76: groupby(userId, cluster).avg(rating))."""
+    pin_session_conf(spark)
+    return (load(spark, sf_dir, "orders")
+            .groupBy("o_custkey", F.year("o_orderdate").alias("order_year"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 (F.sum(_cents("o_totalprice")) / 100.0 / F.count(F.lit(1)))
+                 .alias("avg_price")))
+
+
+@register("agg_sum", oracle="""
+SELECT count(*) AS n_rows,
+       CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS sum_price,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * CAST(round(l_discount * 100, 0) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_disc_amount
+FROM lineitem
+""")
+def agg_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: global aggregate, JVM-side partial+final (the reference did
+    this with a pickled Python closure per row, MLR.py:33-37,164)."""
+    pin_session_conf(spark)
+    return (load(spark, sf_dir, "lineitem")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.round("l_quantity", 0).cast("long")).alias("sum_qty"),
+                 (F.sum(_cents("l_extendedprice")) / 100.0).alias("sum_price"),
+                 (F.sum(_cents("l_extendedprice") * _cents("l_discount")) / 10000.0)
+                 .alias("sum_disc_amount")))
+
+
+@register("agg_distinct", oracle="""
+SELECT DISTINCT event_type, user_id % 10 AS user_bucket FROM events
+""")
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: distinct -- the genre-vocabulary idiom without the driver
+    collect() (MLR.py:117-121)."""
+    pin_session_conf(spark)
+    return (load(spark, sf_dir, "events")
+            .select("event_type", (F.col("user_id") % 10).alias("user_bucket"))
+            .distinct())
+
+
+@register("agg_multi", oracle="""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+       CAST(min(round(l_quantity, 0)) AS BIGINT) AS min_qty,
+       CAST(max(round(l_quantity, 0)) AS BIGINT) AS max_qty,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(stddev_samp(l_quantity), 6) AS sd_qty
+FROM lineitem GROUP BY 1, 2
+""")
+def agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap: count/min/max/stddev + exact distinct count per group."""
+    pin_session_conf(spark)
+    return (load(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.countDistinct("l_orderkey").alias("n_orders"),
+                 F.min(F.round("l_quantity", 0).cast("long")).alias("min_qty"),
+                 F.max(F.round("l_quantity", 0).cast("long")).alias("max_qty"),
+                 F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                 F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty")))
+
+
+@register("agg_having", oracle="""
+SELECT l_partkey, count(*) AS n_lines
+FROM lineitem GROUP BY 1 HAVING count(*) >= 5
+""")
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_session_conf(spark)
+    return (load(spark, sf_dir, "lineitem")
+            .groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_lines"))
+            .filter(F.col("n_lines") >= 5))
+
+
+@register("agg_rollup", oracle="""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_session_conf(spark)
+    return (load(spark, sf_dir, "lineitem")
+            .rollup("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.round("l_quantity", 0).cast("long")).alias("sum_qty")))
+
+
+@register("agg_cube", oracle="""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_session_conf(spark)
+    return (load(spark, sf_dir, "orders")
+            .cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders")))
+
+
+@register("agg_rmse", oracle="""
+WITH avg_price AS (
+    SELECT l_partkey, avg(l_extendedprice) AS pred FROM lineitem GROUP BY 1
+)
+SELECT l.l_returnflag,
+       round(sqrt(avg((l.l_extendedprice - a.pred) * (l.l_extendedprice - a.pred))), 4) AS rmse
+FROM lineitem l JOIN avg_price a ON l.l_partkey = a.l_partkey
+GROUP BY 1
+""")
+def agg_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: RMSE as a plain aggregate -- sqrt(avg((pred-label)^2)),
+    exactly what RegressionEvaluator computes (MLR.py:148-151) but
+    DuckDB-checkable. 'Prediction' = per-part average price (the M7
+    predictor shape on the star schema)."""
+    pin_session_conf(spark)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_returnflag", "l_extendedprice")
+    pred = li.groupBy("l_partkey").agg(F.avg("l_extendedprice").alias("pred"))
+    return (li.join(F.broadcast(pred), on="l_partkey")
+            .groupBy("l_returnflag")
+            .agg(F.round(
+                F.sqrt(F.avg(F.pow(F.col("l_extendedprice") - F.col("pred"), F.lit(2)))),
+                4).alias("rmse")))
+
+
+@register("topk_argmin", oracle="""
+SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS c_acctbal
+FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal, c_custkey) AS rn
+      FROM customer) WHERE rn = 1
+""")
+def topk_argmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: argmin row per group (the reference's idxmin, MLR.py:63,182)
+    -- deterministic tie-break on the key column."""
+    from pyspark.sql import Window as W
+    pin_session_conf(spark)
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (load(spark, sf_dir, "customer")
+            .select("c_mktsegment", "c_custkey", "c_acctbal")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("c_mktsegment", "c_custkey",
+                    F.round("c_acctbal", 2).alias("c_acctbal")))
+
+
+@register("agg_pivot", oracle="""
+SELECT user_id,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS "view"
+FROM events GROUP BY user_id
+""")
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-hot/pivot -- the reference's genre one-hot encoding
+    (MLR.py:13-24, driver-side pandas loops) done as a single
+    distributed pivot aggregate. Pivot values are pinned so the plan
+    is static (a 100 TB pivot must not scan twice to discover them)."""
+    pin_session_conf(spark)
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (load(spark, sf_dir, "events")
+           .groupBy("user_id")
+           .pivot("event_type", types)
+           .agg(F.count(F.lit(1))))
+    return out.select("user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types])

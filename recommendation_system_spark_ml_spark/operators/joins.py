@@ -1,1 +1,200 @@
-"""(placeholder -- populated in this round)"""
+"""Join family (SURVEY.md §2.3).
+
+J1 single-key inner (MovieLensRecommender.py:73-74, there with a
+mixed-type key healed by implicit cast -- here keys are typed at ingest),
+J2 composite-key inner (MLR.py:81-83), plus the gap operators the
+reference lacks: outer/semi/anti, band (range) join, as-of join.
+
+Scale notes:
+- fact-to-fact joins shuffle on the join key; AQE handles partition
+  sizing + skew. Dim joins are broadcast-eligible and left to Catalyst
+  (hard-coding broadcast() for a table that grows with SF would be a
+  100 TB footgun); provably-tiny derived aggregates DO get broadcast().
+- the band join is an equi-join on the natural key with the band as a
+  post-join predicate -- never a cartesian BNLJ.
+- as-of is expressed as join + max_by-style aggregation (shuffle on the
+  key, no per-row driver work); for dense per-key history the
+  applyInPandas + pd.merge_asof per key-group variant scales better --
+  both are provided (asof_join / asof_join_pandas in engine API).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from recommendation_system_spark_ml_spark.registry import register
+from recommendation_system_spark_ml_spark.session import pin_session_conf
+from recommendation_system_spark_ml_spark.sources.catalog import load
+
+
+@register("join_inner", oracle="""
+SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
+       o.o_orderstatus, CAST(year(o.o_orderdate) AS INTEGER) AS order_year
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+""")
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: single-key inner equi-join between the two fact tables."""
+    pin_session_conf(spark)
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.year("o_orderdate").alias("order_year"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .select("l_orderkey", "l_linenumber", "l_quantity",
+                    "o_orderstatus", "order_year"))
+
+
+@register("join_multi_key", oracle="""
+WITH grp AS (
+    SELECT l_orderkey, l_returnflag, avg(l_quantity) AS grp_avg_qty
+    FROM lineitem GROUP BY 1, 2
+)
+SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+       round(l.l_quantity - g.grp_avg_qty, 6) AS qty_dev
+FROM lineitem l
+JOIN grp g ON l.l_orderkey = g.l_orderkey AND l.l_returnflag = g.l_returnflag
+""")
+def join_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: composite-key join -- the M7 join-back shape (MLR.py:81-83):
+    group average joined back to rows on both grouping keys."""
+    pin_session_conf(spark)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+    grp = (li.groupBy("l_orderkey", "l_returnflag")
+           .agg(F.avg("l_quantity").alias("grp_avg_qty")))
+    return (li.join(grp, on=["l_orderkey", "l_returnflag"])
+            .select("l_orderkey", "l_linenumber", "l_returnflag",
+                    F.round(F.col("l_quantity") - F.col("grp_avg_qty"), 6).alias("qty_dev")))
+
+
+@register("join_left", oracle="""
+SELECT c.c_custkey, c.c_mktsegment,
+       CAST(coalesce(n.n_orders, 0) AS BIGINT) AS n_orders
+FROM customer c
+LEFT JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1) n
+  ON c.c_custkey = n.o_custkey
+""")
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_session_conf(spark)
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cnt = (load(spark, sf_dir, "orders")
+           .groupBy(F.col("o_custkey")).agg(F.count(F.lit(1)).alias("n_orders")))
+    return (cust.join(cnt, cust.c_custkey == cnt.o_custkey, "left")
+            .select("c_custkey", "c_mktsegment",
+                    F.coalesce("n_orders", F.lit(0)).alias("n_orders")))
+
+
+@register("join_full", oracle="""
+WITH o_years AS (SELECT DISTINCT CAST(year(o_orderdate) AS INTEGER) AS yr FROM orders),
+     l_years AS (SELECT DISTINCT CAST(year(l_shipdate) AS INTEGER) AS yr FROM lineitem)
+SELECT coalesce(o.yr, l.yr) AS yr,
+       o.yr IS NOT NULL AS has_orders,
+       l.yr IS NOT NULL AS has_shipments
+FROM o_years o FULL OUTER JOIN l_years l ON o.yr = l.yr
+""")
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_session_conf(spark)
+    oy = (load(spark, sf_dir, "orders")
+          .select(F.year("o_orderdate").alias("yr")).distinct().alias("o"))
+    ly = (load(spark, sf_dir, "lineitem")
+          .select(F.year("l_shipdate").alias("yr")).distinct().alias("l"))
+    return (oy.join(ly, F.col("o.yr") == F.col("l.yr"), "full_outer")
+            .select(F.coalesce("o.yr", "l.yr").alias("yr"),
+                    F.col("o.yr").isNotNull().alias("has_orders"),
+                    F.col("l.yr").isNotNull().alias("has_shipments")))
+
+
+@register("join_semi", oracle="""
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+""")
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_session_conf(spark)
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    filled = (load(spark, sf_dir, "orders")
+              .filter(F.col("o_orderstatus") == "F").select("o_custkey"))
+    return cust.join(filled, cust.c_custkey == filled.o_custkey, "left_semi")
+
+
+@register("join_anti", oracle="""
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+""")
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_session_conf(spark)
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    filled = (load(spark, sf_dir, "orders")
+              .filter(F.col("o_orderstatus") == "F").select("o_custkey"))
+    return cust.join(filled, cust.c_custkey == filled.o_custkey, "left_anti")
+
+
+@register("join_range", oracle="""
+SELECT l.l_orderkey, l.l_linenumber, p.p_partkey, p.p_size, l.l_quantity
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+           AND l.l_quantity BETWEEN p.p_size - 5 AND p.p_size + 5
+""")
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band join: equi key + range predicate. Catalyst evaluates the
+    band as a post-shuffle join residual -- no cartesian explosion."""
+    pin_session_conf(spark)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_size")
+    cond = ((li.l_partkey == p.p_partkey)
+            & (li.l_quantity >= p.p_size - 5) & (li.l_quantity <= p.p_size + 5))
+    return (li.join(p, cond)
+            .select("l_orderkey", "l_linenumber", "p_partkey", "p_size", "l_quantity"))
+
+
+# As-of join: events.user_id asof-matched to the latest order of the
+# same customer key at/before the event time. DuckDB has a native ASOF
+# JOIN; Spark does not -- recipe (a): equi-join on the key with the
+# temporal inequality as residual, then max() per left row. Tie-safe
+# because the asof VALUE (the matched timestamp), not an arbitrary
+# matched row, is returned.
+@register("join_asof", oracle="""
+SELECT e.event_id, e.user_id,
+       CAST(epoch(max(o.o_orderdate)) AS BIGINT) AS last_order_epoch
+FROM events e
+JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+GROUP BY e.event_id, e.user_id
+""")
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_session_conf(spark)
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    return (ev.join(o, (o.o_custkey == ev.user_id) & (o.o_orderdate <= ev.ts))
+            .groupBy("event_id", "user_id")
+            .agg(F.unix_timestamp(F.max("o_orderdate")).alias("last_order_epoch")))
+
+
+def asof_join_pandas(left: DataFrame, right: DataFrame, key: str, right_key: str,
+                     left_ts: str, right_ts: str, value_cols: list[str]) -> DataFrame:
+    """Engine API: merge_asof per key-group via applyInPandas.
+
+    Scales to dense per-key histories where the join+max expansion
+    would blow up: each key group is sorted once in pandas and merged
+    in O(n+m). Used by tests; join_asof above is the pure-SQL twin.
+    """
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields]
+        + [f"{right.schema[c].name} {right.schema[c].dataType.simpleString()}"
+           for c in value_cols])
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = pdf[pdf["_side"] == 0].drop(columns=["_side"]).sort_values(left_ts)
+        rpdf = pdf[pdf["_side"] == 1].drop(columns=["_side"]).sort_values(right_ts)
+        lcols = [f.name for f in left.schema.fields]
+        merged = pd.merge_asof(
+            lpdf[lcols], rpdf[[right_ts, *value_cols]].rename(columns={right_ts: left_ts}),
+            on=left_ts, direction="backward")
+        return merged
+
+    lhs = left.withColumn("_side", F.lit(0))
+    rhs = right.withColumnRenamed(right_key, key).withColumn("_side", F.lit(1))
+    unioned = lhs.unionByName(rhs, allowMissingColumns=True)
+    return unioned.groupBy(key).applyInPandas(merge, schema=out_schema)

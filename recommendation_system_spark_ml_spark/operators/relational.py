@@ -1,1 +1,254 @@
-"""(placeholder -- populated in this round)"""
+"""Scans, projections, filters, set ops, deterministic splits.
+
+Reference sites covered (SURVEY.md §2.1/2.2/2.5/2.7):
+- S1/S2 text scans (MovieLensRecommender.py:114,132) -> scan_text, as a
+  DataFrame-native split+cast pipeline (no RDD, no pandas round-trip).
+- S6/gap parquet scan+sink -> scan_parquet / sink_parquet with a
+  partitioned write (the 100 TB sink shape).
+- P1/P2 split+cast projections (MovieLensRecommender.py:134-139),
+  P3 drop (MLR.py:140), P4/P5 select+rename (MLR.py:74,77).
+- P6/gap filters: the reference has no explicit predicate; the engine
+  exposes comparison/IN/BETWEEN/LIKE/null tests -> filter_pred,
+  filter_notnull (ALS coldStartStrategy='drop' semantics, MLR.py:209).
+- set ops (§2.5 gap), R1 deterministic split (MLR.py:145) as a
+  hash-split both engines compute identically.
+
+Scale notes: every query is a single Catalyst plan; filters/projections
+reach the parquet scan (PushedFilters/ReadSchema verified in
+tests/test_plans.py); no collect(), no driver loops.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from recommendation_system_spark_ml_spark.registry import register
+from recommendation_system_spark_ml_spark.session import pin_session_conf
+from recommendation_system_spark_ml_spark.sources.catalog import load
+
+_SCRATCH = "/tmp/rsml_scratch"
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    return os.path.join(_SCRATCH, os.path.basename(os.path.normpath(sf_dir)), name)
+
+
+# --- S: scans & sinks ------------------------------------------------------
+
+@register("scan_parquet", oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_returnflag = 'N'
+""")
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + predicate that must push down to the parquet scan."""
+    pin_session_conf(spark)
+    return (load(spark, sf_dir, "lineitem")
+            .filter((F.col("l_shipdate") >= "1998-01-01") & (F.col("l_returnflag") == "N"))
+            .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"))
+
+
+@register("scan_text", oracle="SELECT r_regionkey, r_name FROM region")
+def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'::'-delimited text ingest, DataFrame-native.
+
+    The reference reads its .dat files via RDD lambdas + a pandas
+    round-trip (MovieLensRecommender.py:113-129). Here: write a text
+    twin of `region`, read it back with spark.read.text, split + cast
+    in one Catalyst plan. No Python workers anywhere.
+    """
+    pin_session_conf(spark)
+    path = _scratch(sf_dir, "region_text")
+    (load(spark, sf_dir, "region")
+     .select(F.concat_ws("::", F.col("r_regionkey"), F.col("r_name")).alias("value"))
+     .coalesce(1).write.mode("overwrite").text(path))
+    parts = F.split(F.col("value"), "::")
+    return (spark.read.text(path)
+            .select(parts.getItem(0).cast("int").alias("r_regionkey"),
+                    parts.getItem(1).alias("r_name")))
+
+
+@register("sink_parquet", oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem GROUP BY 1, 2
+""")
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet write (the real 100 TB sink) + read-back."""
+    pin_session_conf(spark)
+    path = _scratch(sf_dir, "lineitem_agg")
+    agg = (load(spark, sf_dir, "lineitem")
+           .groupBy("l_returnflag", "l_linestatus")
+           .agg(F.sum(F.round("l_quantity", 0).cast("long")).alias("sum_qty"),
+                F.count(F.lit(1)).alias("n_rows")))
+    agg.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    # partitionBy turns the partition column into a directory key; restore
+    # column order/types on read-back.
+    return (spark.read.parquet(path)
+            .select("l_returnflag", "l_linestatus", "sum_qty", "n_rows"))
+
+
+# --- P: projections --------------------------------------------------------
+
+@register("proj_split_cast", oracle="""
+WITH encoded AS (
+    SELECT o_orderkey || '::' || o_orderstatus || '::' || CAST(round(o_totalprice * 100, 0) AS BIGINT) AS line
+    FROM orders
+)
+SELECT CAST(string_split(line, '::')[1] AS BIGINT) AS o_orderkey,
+       string_split(line, '::')[2] AS o_orderstatus,
+       CAST(string_split(line, '::')[3] AS BIGINT) / 100.0 AS o_totalprice
+FROM encoded
+""")
+def proj_split_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole ingest idiom (MLR.py:134-139): encode rows
+    as '::'-delimited strings, then split + positional cast back."""
+    pin_session_conf(spark)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    encoded = (load(spark, sf_dir, "orders")
+               .select(F.concat_ws("::", F.col("o_orderkey"), F.col("o_orderstatus"),
+                                   cents).alias("line")))
+    parts = F.split(F.col("line"), "::")
+    return encoded.select(
+        parts.getItem(0).cast("long").alias("o_orderkey"),
+        parts.getItem(1).alias("o_orderstatus"),
+        (parts.getItem(2).cast("long") / 100.0).alias("o_totalprice"))
+
+
+@register("proj_select", oracle="""
+SELECT c_custkey AS custkey, c_mktsegment AS segment, round(c_acctbal, 2) AS balance
+FROM customer
+""")
+def proj_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Narrow select + rename (MLR.py:74,77,161)."""
+    pin_session_conf(spark)
+    return (load(spark, sf_dir, "customer")
+            .select(F.col("c_custkey").alias("custkey"),
+                    F.col("c_mktsegment").alias("segment"),
+                    F.round("c_acctbal", 2).alias("balance")))
+
+
+@register("proj_drop", oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus
+FROM lineitem
+""")
+def proj_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column drop (MLR.py:140 drops timestamp). Catalyst prunes the
+    parquet scan to the surviving columns."""
+    pin_session_conf(spark)
+    return load(spark, sf_dir, "lineitem").drop(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount", "l_tax", "l_shipdate")
+
+
+# --- filters ---------------------------------------------------------------
+
+@register("filter_pred", oracle="""
+SELECT o_orderkey, o_orderstatus, o_orderpriority, round(o_totalprice, 2) AS o_totalprice
+FROM orders
+WHERE o_orderstatus = 'O'
+  AND o_totalprice BETWEEN 1000 AND 200000
+  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+  AND o_orderpriority LIKE '%-%'
+  AND o_custkey IS NOT NULL
+""")
+def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comparison + BETWEEN + IN + LIKE + null-test in one predicate
+    (the §2.2 gap: the reference never filters explicitly)."""
+    pin_session_conf(spark)
+    o = load(spark, sf_dir, "orders")
+    return (o.filter((F.col("o_orderstatus") == "O")
+                     & F.col("o_totalprice").between(1000, 200000)
+                     & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+                     & F.col("o_orderpriority").like("%-%")
+                     & F.col("o_custkey").isNotNull())
+            .select("o_orderkey", "o_orderstatus", "o_orderpriority",
+                    F.round("o_totalprice", 2).alias("o_totalprice")))
+
+
+@register("filter_notnull", oracle="""
+WITH p AS (
+    SELECT event_id, CASE WHEN value >= 50 THEN round(value, 2) END AS big_value
+    FROM events
+)
+SELECT event_id, big_value FROM p WHERE big_value IS NOT NULL
+""")
+def filter_notnull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """na.drop semantics -- the engine twin of ALS coldStartStrategy
+    ='drop' (MLR.py:209): derive a nullable column, drop its nulls."""
+    pin_session_conf(spark)
+    ev = load(spark, sf_dir, "events")
+    return (ev.select("event_id",
+                      F.when(F.col("value") >= 50, F.round("value", 2)).alias("big_value"))
+            .na.drop(subset=["big_value"]))
+
+
+# --- set ops ---------------------------------------------------------------
+
+@register("set_union", oracle="""
+SELECT o_orderkey, 'urgent' AS src FROM orders WHERE o_orderpriority = '1-URGENT'
+UNION ALL
+SELECT o_orderkey, 'big' AS src FROM orders WHERE o_totalprice > 150000
+""")
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_session_conf(spark)
+    o = load(spark, sf_dir, "orders")
+    urgent = (o.filter(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_orderkey", F.lit("urgent").alias("src")))
+    big = (o.filter(F.col("o_totalprice") > 150000)
+           .select("o_orderkey", F.lit("big").alias("src")))
+    return urgent.unionByName(big)
+
+
+@register("set_intersect", oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""")
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with both an open and a filled order."""
+    pin_session_conf(spark)
+    o = load(spark, sf_dir, "orders")
+    return (o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+            .intersect(o.filter(F.col("o_orderstatus") == "F").select("o_custkey")))
+
+
+@register("set_except", oracle="""
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders
+""")
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders at all, via EXCEPT (anti-join twin)."""
+    pin_session_conf(spark)
+    return (load(spark, sf_dir, "customer").select("c_custkey")
+            .exceptAll(load(spark, sf_dir, "orders")
+                       .select(F.col("o_custkey").alias("c_custkey")))
+            .distinct())
+
+
+# --- R: deterministic split ------------------------------------------------
+
+# Knuth multiplicative hash: identical 64-bit integer arithmetic in any
+# engine, unlike Spark's murmur3 `hash()` or DuckDB's `hash()`. This is
+# the oracle-reproducible replacement for the reference's randomSplit
+# (MLR.py:145) -- at 100 TB a hash split is also restart-stable, which
+# randomSplit is not (it depends on partitioning).
+_KNUTH = 2654435761
+
+
+@register("split_hash", oracle=f"""
+SELECT o_orderkey,
+       CASE WHEN (o_orderkey * {_KNUTH}) % 4294967296 % 10 < 7
+            THEN 'train' ELSE 'test' END AS split
+FROM orders
+""")
+def split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_session_conf(spark)
+    bucket = (F.col("o_orderkey") * F.lit(_KNUTH)) % F.lit(4294967296) % F.lit(10)
+    return (load(spark, sf_dir, "orders")
+            .select("o_orderkey",
+                    F.when(bucket < 7, "train").otherwise("test").alias("split")))

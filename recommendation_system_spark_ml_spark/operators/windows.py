@@ -1,1 +1,131 @@
-"""(placeholder -- populated in this round)"""
+"""Window functions, sorts, limits, top-k (SURVEY.md §2.5).
+
+The reference's driver-side pandas analogs: A5 lag-difference
+(MovieLensRecommender.py:49, SSE.diff()) and A6 top-1
+(MLR.py:63,182, idxmin) -- here as distributed window functions.
+
+Every window below orders by a FULLY deterministic key list (ties
+broken by primary keys) so results are engine-reproducible; a window
+ordered on a non-unique column is the classic nondeterminism footgun.
+
+Scale: a window = one shuffle on partitionBy keys; per-partition state
+is streamed (rank/lag) or frame-bounded (running sums) -- no skew issue
+unless one partition key dominates, which partitionBy-key choice here
+avoids (per-customer, per-part)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from recommendation_system_spark_ml_spark.registry import register
+from recommendation_system_spark_ml_spark.session import pin_session_conf
+from recommendation_system_spark_ml_spark.sources.catalog import load
+
+
+@register("window_rank", oracle="""
+SELECT * FROM (
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+           CAST(row_number() OVER w AS INTEGER) AS rn,
+           CAST(rank() OVER w AS INTEGER) AS rnk,
+           CAST(dense_rank() OVER w AS INTEGER) AS drnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+) WHERE rn <= 3
+""", bench=True)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer: row_number/rank/dense_rank."""
+    pin_session_conf(spark)
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (load(spark, sf_dir, "orders")
+            .select("o_custkey", "o_orderkey", "o_totalprice")
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("rnk", F.rank().over(w))
+            .withColumn("drnk", F.dense_rank().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("o_custkey", "o_orderkey",
+                    F.round("o_totalprice", 2).alias("o_totalprice"),
+                    "rn", "rnk", "drnk"))
+
+
+@register("window_lag_diff", oracle="""
+SELECT o_custkey, o_orderkey,
+       round(o_totalprice - coalesce(lag(o_totalprice) OVER w, 0), 2) AS price_diff,
+       CAST(datediff('day', lag(o_orderdate) OVER w, o_orderdate) AS INTEGER) AS days_since_prev
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""")
+def window_lag_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: lag + first-difference + fillna(0) -- the reference's
+    SSE.diff().fillna(0) elbow input (MLR.py:49), distributed."""
+    pin_session_conf(spark)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (load(spark, sf_dir, "orders")
+            .select("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate")
+            .select("o_custkey", "o_orderkey",
+                    F.round(F.col("o_totalprice")
+                            - F.coalesce(F.lag("o_totalprice").over(w), F.lit(0)), 2)
+                    .alias("price_diff"),
+                    F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+                    .alias("days_since_prev")))
+
+
+@register("window_frame", oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0
+       AS running_spend,
+       round(avg(o_totalprice)
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg_3
+FROM orders
+""")
+def window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit frames: running total (integer-cents exact) + 3-row
+    moving average."""
+    pin_session_conf(spark)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return (load(spark, sf_dir, "orders")
+            .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+            .select("o_custkey", "o_orderkey",
+                    (F.sum(cents).over(w.rowsBetween(W.unboundedPreceding, 0)) / 100.0)
+                    .alias("running_spend"),
+                    F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 4)
+                    .alias("moving_avg_3")))
+
+
+@register("sort_limit", oracle="""
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, o_orderpriority
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+""")
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject (per-partition
+    top-k + driver merge of k*partitions rows) -- no full global sort,
+    which is what makes LIMIT-after-ORDER scale."""
+    pin_session_conf(spark)
+    return (load(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_totalprice", "o_orderpriority")
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .limit(10)
+            .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"),
+                    "o_orderpriority"))
+
+
+@register("window_ntile", oracle="""
+SELECT c_custkey,
+       CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS balance_quartile
+FROM customer
+""")
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global quantile bucketing. NOTE: a single unpartitioned window is
+    a deliberate single-reducer pattern -- fine for dimension-sized
+    inputs; for fact tables use approx percentiles (see fn_math) or
+    repartitionByRange."""
+    pin_session_conf(spark)
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return (load(spark, sf_dir, "customer")
+            .select("c_custkey", F.ntile(4).over(w).alias("balance_quartile")))

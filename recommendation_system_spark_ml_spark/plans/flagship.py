@@ -53,7 +53,7 @@ WITH enriched AS (
     GROUP BY 1, 2
 )
 SELECT g.c_mktsegment, g.order_year, g.n_items, g.sum_qty,
-       round(g.sum_rev, 2) AS sum_rev,
+       round(g.sum_rev, 4) AS sum_rev,
        round(g.avg_rev, 4) AS avg_rev,
        round(d.rmse_dev, 4) AS rmse_dev
 FROM grp g JOIN dev d USING (c_mktsegment, order_year)
@@ -94,6 +94,6 @@ def flagship_cluster_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         grp.join(dev, on=["c_mktsegment", "order_year"])
            .select("c_mktsegment", "order_year", "n_items", "sum_qty",
-                   F.round("sum_rev", 2).alias("sum_rev"),
+                   F.round("sum_rev", 4).alias("sum_rev"),
                    F.round("avg_rev", 4).alias("avg_rev"),
                    F.round("rmse_dev", 4).alias("rmse_dev")))

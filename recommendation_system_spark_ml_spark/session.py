@@ -30,6 +30,9 @@ _DEFAULTS = {
     # keep files splittable at ~128MB so 100 TB -> ~800k input tasks.
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.sql.parquet.filterPushdown": "true",
+    # testdata events.parquet carries TIMESTAMP(NANOS) which the Spark
+    # reader rejects; read as long + convert in sources/catalog.py.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
 }
 
@@ -70,6 +73,7 @@ def pin_session_conf(spark: SparkSession) -> SparkSession:
               "spark.sql.execution.arrow.pyspark.enabled",
               "spark.sql.adaptive.enabled",
               "spark.sql.adaptive.coalescePartitions.enabled",
-              "spark.sql.adaptive.skewJoin.enabled"):
+              "spark.sql.adaptive.skewJoin.enabled",
+              "spark.sql.legacy.parquet.nanosAsLong"):
         spark.conf.set(k, _DEFAULTS[k] if k in _DEFAULTS else "true")
     return spark

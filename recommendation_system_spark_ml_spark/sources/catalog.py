@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -33,7 +34,14 @@ def path_for(sf_dir: str, table: str) -> str:
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table not in TABLES:
         raise KeyError(f"unknown table {table!r}; have {TABLES}")
-    return spark.read.parquet(path_for(sf_dir, table))
+    df = spark.read.parquet(path_for(sf_dir, table))
+    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read via nanosAsLong (see session._DEFAULTS).
+        # DuckDB truncates ns->us, so integer-DIV (not double division:
+        # epoch-ns exceeds 2^53) keeps both engines bit-identical.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        df = df.select("event_id", "ts", "user_id", "event_type", "value", "props")
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
