@@ -1,1 +1,159 @@
-"""(placeholder -- populated in this round)"""
+"""Structured-Streaming window operators (SURVEY.md §2.10).
+
+The reference drops all temporal information (MovieLensRecommender.py:140);
+the engine exposes the full streaming window family over `events`.
+
+Design: each operator is a pure DataFrame->DataFrame transform applied
+identically to a batch frame or a readStream frame -- Catalyst plans the
+same expressions either way, so the DuckDB-oracle check on the batch
+twin certifies the streaming semantics, and tests/test_streaming.py
+additionally runs the real readStream->memory-sink path with watermarks.
+
+Window starts are emitted as epoch seconds (BIGINT): deterministic
+across engines, and the natural key for downstream joins at scale.
+
+Scale notes: windowed aggregation shuffles on (window, key); state size
+is bounded by the watermark; session windows use Spark's native
+session_window (merging state store), whose batch-mode semantics the
+lag/cumsum oracle reproduces exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from recommendation_system_spark_ml_spark.registry import register
+from recommendation_system_spark_ml_spark.session import pin_session_conf
+from recommendation_system_spark_ml_spark.sources.catalog import load
+
+# Parquet stores TIMESTAMP(NANOS); with nanosAsLong pinned (session.py)
+# it reads as bigint, converted to micros exactly like catalog.load().
+EVENTS_SCHEMA = ("event_id bigint, ts bigint, user_id bigint, "
+                 "event_type string, value double, props string")
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (one-file-per-trigger so the
+    memory-sink tests see deterministic batches)."""
+    pin_session_conf(spark)
+    raw = (spark.readStream.schema(EVENTS_SCHEMA)
+           .option("maxFilesPerTrigger", 1)
+           .option("pathGlobFilter", "events.parquet")
+           .parquet(sf_dir))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+# --- transforms (mode-agnostic) -------------------------------------------
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    w = F.window("ts", "10 minutes")
+    return (events.groupBy(w.alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0, 2)
+                 .alias("sum_value"))
+            .select(F.unix_timestamp("w.start").alias("window_start"),
+                    "event_type", "n_events", "sum_value"))
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    w = F.window("ts", "10 minutes", "5 minutes")
+    return (events.groupBy(w.alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.unix_timestamp("w.start").alias("window_start"),
+                    "event_type", "n_events"))
+
+
+def session_aggregate(events: DataFrame) -> DataFrame:
+    w = F.session_window("ts", "30 minutes")
+    return (events.groupBy(w.alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0, 2)
+                 .alias("sum_value"))
+            .select("user_id",
+                    F.unix_timestamp("w.start").alias("session_start"),
+                    F.unix_timestamp("w.end").alias("session_end"),
+                    "n_events", "sum_value"))
+
+
+def windowed_dedup(events: DataFrame) -> DataFrame:
+    """First event per (user, type) per tumbling window -- the batch
+    shape of dropDuplicatesWithinWatermark-style dedup."""
+    w = F.window("ts", "10 minutes")
+    return (events.groupBy(w.alias("w"), "user_id", "event_type")
+            .agg(F.min("event_id").alias("first_event_id"))
+            .select(F.unix_timestamp("w.start").alias("window_start"),
+                    "user_id", "event_type", "first_event_id"))
+
+
+def with_watermark(events: DataFrame, delay: str = "15 minutes") -> DataFrame:
+    """Late-data bound for streaming mode (no-op in batch mode)."""
+    return events.withWatermark("ts", delay)
+
+
+# --- oracle-checked batch twins -------------------------------------------
+
+@register("stream_tumbling", oracle="""
+SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) / 100.0, 2) AS sum_value
+FROM events GROUP BY 1, 2
+""", bench=True)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_session_conf(spark)
+    return tumbling_counts(load(spark, sf_dir, "events"))
+
+
+@register("stream_sliding", oracle="""
+WITH slid AS (
+    SELECT CAST(floor(epoch(ts) / 300) * 300 - g * 300 AS BIGINT) AS window_start,
+           event_type
+    FROM events, (SELECT unnest(generate_series(0, 1)) AS g)
+)
+SELECT window_start, event_type, count(*) AS n_events
+FROM slid GROUP BY 1, 2
+""")
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute window sliding every 5: each event lands in exactly
+    window/slide = 2 windows (oracle enumerates them arithmetically)."""
+    pin_session_conf(spark)
+    return sliding_counts(load(spark, sf_dir, "events"))
+
+
+@register("stream_session", oracle="""
+WITH flagged AS (
+    SELECT user_id, ts, value,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+    FROM events
+), numbered AS (
+    SELECT user_id, ts, value,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_no
+    FROM flagged
+)
+SELECT user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+       CAST(floor(epoch(max(ts) + INTERVAL 30 MINUTE)) AS BIGINT) AS session_end,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) / 100.0, 2) AS sum_value
+FROM numbered GROUP BY user_id, session_no
+""")
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window (30-min gap). The oracle reproduces its
+    semantics with the lag -> gap-flag -> cumulative-sum recipe
+    (session end = last event + gap, as Spark defines it)."""
+    pin_session_conf(spark)
+    return session_aggregate(load(spark, sf_dir, "events"))
+
+
+@register("stream_dedup", oracle="""
+SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
+       user_id, event_type,
+       CAST(min(event_id) AS BIGINT) AS first_event_id
+FROM events GROUP BY 1, 2, 3
+""")
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_session_conf(spark)
+    return windowed_dedup(load(spark, sf_dir, "events"))

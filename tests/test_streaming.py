@@ -1,0 +1,48 @@
+"""Real Structured Streaming runs: the same transforms the oracle-checked
+batch twins use, executed through readStream -> memory sink with a
+watermark, then compared row-for-row against the batch result."""
+
+import pytest
+
+from tests.conftest import SF_SMOKE, assert_df_matches
+from recommendation_system_spark_ml_spark.sources.catalog import load
+from recommendation_system_spark_ml_spark.streaming.windows import (
+    session_aggregate, stream_events, tumbling_counts, with_watermark)
+
+
+def _run_stream(spark, transform, name):
+    src = with_watermark(stream_events(spark, SF_SMOKE))
+    q = (transform(src).writeStream.outputMode("complete")
+         .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_streaming_tumbling_matches_batch(spark):
+    got = _run_stream(spark, tumbling_counts, "t_tumbling")
+    want = tumbling_counts(load(spark, SF_SMOKE, "events")).toPandas()
+    assert_df_matches(got, want)
+
+
+def test_streaming_session_matches_batch(spark):
+    got = _run_stream(spark, session_aggregate, "t_session")
+    want = session_aggregate(load(spark, SF_SMOKE, "events")).toPandas()
+    assert_df_matches(got, want)
+
+
+def test_streaming_append_with_watermark_closes_windows(spark):
+    """Append mode only emits windows the watermark has passed; with the
+    whole file processed, every window except the tail should be final."""
+    src = with_watermark(stream_events(spark, SF_SMOKE), "1 minute")
+    q = (tumbling_counts(src).writeStream.outputMode("append")
+         .format("memory").queryName("t_append").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    emitted = spark.sql("SELECT count(*) AS n FROM t_append").collect()[0].n
+    total = tumbling_counts(load(spark, SF_SMOKE, "events")).count()
+    assert 0 < emitted <= total
