@@ -1,0 +1,62 @@
+"""Headline benchmark (driver contract).
+
+Runs the registry's bench-flagged queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced through the noop sink (df.write.format("noop")):
+full distributed materialization of every row, no driver collect --
+the timing measures the Spark plan, not Py4J transfer.
+
+Baseline context (BASELINE.md): the reference's relational phase fits
+in ~8 min on a single 2015 laptop core for ~1M rows; per-query targets
+at sf0.1 (~600k lineitem) are therefore single-digit seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from recommendation_system_spark_ml_spark.registry import all_specs
+from recommendation_system_spark_ml_spark.session import get_spark
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench")
+    specs = {n: s for n, s in all_specs().items() if s.bench}
+
+    # Warm the JVM + parquet footer caches outside the timed region.
+    first = next(iter(specs.values()))
+    first.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name, spec in specs.items():
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    print(json.dumps({
+        "metric": "bench_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": _sf_of(sf_dir),
+    }))
+
+
+if __name__ == "__main__":
+    main()

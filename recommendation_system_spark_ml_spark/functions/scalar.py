@@ -133,7 +133,7 @@ SELECT event_id, event_type,
        CAST(json_extract_string(props, '$.k') AS INTEGER) % 5 AS k_bucket,
        json_extract_string(props, '$.missing') IS NULL AS missing_absent
 FROM events
-""")
+""", bench=True)
 def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-in-string (events.props): extraction + typed cast. At scale
     prefer from_json with an explicit schema once per pipeline; shown

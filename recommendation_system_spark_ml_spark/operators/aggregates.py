@@ -32,7 +32,7 @@ SELECT o_custkey, CAST(year(o_orderdate) AS INTEGER) AS order_year,
        count(*) AS n_orders,
        CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 / count(*) AS avg_price
 FROM orders GROUP BY 1, 2
-""")
+""", bench=True)
 def agg_avg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: the reference's heart -- two-key group-by average
     (MLR.py:75-76: groupby(userId, cluster).avg(rating))."""

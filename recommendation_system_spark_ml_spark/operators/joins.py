@@ -54,7 +54,7 @@ SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
        round(l.l_quantity - g.grp_avg_qty, 6) AS qty_dev
 FROM lineitem l
 JOIN grp g ON l.l_orderkey = g.l_orderkey AND l.l_returnflag = g.l_returnflag
-""")
+""", bench=True)
 def join_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2: composite-key join -- the M7 join-back shape (MLR.py:81-83):
     group average joined back to rows on both grouping keys."""
