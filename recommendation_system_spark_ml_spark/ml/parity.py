@@ -1,1 +1,213 @@
-"""(placeholder -- populated in this round)"""
+"""ML parity: the reference's core surface, DataFrame-native (SURVEY.md §2.8).
+
+The reference (MovieLensRecommender.py) is a KMeans-vs-ALS recommender:
+one-hot genre encoding (MLR.py:13-24, via driver pandas loops), KMeans
+elbow sweep (MLR.py:155-182), the cluster-average predictor
+(MLR.py:72-83), and 3-fold-CV'd ALS (MLR.py:203-238). Every piece is
+rebuilt here on the harness star schema with zero driver-side data
+loops:
+
+- one-hot via distributed pivot (replaces MLR.py:123-126 collect);
+- SSE via KMeansModel.summary.trainingCost (replaces the Python
+  row-map at MLR.py:33-37,164);
+- elbow = lag-window first-difference + argmin (MLR.py:47-51,181-182),
+  preserving the reference's quirk that the first k's diff is 0 so it
+  can never win (MLR.py:49);
+- train/test split via the Knuth-hash recipe (oracle-reproducible,
+  replacing nondeterministic randomSplit at MLR.py:145);
+- ALS CV with parallelism=4 (the reference's sequential CV is the
+  documented 2h20m bottleneck, BASELINE.md).
+
+Scale notes: the ratings-analog (o_custkey x l_partkey, l_quantity) is
+fact-table-sized; everything reaching KMeans/ALS stays JVM-side
+(array_to_vector, MLlib). Driver-side materialization only for
+provably-tiny results: the (k, SSE) sweep table and CV grid.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.clustering import KMeans
+from pyspark.ml.evaluation import RegressionEvaluator
+from pyspark.ml.feature import VectorAssembler
+from pyspark.ml.functions import array_to_vector
+from pyspark.ml.recommendation import ALS
+from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from recommendation_system_spark_ml_spark.registry import register
+from recommendation_system_spark_ml_spark.session import pin_session_conf
+from recommendation_system_spark_ml_spark.sources.catalog import load
+
+SEED = 823  # the reference's seed (MLR.py:30, 145, 208)
+
+# Knuth multiplicative hash, same recipe as operators/relational.py's
+# split_hash -- deterministic and expressible in both engines.
+_KNUTH = 2654435761
+
+
+def _hash_split(df: DataFrame, key_col) -> DataFrame:
+    """70/30 split flag from a bigint key (replaces randomSplit)."""
+    bucket = (key_col * F.lit(_KNUTH)) % F.lit(4294967296) % F.lit(10)
+    return df.withColumn("split", F.when(bucket < 7, "train").otherwise("test"))
+
+
+def ratings_analog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user, item, rating) in the MovieLens shape: customer x part with
+    the average ordered quantity as the explicit 'rating' (1..50-ish)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy(F.col("o_custkey").cast("int").alias("userId"),
+                     F.col("l_partkey").cast("int").alias("movieId"))
+            .agg(F.avg("l_quantity").cast("float").alias("rating")))
+
+
+def onehot_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-hot the p_type 'genre': runtime-discovered vocabulary via a
+    distributed pivot -- the DataFrame-native replacement for the
+    reference's collect-to-pandas one-hot (MLR.py:117-126)."""
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    return (part.groupBy("p_partkey").pivot("p_type")
+            .agg(F.coalesce(F.first(F.lit(1)), F.lit(0)))
+            .na.fill(0))
+
+
+@register("ml_onehot", oracle="""
+SELECT p_partkey,
+       CAST(p_type = 'ECONOMY'  AS INTEGER) AS "ECONOMY",
+       CAST(p_type = 'LARGE'    AS INTEGER) AS "LARGE",
+       CAST(p_type = 'MEDIUM'   AS INTEGER) AS "MEDIUM",
+       CAST(p_type = 'PROMO'    AS INTEGER) AS "PROMO",
+       CAST(p_type = 'SMALL'    AS INTEGER) AS "SMALL",
+       CAST(p_type = 'STANDARD' AS INTEGER) AS "STANDARD"
+FROM part
+""")
+def ml_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_session_conf(spark)
+    return onehot_parts(spark, sf_dir)
+
+
+@register("ml_kmeans_elbow")  # rows-only: SSE needs MLlib
+def ml_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2+M5+M6: KMeans sweep k=2..10 (seed 823) over the embeddings
+    table, SSE from summary.trainingCost (JVM-side; replaces the Python
+    row-map at MLR.py:33-37,164), elbow table with lag-diff + best-k
+    flag exactly as MLR.py:47-51,181-182 computes it."""
+    pin_session_conf(spark)
+    feats = (load(spark, sf_dir, "embeddings")
+             .select(array_to_vector(F.col("embedding").cast("array<double>"))
+                     .alias("features"))
+             .cache())
+    rows = []
+    for k in range(2, 11):
+        model = KMeans(k=k, seed=SEED).fit(feats)
+        rows.append((k, float(model.summary.trainingCost)))
+    feats.unpersist()
+    sweep = spark.createDataFrame(rows, "k int, sse double")
+    w = Window.orderBy("k")
+    diffed = sweep.withColumn(
+        "sse_diff", F.coalesce(F.col("sse") - F.lag("sse").over(w), F.lit(0.0)))
+    best_k = (diffed.orderBy(F.col("sse_diff").asc(), F.col("k").asc())
+              .select("k").first()[0])
+    return (diffed.withColumn("is_best", (F.col("k") == best_k).cast("int"))
+            .select("k", F.round("sse", 4).alias("sse"),
+                    F.round("sse_diff", 4).alias("sse_diff"), "is_best"))
+
+
+@register("ml_cluster_predictor")  # rows-only: KMeans assignment inside
+def ml_cluster_predictor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 end-to-end: one-hot p_type -> VectorAssembler -> KMeans ->
+    per-(user, cluster) average rating on the train split -> join back
+    to the test split -> train/test RMSE, computed as a plain aggregate
+    (the RegressionEvaluator twin, MLR.py:148-151,174,197).
+
+    Returns one row per split with (split, rmse, n) -- deterministic
+    under the seed + hash-split."""
+    pin_session_conf(spark)
+    onehot = onehot_parts(spark, sf_dir)
+    genre_cols = [c for c in onehot.columns if c != "p_partkey"]
+    feats = VectorAssembler(inputCols=genre_cols, outputCol="features").transform(onehot)
+    model = KMeans(k=6, seed=SEED).fit(feats)
+    clusters = (model.transform(feats)
+                .select("p_partkey", F.col("prediction").alias("cluster")))
+
+    ratings = ratings_analog(spark, sf_dir)
+    rated = _hash_split(
+        ratings.join(F.broadcast(clusters),
+                     ratings.movieId == clusters.p_partkey)
+        .select("userId", "movieId", "cluster", "rating"),
+        F.col("userId").cast("bigint") * 4096 + F.col("movieId"))
+
+    user_cluster = (rated.filter(F.col("split") == "train")
+                    .groupBy("userId", "cluster")
+                    .agg(F.avg("rating").alias("prediction")))
+    scored = rated.join(user_cluster, on=["userId", "cluster"])
+    return (scored.groupBy("split")
+            .agg(F.round(F.sqrt(F.avg(F.pow(F.col("rating") - F.col("prediction"),
+                                            F.lit(2)))), 4).alias("rmse"),
+                 F.count(F.lit(1)).alias("n"))
+            .orderBy("split"))
+
+
+@register("ml_als_cv")  # rows-only: MLlib CV
+def ml_als_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8-M10: ALS grid CV on the ratings-analog train split. The grid
+    is a scaled-down 2x2x1 of the reference's 3x3x3 (MLR.py:212-221) so
+    the correctness harness stays fast; parallelism=4 replaces the
+    reference's sequential fits (its 2h20m bottleneck, BASELINE.md).
+    Returns the CV grid table (rank, reg_param, avg_rmse, is_best)."""
+    pin_session_conf(spark)
+    train = (_hash_split(ratings_analog(spark, sf_dir),
+                         F.col("userId").cast("bigint") * 4096 + F.col("movieId"))
+             .filter(F.col("split") == "train").drop("split"))
+    als = ALS(userCol="userId", itemCol="movieId", ratingCol="rating",
+              coldStartStrategy="drop", seed=SEED, maxIter=5)
+    grid = (ParamGridBuilder()
+            .addGrid(als.rank, [8, 12])
+            .addGrid(als.regParam, [0.05, 0.5])
+            .build())
+    evaluator = RegressionEvaluator(metricName="rmse", labelCol="rating",
+                                    predictionCol="prediction")
+    cv = CrossValidator(estimator=als, estimatorParamMaps=grid,
+                        evaluator=evaluator, numFolds=2,
+                        parallelism=4, seed=SEED)
+    cv_model = cv.fit(train)
+    rows = [(pm[als.rank], float(pm[als.regParam]), float(m))
+            for pm, m in zip(grid, cv_model.avgMetrics)]
+    best = min(rows, key=lambda r: r[2])
+    out = spark.createDataFrame(rows, "rank int, reg_param double, avg_rmse double")
+    return (out.withColumn("is_best",
+                           ((F.col("rank") == best[0]) &
+                            (F.col("reg_param") == best[1])).cast("int"))
+            .select("rank", "reg_param", F.round("avg_rmse", 4).alias("avg_rmse"),
+                    "is_best")
+            .orderBy("rank", "reg_param"))
+
+
+@register("ml_als_rmse")  # rows-only: MLlib ALS
+def ml_als_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8+M11+M12: single seeded ALS fit on the train split, test RMSE
+    computed both ways -- RegressionEvaluator and the plain aggregate
+    (A4) -- returned side-by-side as a self-check row."""
+    pin_session_conf(spark)
+    rated = _hash_split(ratings_analog(spark, sf_dir),
+                        F.col("userId").cast("bigint") * 4096 + F.col("movieId"))
+    train = rated.filter(F.col("split") == "train").drop("split")
+    test = rated.filter(F.col("split") == "test").drop("split")
+    als = ALS(rank=12, maxIter=10, regParam=0.05,
+              userCol="userId", itemCol="movieId", ratingCol="rating",
+              coldStartStrategy="drop", seed=SEED)
+    model = als.fit(train)
+    preds = model.transform(test).cache()
+    evaluator = RegressionEvaluator(metricName="rmse", labelCol="rating",
+                                    predictionCol="prediction")
+    rmse_eval = float(evaluator.evaluate(preds))
+    agg = preds.agg(
+        F.sqrt(F.avg(F.pow(F.col("rating") - F.col("prediction"), F.lit(2))))
+        .alias("rmse_agg"), F.count(F.lit(1)).alias("n_test")).first()
+    preds.unpersist()
+    return spark.createDataFrame(
+        [(round(rmse_eval, 4), round(float(agg.rmse_agg), 4), int(agg.n_test))],
+        "rmse_evaluator double, rmse_agg double, n_test bigint")
