@@ -1,1 +1,217 @@
-"""(placeholder -- populated in this round)"""
+"""Deduplication operators over `documents` (SURVEY.md §2.11).
+
+The reference has no dedup surface (its MovieLens inputs are clean);
+these are the LLM-data-pipeline operators the engine adds. The testdata
+documents are word-shuffled near-duplicates -- byte-distinct but
+bag-of-words-identical -- so the family splits naturally:
+
+- exact: hash-groupBy on the raw text (sha2 digest as the key);
+- canonical: hash-groupBy on the sorted-word fingerprint, which
+  catches every shuffle-dup exactly;
+- n-gram Jaccard: token-blocked self-join -- only pairs sharing a
+  token are generated (the standard candidate-pruning trick);
+- MinHash LSH: shingle -> HashingTF -> MinHashLSH.approxSimilarityJoin;
+- SimHash: 64-bit sign-sum fingerprint via xxhash64, banded for
+  blocking;
+- embedding cosine: brute-force pair join above a cosine threshold.
+
+100 TB posture: every pairwise operator here blocks before it joins
+(shared token, LSH band, simhash band) so the shuffle carries candidate
+pairs, not the cross product; the hash-groupBys are plain map-side
+combinable aggregations. Brute-force cosine is the correctness oracle
+for the LSH path, not the scale path (see similarity.py's IVF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from recommendation_system_spark_ml_spark.registry import register
+from recommendation_system_spark_ml_spark.session import pin_session_conf
+from recommendation_system_spark_ml_spark.sources.catalog import load
+
+
+def _words(col: str = "text"):
+    """Lower-cased whitespace tokens (the documents are space-joined)."""
+    return F.split(F.lower(F.col(col)), r"\s+")
+
+
+@register("dedup_exact", oracle="""
+SELECT sha256(text) AS text_hash,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       count(*) AS n_copies
+FROM documents GROUP BY 1
+""")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as hash-groupBy: one surviving doc_id per distinct
+    byte content. Map-side combinable; scales to any corpus size."""
+    pin_session_conf(spark)
+    return (load(spark, sf_dir, "documents")
+            .groupBy(F.sha2("text", 256).alias("text_hash"))
+            .agg(F.min("doc_id").alias("keep_id"),
+                 F.count(F.lit(1)).alias("n_copies")))
+
+
+@register("dedup_fingerprint", oracle="""
+SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))
+           AS fingerprint,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       count(*) AS n_docs
+FROM documents GROUP BY 1
+""")
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over the sorted distinct word set.
+    Collapses the word-shuffled near-duplicates (testdata: 500 -> ~440
+    groups) in a single hash-groupBy."""
+    pin_session_conf(spark)
+    fp = F.md5(F.concat_ws(
+        " ", F.array_sort(F.array_distinct(F.split(F.lower("text"), " ")))))
+    return (load(spark, sf_dir, "documents")
+            .groupBy(fp.alias("fingerprint"))
+            .agg(F.min("doc_id").alias("keep_id"),
+                 F.count(F.lit(1)).alias("n_docs")))
+
+
+@register("dedup_jaccard", oracle="""
+WITH cnt AS (
+    SELECT doc_id, w, count(*) AS c
+    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+          FROM documents)
+    GROUP BY 1, 2
+), sizes AS (
+    SELECT doc_id, sum(c) AS n FROM cnt GROUP BY 1
+), inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           sum(least(a.c, b.c)) AS shared
+    FROM cnt a JOIN cnt b ON a.w = b.w AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.shared AS DOUBLE) / (sa.n + sb.n - i.shared), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE CAST(i.shared AS DOUBLE) / (sa.n + sb.n - i.shared) >= 0.8
+""")
+def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) Jaccard near-dup pairs (>= 0.8): intersection =
+    sum of per-word min counts, union = |A| + |B| - intersection.
+    Multiset semantics matter here -- the documents share a ~31-word
+    vocabulary, so *set* Jaccard saturates near 1.0 for everything
+    while bag Jaccard isolates the true shuffled near-dups.
+
+    The self-join is token-blocked (only docs sharing a word meet in
+    the shuffle); at 100 TB add prefix filtering (join only on each
+    doc's rarest-k tokens) -- same plan, smaller candidate set."""
+    pin_session_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    cnt = (docs.select("doc_id", F.explode(_words()).alias("w"))
+           .where(F.col("w") != "")
+           .groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c")))
+    sizes = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    a = cnt.alias("a")
+    b = cnt.alias("b")
+    inter = (a.join(b, (F.col("a.w") == F.col("b.w")) &
+                    (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.sum(F.least(F.col("a.c"), F.col("b.c"))).alias("shared")))
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("shared") / (F.col("sa.n") + F.col("sb.n") - F.col("shared"))
+    return (inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+            .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+            .where(jac >= 0.8)
+            .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")))
+
+
+@register("dedup_simhash")  # rows-only: xxhash64 isn't cross-engine
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document: xxhash64 each distinct word, sum
+    +1/-1 per bit position over the doc, sign -> bit. Shuffle-dups get
+    identical fingerprints (the word *set* is preserved). Emitted with
+    4x16-bit bands: candidate pairs at scale join on (band_id, band
+    value) -- Hamming distance <= 3 guarantees at least one exact band
+    match (pigeonhole)."""
+    pin_session_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    tok = (docs.select("doc_id", F.explode(_words()).alias("w"))
+           .where(F.col("w") != "").distinct()
+           .withColumn("h", F.xxhash64("w")))
+    bit_sums = [
+        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"b{i}")
+        for i in range(64)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(*bit_sums)
+    simhash = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0,
+                     F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        simhash = term if simhash is None else simhash.bitwiseXOR(term)
+    out = per_doc.select("doc_id", simhash.alias("simhash"))
+    for band in range(4):
+        out = out.withColumn(
+            f"band{band}",
+            F.shiftright(F.col("simhash"), band * 16).bitwiseAND(F.lit(0xFFFF)))
+    return out
+
+
+@register("dedup_minhash")  # rows-only: MLlib LSH
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-dup candidates: word set -> HashingTF (2^18
+    sparse dims) -> MinHashLSH (8 tables) -> approxSimilarityJoin at
+    Jaccard distance <= 0.2. The LSH banding is what scales: candidate
+    generation is a join on hash buckets, never a cross product."""
+    pin_session_conf(spark)
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.array_distinct(_words()).alias("words"))
+    tf = HashingTF(inputCol="words", outputCol="features",
+                   numFeatures=1 << 18, binary=True).transform(tok)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes",
+                     numHashTables=8, seed=823).fit(tf)
+    pairs = lsh.approxSimilarityJoin(tf, tf, 0.2, distCol="jaccard_dist")
+    return (pairs
+            .where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+            .select(F.col("datasetA.doc_id").alias("doc_a"),
+                    F.col("datasetB.doc_id").alias("doc_b"),
+                    F.round("jaccard_dist", 4).alias("jaccard_dist")))
+
+
+@register("dedup_embedding", oracle="""
+WITH pairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, round(cos, 4) AS cosine
+FROM pairs WHERE cos >= 0.99
+""")
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine >= 0.99), exact pair
+    join. Dot products stay JVM-side (zip_with + aggregate). This is
+    the small-side exact check; the blocked/ANN path for 100 TB is
+    similarity.py's LSH + IVF."""
+    pin_session_conf(spark)
+    emb = (load(spark, sf_dir, "embeddings")
+           .select("vec_id", F.col("embedding").cast("array<double>").alias("v")))
+
+    def dot(x, y):
+        return F.aggregate(F.zip_with(x, y, lambda a, b: a * b),
+                           F.lit(0.0), lambda acc, z: acc + z)
+
+    a = emb.alias("a")
+    b = emb.alias("b")
+    norm = lambda c: F.sqrt(dot(c, c))  # noqa: E731
+    cos = dot(F.col("a.v"), F.col("b.v")) / (norm(F.col("a.v")) * norm(F.col("b.v")))
+    return (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"),
+                    cos.alias("cos"))
+            .where(F.col("cos") >= 0.99)
+            .select("vec_a", "vec_b", F.round("cos", 4).alias("cosine")))

@@ -1,0 +1,44 @@
+"""Semantic checks for dedup + similarity (SURVEY.md §2.11): the
+fingerprint dedup must actually collapse the word-shuffled duplicates,
+simhash must be shuffle-invariant, and IVF must recall most of the
+exact top-k on the clustered testdata."""
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from recommendation_system_spark_ml_spark.operators.dedup import (
+    dedup_exact, dedup_fingerprint, dedup_minhash, dedup_simhash)
+from recommendation_system_spark_ml_spark.operators.similarity import (
+    sim_ivf, sim_topk)
+
+
+def test_fingerprint_collapses_shuffle_dups_exact_does_not(spark):
+    n_exact = dedup_exact(spark, SF_SMOKE).count()
+    n_fp = dedup_fingerprint(spark, SF_SMOKE).count()
+    assert n_fp < n_exact  # shuffled dups are byte-distinct but bag-equal
+
+
+def test_simhash_identical_for_bag_equal_docs(spark):
+    """Docs with equal sorted-word-bag fingerprints must get equal
+    simhashes (simhash is computed from the word set)."""
+    fp = dedup_fingerprint(spark, SF_SMOKE)
+    dup_groups = fp.where(F.col("n_docs") > 1)
+    assert dup_groups.count() > 0
+    sh = dedup_simhash(spark, SF_SMOKE)
+    # distinct simhash count <= distinct fingerprint count
+    assert sh.select("simhash").distinct().count() <= fp.count()
+
+
+def test_minhash_finds_near_dup_pairs(spark):
+    pairs = dedup_minhash(spark, SF_SMOKE)
+    assert pairs.count() > 0
+    assert pairs.agg(F.max("jaccard_dist")).first()[0] <= 0.2
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    exact = {(r.query_id, r.neighbor_id)
+             for r in sim_topk(spark, SF_SMOKE).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in sim_ivf(spark, SF_SMOKE).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF recall@5 too low: {recall:.2f}"
