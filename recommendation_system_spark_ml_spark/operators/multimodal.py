@@ -1,1 +1,118 @@
-"""(placeholder -- populated in this round)"""
+"""Multimodal column pattern (SURVEY.md §2.11).
+
+Media (image/audio/video) at 100 TB lives in the lake as opaque
+`binary` payload columns next to a typed metadata struct -- never
+driver-side, never decoded until the last possible stage. The testdata
+has no real media, so the payload is manufactured deterministically
+from documents.text (UTF-8 bytes); everything around it -- schema,
+struct metadata, partitioning, Arrow batch shape, parquet round-trip --
+is the real production plumbing.
+
+The decode stage is a clearly-marked STUB: the image/audio libraries
+are not in this container. `decode_image_stub` raises
+NotImplementedError on the real path and ships a deterministic fake
+(byte-histogram features) so the mapInPandas pipeline is testable
+end-to-end. Swapping in a real decoder changes ONE function body, not
+the plan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from recommendation_system_spark_ml_spark.registry import register
+from recommendation_system_spark_ml_spark.session import pin_session_conf
+from recommendation_system_spark_ml_spark.sources.catalog import load
+
+FEATURE_DIM = 8
+
+_FEATURES_SCHEMA = ("doc_id bigint, format string, n_bytes int, "
+                    f"features array<float>")
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, payload binary, meta struct). The struct
+    carries what a real ingest would: declared format, byte size, a
+    content digest for integrity checks."""
+    docs = load(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.col("source").alias("format"),
+            F.length(payload).alias("n_bytes"),
+            F.sha2(payload, 256).alias("digest"),
+        ).alias("meta"))
+
+
+def decode_image_stub(payload: bytes) -> dict:
+    """STUB decode. Real implementation would be e.g.:
+
+        from PIL import Image; import io
+        img = Image.open(io.BytesIO(payload))
+        ...
+
+    PIL/librosa/av are not installed in this container, so the real
+    path raises and the deterministic fake below stands in: an
+    8-bucket byte histogram, normalized -- stable across runs and
+    engines, shaped exactly like a pooled feature vector."""
+    real_decoder_available = False
+    if real_decoder_available:  # pragma: no cover
+        raise NotImplementedError("media decoders not present in this env")
+    counts = [0] * FEATURE_DIM
+    for b in payload:
+        counts[b % FEATURE_DIM] += 1
+    total = float(len(payload)) or 1.0
+    return {"features": [c / total for c in counts]}
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction: mapInPandas over the payload
+    column. Python touches each byte-buffer once per batch; the output
+    schema is fixed so downstream stays Catalyst-planned."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [decode_image_stub(p)["features"] for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "format": [m["format"] for m in pdf["meta"]],
+                "n_bytes": [int(m["n_bytes"]) for m in pdf["meta"]],
+                "features": feats,
+            })
+
+    return media.mapInPandas(batches, schema=_FEATURES_SCHEMA)
+
+
+@register("multimodal_struct", oracle="""
+SELECT doc_id,
+       source AS format,
+       CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+       sha256(text) AS digest
+FROM documents
+""")
+def multimodal_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The metadata plumbing, flattened for the oracle: payload size
+    and digest must round-trip exactly through the struct column."""
+    pin_session_conf(spark)
+    m = media_table(spark, sf_dir)
+    return m.select("doc_id", "meta.format", "meta.n_bytes", "meta.digest")
+
+
+@register("multimodal_features")  # rows-only: mapInPandas output
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract via the stub decoder; returns the pooled
+    feature vector per document plus an L1-norm self-check column
+    (the normalized histogram must sum to ~1)."""
+    pin_session_conf(spark)
+    feats = extract_features(media_table(spark, sf_dir))
+    l1 = F.aggregate("features", F.lit(0.0),
+                     lambda acc, x: acc + x.cast("double"))
+    return feats.select("doc_id", "format", "n_bytes", "features",
+                        F.round(l1, 4).alias("l1_norm"))

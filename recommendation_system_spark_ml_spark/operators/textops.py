@@ -1,1 +1,199 @@
-"""(placeholder -- populated in this round)"""
+"""Text analysis over `documents` (SURVEY.md §2.11).
+
+Large-scale training-data pipeline operators: token counting, quality
+scoring, language-ID, TF-IDF, n-gram mining, document fingerprinting
+(the latter lives in dedup.py). Everything is built-in-function only --
+no Python in the hot path -- and each formula is written identically in
+the DuckDB oracle so the checks are exact.
+
+100 TB posture: all per-document ops are embarrassingly parallel map
+work inside whole-stage codegen; TF-IDF's document-frequency table and
+the n-gram top-k are the only shuffles, both map-side combinable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from recommendation_system_spark_ml_spark.registry import register
+from recommendation_system_spark_ml_spark.session import pin_session_conf
+from recommendation_system_spark_ml_spark.sources.catalog import load
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation.
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+# Tiny function-word list used by both quality scoring and lang-id.
+_STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
+
+
+@register("text_tokens", oracle=f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS INTEGER)
+           AS n_bpe_tokens,
+       CAST(length(text) AS INTEGER) AS n_chars
+FROM documents
+""")
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    pre-tokenization (letter runs / digit runs / punctuation)."""
+    pin_session_conf(spark)
+    return (load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(_BPE_RE), F.lit(0)))
+        .alias("n_bpe_tokens"),
+        F.length("text").cast("int").alias("n_chars")))
+
+
+_SW_SQL = "', '".join(_STOPWORDS)
+
+
+@register("text_quality", oracle=f"""
+WITH tok AS (
+    SELECT doc_id, text, string_split(lower(text), ' ') AS ws
+    FROM documents
+), m AS (
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(ws) AS n_tokens,
+           len(list_filter(ws, w -> w IN ('{_SW_SQL}'))) AS n_stop,
+           length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
+               AS n_punct
+    FROM tok
+)
+SELECT doc_id,
+       round(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
+       round(CAST(n_punct AS DOUBLE) / n_chars, 4) AS punct_ratio,
+       round(CAST(n_chars AS DOUBLE) / n_tokens, 4) AS avg_token_len,
+       CAST(n_tokens BETWEEN 10 AND 1000
+            AND CAST(n_punct AS DOUBLE) / n_chars < 0.1 AS INTEGER)
+           AS quality_pass
+FROM m
+""")
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio, punctuation density, average
+    token length, and a boolean gate (the C4-style length+punct
+    filter). All ratios are per-document map work."""
+    pin_session_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    ws = F.split(F.lower("text"), " ")
+    n_tokens = F.size(ws)
+    n_chars = F.length("text")
+    n_stop = F.size(F.filter(ws, lambda w: w.isin(*_STOPWORDS)))
+    n_punct = n_chars - F.length(F.regexp_replace("text", "[^a-z0-9 ]", ""))
+    punct_ratio = n_punct.cast("double") / n_chars
+    return docs.select(
+        "doc_id",
+        F.round(n_stop.cast("double") / n_tokens, 4).alias("stopword_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(n_chars.cast("double") / n_tokens, 4).alias("avg_token_len"),
+        (n_tokens.between(10, 1000) & (punct_ratio < 0.1))
+        .cast("int").alias("quality_pass"))
+
+
+@register("text_langid", oracle="""
+WITH scores AS (
+    SELECT doc_id, lang,
+           len(list_filter(string_split(lower(text), ' '),
+                           w -> w IN ('the', 'a', 'and', 'of'))) AS s_en,
+           len(list_filter(string_split(lower(text), ' '),
+                           w -> w IN ('el', 'la', 'de', 'y'))) AS s_es,
+           len(list_filter(string_split(lower(text), ' '),
+                           w -> w IN ('le', 'la', 'de', 'et'))) AS s_fr
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN s_es > s_en AND s_es >= s_fr THEN 'es'
+            WHEN s_fr > s_en AND s_fr > s_es THEN 'fr'
+            ELSE 'en' END AS predicted_lang,
+       CAST(CASE WHEN s_es > s_en AND s_es >= s_fr THEN 'es'
+                 WHEN s_fr > s_en AND s_fr > s_es THEN 'fr'
+                 ELSE 'en' END = lang AS INTEGER) AS is_correct
+FROM scores
+""")
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID: score per-language function-word hits,
+    argmax with a deterministic tie order (en > es > fr). The testdata
+    text is synthetic English-ish regardless of its lang label, so
+    is_correct measures label agreement, not model quality -- the
+    operator shape (vectorized scoring + argmax) is what a real
+    n-gram profile model uses."""
+    pin_session_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    ws = F.split(F.lower("text"), " ")
+
+    def hits(words):
+        return F.size(F.filter(ws, lambda w: w.isin(*words)))
+
+    s_en, s_es, s_fr = (hits(("the", "a", "and", "of")),
+                        hits(("el", "la", "de", "y")),
+                        hits(("le", "la", "de", "et")))
+    pred = (F.when((s_es > s_en) & (s_es >= s_fr), "es")
+            .when((s_fr > s_en) & (s_fr > s_es), "fr")
+            .otherwise("en"))
+    return docs.select(
+        "doc_id", pred.alias("predicted_lang"),
+        (pred == F.col("lang")).cast("int").alias("is_correct"))
+
+
+@register("text_tfidf", oracle="""
+WITH cnt AS (
+    SELECT doc_id, w, count(*) AS tf
+    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+          FROM documents)
+    GROUP BY 1, 2
+), df AS (
+    SELECT w, count(*) AS df FROM cnt GROUP BY 1
+), n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT c.doc_id, c.w AS term, CAST(c.tf AS BIGINT) AS tf,
+       round(c.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 4) AS tfidf
+FROM cnt c JOIN df d ON c.w = d.w CROSS JOIN n
+""")
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact TF-IDF (tf * ln(N/df)) as three map-side-combinable
+    aggregations; df and N are tiny (vocab-sized / scalar) and
+    broadcast back. MLlib HashingTF+IDF computes the same quantity
+    with feature hashing when the vocabulary is unbounded."""
+    pin_session_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    cnt = (docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+           .where(F.col("w") != "")
+           .groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf")))
+    df = cnt.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    return (cnt.join(F.broadcast(df), "w").crossJoin(F.broadcast(n_docs))
+            .select("doc_id", F.col("w").alias("term"), "tf",
+                    F.round(F.col("tf") *
+                            F.log(F.col("n_docs").cast("double") / F.col("df")),
+                            4).alias("tfidf")))
+
+
+@register("text_ngrams", oracle="""
+WITH ws AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+), bg AS (
+    SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i + 1])) AS bigram
+    FROM ws
+)
+SELECT bigram, count(*) AS n
+FROM bg GROUP BY 1
+ORDER BY n DESC, bigram ASC LIMIT 20
+""")
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 word bigrams: per-doc n-gram expansion is
+    map work (array transform, no shuffle); the count + top-k is one
+    aggregation. Deterministic tie-break on the bigram string."""
+    pin_session_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    ws = F.split(F.lower("text"), " ")
+    bigrams = F.expr(
+        "transform(sequence(0, size(split(lower(text), ' ')) - 2), "
+        "i -> concat(split(lower(text), ' ')[i], ' ', split(lower(text), ' ')[i + 1]))")
+    return (docs.select(F.explode(bigrams).alias("bigram"))
+            .groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("bigram").asc())
+            .limit(20))
