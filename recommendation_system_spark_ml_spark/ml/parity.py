@@ -186,6 +186,74 @@ def ml_als_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("rank", "reg_param"))
 
 
+@register("ml_movielens_report")  # rows-only: full ML pipeline
+def ml_movielens_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference program end-to-end on a MovieLens-shaped twin
+    (sources/text.py; FIXTURES.md §1): '::' text ingest -> genre
+    one-hot (explode+pivot) -> KMeans sweep k=2..10 (seed 823, SSE from
+    summary.trainingCost) -> elbow best-k -> cluster-average predictor
+    RMSE -> seeded ALS test RMSE. Output mirrors the reference's
+    printed report (MLR.py:243-259) as (metric, value) rows."""
+    pin_session_conf(spark)
+    import os
+    import tempfile
+
+    scratch = os.path.join(tempfile.gettempdir(),
+                           f"spark_graft_movielens_{os.path.basename(sf_dir.rstrip('/'))}")
+    from recommendation_system_spark_ml_spark.sources.text import (
+        genre_onehot, load_movielens)
+
+    movies, ratings = load_movielens(spark, scratch)
+    onehot = genre_onehot(movies)
+    genre_cols = [c for c in onehot.columns if c != "movieId"]
+    feats = (VectorAssembler(inputCols=genre_cols, outputCol="features")
+             .transform(onehot).cache())
+
+    sse = {k: float(KMeans(k=k, seed=SEED).fit(feats).summary.trainingCost)
+           for k in range(2, 11)}
+    # reference elbow: argmin of first difference; k=2's diff is 0 so it
+    # can never win (MLR.py:49).
+    diffs = {k: (0.0 if k == 2 else sse[k] - sse[k - 1]) for k in sse}
+    best_k = min(diffs, key=lambda k: (diffs[k], k))
+
+    model = KMeans(k=best_k, seed=SEED).fit(feats)
+    clusters = (model.transform(feats)
+                .select("movieId", F.col("prediction").alias("cluster")))
+    feats.unpersist()
+
+    rated = _hash_split(
+        ratings.join(F.broadcast(clusters), "movieId"),
+        F.col("userId").cast("bigint") * 4096 + F.col("movieId"))
+    train = rated.filter(F.col("split") == "train")
+    test = rated.filter(F.col("split") == "test")
+    user_cluster = (train.groupBy("userId", "cluster")
+                    .agg(F.avg("rating").alias("prediction")))
+
+    def rmse_of(df: DataFrame) -> float:
+        row = (df.join(user_cluster, on=["userId", "cluster"])
+               .agg(F.sqrt(F.avg(F.pow(F.col("rating") - F.col("prediction"),
+                                       F.lit(2))))).first())
+        return float(row[0])
+
+    als = ALS(rank=10, maxIter=10, regParam=0.05,
+              userCol="userId", itemCol="movieId", ratingCol="rating",
+              coldStartStrategy="drop", seed=SEED)
+    als_model = als.fit(train.select("userId", "movieId", "rating"))
+    evaluator = RegressionEvaluator(metricName="rmse", labelCol="rating",
+                                    predictionCol="prediction")
+    als_rmse = float(evaluator.evaluate(
+        als_model.transform(test.select("userId", "movieId", "rating"))))
+
+    report = [
+        ("kmeans_best_k", float(best_k)),
+        ("kmeans_sse_best_k", round(sse[best_k], 4)),
+        ("kmeans_train_rmse", round(rmse_of(train), 4)),
+        ("kmeans_test_rmse", round(rmse_of(test), 4)),
+        ("als_test_rmse", round(als_rmse, 4)),
+    ]
+    return spark.createDataFrame(report, "metric string, value double")
+
+
 @register("ml_als_rmse")  # rows-only: MLlib ALS
 def ml_als_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8+M11+M12: single seeded ALS fit on the train split, test RMSE
