@@ -76,4 +76,13 @@ def pin_session_conf(spark: SparkSession) -> SparkSession:
               "spark.sql.adaptive.skewJoin.enabled",
               "spark.sql.legacy.parquet.nanosAsLong"):
         spark.conf.set(k, _DEFAULTS[k] if k in _DEFAULTS else "true")
+    # Size the shuffle fan-out to the machine, not Spark's default 200:
+    # AQE coalesces DataFrame shuffles either way, but MLlib's RDD paths
+    # (ALS, KMeans) and streaming state stores don't get AQE -- 200 tiny
+    # partitions there is pure scheduling overhead. On a real cluster
+    # set SPARK_GRAFT_SHUFFLE_PARTITIONS to ~2-3x total cores.
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS",
+                       str(max(int(os.environ.get("SPARK_GRAFT_CPUS", "32")), 8))))
     return spark
