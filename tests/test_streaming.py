@@ -33,6 +33,35 @@ def test_streaming_session_matches_batch(spark):
     assert_df_matches(got, want)
 
 
+def test_drop_duplicates_within_watermark(spark):
+    """Real streaming dedup: one surviving row per (user_id,
+    event_type) within the watermark horizon."""
+    from pyspark.sql import functions as F
+
+    src = with_watermark(stream_events(spark, SF_SMOKE), "1 hour")
+    q = (src.dropDuplicatesWithinWatermark(["user_id", "event_type"])
+         .writeStream.outputMode("append")
+         .format("memory").queryName("t_ddwm").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT count(*) AS n FROM t_ddwm").collect()[0].n
+    want = (load(spark, SF_SMOKE, "events")
+            .select("user_id", "event_type").distinct().count())
+    assert got == want
+
+
+def test_stateful_totals_match_batch_aggregate(spark):
+    from recommendation_system_spark_ml_spark.streaming.stateful import (
+        stream_stateful_totals)
+
+    got = stream_stateful_totals(spark, SF_SMOKE)
+    want = (load(spark, SF_SMOKE, "events").groupBy("user_id")
+            .count().count())
+    assert got.count() == want
+
+
 def test_streaming_append_with_watermark_closes_windows(spark):
     """Append mode only emits windows the watermark has passed; with the
     whole file processed, every window except the tail should be final."""
