@@ -191,3 +191,24 @@ def udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("l_orderkey", "l_linenumber",
                     F.round(charge("l_extendedprice", "l_discount", "l_tax"), 6)
                     .alias("charge")))
+
+
+@register("fn_map", oracle="""
+SELECT event_id,
+       array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       CAST(len(json_keys(props)) AS INTEGER) AS n_keys
+FROM events
+""")
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map functions over parsed JSON: from_json to map<string,bigint>
+    once, then map_keys / element_at / size -- the schema-on-read
+    pattern for open-ended JSON at scale (parse once, not per field)."""
+    pin_session_conf(spark)
+    m = F.from_json("props", "map<string,bigint>")
+    return (load(spark, sf_dir, "events")
+            .select("event_id", m.alias("m"))
+            .select("event_id",
+                    F.concat_ws(",", F.array_sort(F.map_keys("m"))).alias("keys_csv"),
+                    F.element_at("m", "k").alias("k_val"),
+                    F.size(F.map_keys("m")).alias("n_keys")))

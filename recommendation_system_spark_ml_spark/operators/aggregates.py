@@ -201,3 +201,17 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
            .pivot("event_type", types)
            .agg(F.count(F.lit(1))))
     return out.select("user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types])
+
+
+@register("agg_approx")  # rows-only: HLL sketch values are engine-specific
+def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) next to the exact count.
+    At 100 TB the sketch is the only affordable distinct: it merges
+    map-side with bounded memory while exact distinct shuffles every
+    key. tests/test_aggregates_approx.py asserts <= 5% relative error
+    (2% rsd configured)."""
+    pin_session_conf(spark)
+    return (load(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+                 F.countDistinct("l_partkey").alias("exact_parts")))
