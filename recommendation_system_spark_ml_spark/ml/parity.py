@@ -186,7 +186,7 @@ def ml_als_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("rank", "reg_param"))
 
 
-@register("ml_movielens_report")  # rows-only: full ML pipeline
+@register("ml_movielens_report", bench=True)  # rows-only: full ML pipeline
 def ml_movielens_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference program end-to-end on a MovieLens-shaped twin
     (sources/text.py; FIXTURES.md §1): '::' text ingest -> genre
@@ -198,12 +198,23 @@ def ml_movielens_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
     scratch = os.path.join(tempfile.gettempdir(),
-                           f"spark_graft_movielens_{os.path.basename(sf_dir.rstrip('/'))}")
+                           f"spark_graft_movielens_{sf_name}")
     from recommendation_system_spark_ml_spark.sources.text import (
-        genre_onehot, load_movielens)
+        generate_movielens_twin, genre_onehot, parse_movies, parse_ratings)
 
-    movies, ratings = load_movielens(spark, scratch)
+    # At the bench scale factor, generate the reference's TRUE workload
+    # shape -- MovieLens-1M: 3,706 movies, 6,040 users, ~1M ratings
+    # (README.md:27) -- so the wall-clock is an apples-to-apples
+    # single-node comparison with BASELINE.md. Smaller sfs use a small
+    # twin to keep the correctness harness fast.
+    size = ((3706, 6040, 166) if sf_name == "sf0.1" else (200, 150, 20))
+    movies_path, ratings_path = generate_movielens_twin(
+        spark, scratch, n_movies=size[0], n_users=size[1],
+        ratings_per_user=size[2])
+    movies = parse_movies(spark.read.text(movies_path))
+    ratings = parse_ratings(spark.read.text(ratings_path))
     onehot = genre_onehot(movies)
     genre_cols = [c for c in onehot.columns if c != "movieId"]
     feats = (VectorAssembler(inputCols=genre_cols, outputCol="features")
