@@ -1,0 +1,92 @@
+"""Scale-pattern operators (SURVEY.md §4, 100 TB design rules).
+
+Two patterns that matter only at scale, exercised as first-class
+oracle-checked queries so the recipes stay correct:
+
+- join_bucketed: both join sides persisted as bucketed tables on the
+  join key -> co-located join with NO shuffle exchange on either side
+  (tests/test_plans.py asserts the absence). At 100 TB this is the
+  difference between re-shuffling the fact table per query and never
+  shuffling it at all.
+- join_salted: explicit skew mitigation -- the probe side's hot keys
+  are salted into S sub-keys, the build side replicated S times, join
+  on (key, salt). Result identical to the plain join (the oracle
+  proves it); AQE's skewJoin does this adaptively, the explicit recipe
+  is for engines/pipelines where the skew is known ahead of time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from recommendation_system_spark_ml_spark.registry import register
+from recommendation_system_spark_ml_spark.session import pin_session_conf
+from recommendation_system_spark_ml_spark.sources.catalog import load
+
+N_BUCKETS = 8
+N_SALTS = 8
+
+
+def _bucketed_name(sf_dir: str, table: str) -> str:
+    # table names can't contain dots; key by sf dir basename
+    sf = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    return f"bkt_{sf}_{table}"
+
+
+def ensure_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Persist orders+lineitem bucketed by the join key (idempotent).
+    At 100 TB this is the one-time layout investment every co-located
+    join amortizes."""
+    names = (_bucketed_name(sf_dir, "orders"), _bucketed_name(sf_dir, "lineitem"))
+    for table, name, key in (("orders", names[0], "o_orderkey"),
+                             ("lineitem", names[1], "l_orderkey")):
+        if not spark.catalog.tableExists(name):
+            (load(spark, sf_dir, table)
+             .write.bucketBy(N_BUCKETS, key).sortBy(key)
+             .mode("overwrite").format("parquet").saveAsTable(name))
+    return names
+
+
+@register("join_bucketed", oracle="""
+SELECT o.o_orderkey, o.o_orderstatus,
+       count(*) AS n_lines,
+       CAST(sum(CAST(round(l.l_quantity, 0) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY 1, 2
+""")
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join on pre-bucketed tables: zero Exchange nodes on
+    the join (asserted in tests/test_plans.py), and the groupBy on the
+    same key reuses the bucket partitioning too."""
+    pin_session_conf(spark)
+    orders_t, lineitem_t = ensure_bucketed(spark, sf_dir)
+    o = spark.table(orders_t).select("o_orderkey", "o_orderstatus")
+    li = spark.table(lineitem_t).select("l_orderkey", "l_quantity")
+    return (o.join(li, o.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderkey", "o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.sum(F.round("l_quantity", 0).cast("long")).alias("sum_qty")))
+
+
+@register("join_salted", oracle="""
+SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, o.o_orderstatus
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+""")
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join, result-identical to the plain join: probe rows
+    get salt = hash(row) % S, the build side is exploded S times, the
+    join key becomes (key, salt). Splits any hot key's rows across S
+    shuffle partitions."""
+    pin_session_conf(spark)
+    li = (load(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_linenumber",
+                  (F.abs(F.xxhash64("l_orderkey", "l_linenumber")) % N_SALTS)
+                  .alias("salt")))
+    orders = (load(spark, sf_dir, "orders")
+              .select("o_orderkey", "o_custkey", "o_orderstatus",
+                      F.explode(F.array(*[F.lit(i) for i in range(N_SALTS)]))
+                      .alias("salt")))
+    return (li.join(orders, (li.l_orderkey == orders.o_orderkey) &
+                    (li.salt == orders.salt))
+            .select("l_orderkey", "l_linenumber", "o_custkey", "o_orderstatus"))

@@ -60,6 +60,16 @@ def test_no_unblocked_cartesian_products(spark):
         assert "CartesianProduct" not in plan, name
 
 
+def test_bucketed_join_has_no_shuffle(spark):
+    """Both sides bucketed on the join key -> the sort-merge join must
+    read buckets directly: no Exchange anywhere in the join subtree."""
+    df = _specs()["join_bucketed"].fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    join_section = plan.split("HashAggregate")[0]  # below the final agg
+    assert "Exchange" not in join_section, join_section
+    assert "SelectedBucketsCount" in plan
+
+
 def test_group_aggregates_are_partial(spark):
     """Hash aggregates must have a partial (map-side combine) phase."""
     plan = _plan(_specs()["agg_avg_groupby"].fn(spark, SF_SMOKE))
