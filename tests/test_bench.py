@@ -1,0 +1,26 @@
+"""bench.py is a driver deliverable: it must emit exactly one JSON line
+with the contract fields, at any scale factor."""
+
+import json
+import os
+import subprocess
+import sys
+
+
+def test_bench_contract_smoke():
+    env = dict(os.environ,
+               SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+               SPARK_GRAFT_CPUS="8")
+    out = subprocess.run(
+        [sys.executable, "bench.py"], env=env, capture_output=True,
+        text=True, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
+    assert len(lines) == 1, out.stdout
+    rec = json.loads(lines[0])
+    assert set(rec) == {"metric", "value", "unit", "queries", "sf"}
+    assert rec["unit"] == "sec"
+    assert rec["value"] > 0
+    assert rec["sf"] == 0.001
+    assert all(v >= 0 for v in rec["queries"].values())
