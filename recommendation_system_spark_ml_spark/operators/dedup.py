@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from recommendation_system_spark_ml_spark.registry import register
 from recommendation_system_spark_ml_spark.session import pin_session_conf
@@ -215,3 +216,87 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
                     cos.alias("cos"))
             .where(F.col("cos") >= 0.99)
             .select("vec_a", "vec_b", F.round("cos", 4).alias("cosine")))
+
+
+@register("dedup_jaccard_prefix", oracle="""
+WITH cnt AS (
+    SELECT doc_id, w, count(*) AS c
+    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+          FROM documents)
+    GROUP BY 1, 2
+), sizes AS (
+    SELECT doc_id, sum(c) AS n FROM cnt GROUP BY 1
+), inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           sum(least(a.c, b.c)) AS shared
+    FROM cnt a JOIN cnt b ON a.w = b.w AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.shared AS DOUBLE) / (sa.n + sb.n - i.shared), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE CAST(i.shared AS DOUBLE) / (sa.n + sb.n - i.shared) >= 0.8
+""")
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AllPairs/PPJoin-style prefix filtering for the same >= 0.8
+    multiset-Jaccard join -- the scale path, oracle-proven identical to
+    the exhaustive dedup_jaccard.
+
+    Theory (Bayardo et al. 2007, 'Scaling Up All Pairs Similarity
+    Search'): expand each bag into occurrence tokens (w, 1..c); order
+    tokens globally (rarest first); for J(x,y) >= t the overlap must be
+    >= t/(1+t) * (|x|+|y|) >= t * |x|, so any qualifying pair must
+    share a token within the first |x| - ceil(t*|x|) + 1 tokens of x's
+    ordering. Candidates therefore join only on prefix tokens -- with a
+    Zipfian vocabulary the rare-token prefixes prune most of the
+    quadratic blow-up; exact Jaccard is then computed only for
+    candidate pairs.
+    """
+    pin_session_conf(spark)
+    t = 0.8
+    docs = load(spark, sf_dir, "documents")
+    cnt = (docs.select("doc_id", F.explode(_words()).alias("w"))
+           .where(F.col("w") != "")
+           .groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c")))
+    # occurrence tokens: (w,1)..(w,c) so bags become sets exactly
+    tok = cnt.select(
+        "doc_id",
+        F.explode(F.expr("transform(sequence(1, c), i -> struct(w, i))"))
+        .alias("t"))
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # global token order: document frequency asc (rarest first), then token
+    df_tok = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (tok.join(F.broadcast(df_tok), "t")
+              .withColumn("pos", F.row_number().over(
+                  Window.partitionBy("doc_id")
+                  .orderBy("df", F.col("t.w"), F.col("t.i"))))
+              .join(F.broadcast(sizes), "doc_id"))
+    prefix = ranked.where(
+        F.col("pos") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (a.join(b, (F.col("a.t") == F.col("b.t")) &
+                   (F.col("a.doc_id") < F.col("b.doc_id")) &
+                   # length filter: |y| in [t*|x|, |x|/t]
+                   (F.col("b.n") >= F.ceil(F.lit(t) * F.col("a.n"))) &
+                   (F.col("a.n") >= F.ceil(F.lit(t) * F.col("b.n"))))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    # exact multiset Jaccard, candidates only
+    ca = cnt.alias("ca")
+    cb = cnt.alias("cb")
+    inter = (cand.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+             .join(cb, (F.col("doc_b") == F.col("cb.doc_id")) &
+                   (F.col("ca.w") == F.col("cb.w")))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.sum(F.least(F.col("ca.c"), F.col("cb.c"))).alias("shared")))
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("shared") / (F.col("sa.n") + F.col("sb.n") - F.col("shared"))
+    return (inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+            .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+            .where(jac >= t)
+            .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")))

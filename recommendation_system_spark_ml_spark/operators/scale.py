@@ -17,6 +17,8 @@ oracle-checked queries so the recipes stay correct:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -38,10 +40,18 @@ def ensure_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Persist orders+lineitem bucketed by the join key (idempotent).
     At 100 TB this is the one-time layout investment every co-located
     join amortizes."""
+    import shutil
+    from urllib.parse import urlparse
+
     names = (_bucketed_name(sf_dir, "orders"), _bucketed_name(sf_dir, "lineitem"))
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     for table, name, key in (("orders", names[0], "o_orderkey"),
                              ("lineitem", names[1], "l_orderkey")):
         if not spark.catalog.tableExists(name):
+            # bucket metadata lives in the session catalog; files left by
+            # a previous session are unusable without it -- clear them so
+            # saveAsTable doesn't trip on LOCATION_ALREADY_EXISTS.
+            shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
             (load(spark, sf_dir, table)
              .write.bucketBy(N_BUCKETS, key).sortBy(key)
              .mode("overwrite").format("parquet").saveAsTable(name))
