@@ -1,0 +1,102 @@
+"""SQL-API operators: the engine's spark.sql() surface (SURVEY.md §4).
+
+The reference never writes SQL (its one selectExpr pair aside,
+MovieLensRecommender.py:135-139), but the engine exposes the full SQL
+entry point over the catalog views -- including the constructs Catalyst
+must rewrite before planning: correlated subqueries (decorrelated to
+joins), CTEs, and GROUPING SETS. Each query here is the same string an
+analyst would hand DuckDB, so the oracle check also proves ANSI
+compatibility of the dialect subset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from recommendation_system_spark_ml_spark.registry import register
+from recommendation_system_spark_ml_spark.session import pin_session_conf
+from recommendation_system_spark_ml_spark.sources.catalog import register_views
+
+
+@register("sql_subquery_exists", oracle="""
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+""")
+def sql_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS -- Catalyst decorrelates to a left-semi join
+    (free per SURVEY.md §4); no per-row re-execution ever happens."""
+    pin_session_conf(spark)
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT c_custkey, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 200000)""")
+
+
+@register("sql_subquery_scalar", oracle="""
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders
+WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
+""")
+def sql_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: planned once, broadcast as a
+    literal into the filter."""
+    pin_session_conf(spark)
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)""")
+
+
+@register("sql_cte_grouping_sets", oracle="""
+WITH base AS (
+    SELECT o_orderstatus, o_orderpriority, o_totalprice FROM orders
+)
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) / 100.0
+           AS total
+FROM base
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority))
+""")
+def sql_cte_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE + explicit GROUPING SETS (the general form of rollup/cube;
+    one shuffle, grouping-id expansion map-side)."""
+    pin_session_conf(spark)
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        WITH base AS (
+            SELECT o_orderstatus, o_orderpriority, o_totalprice FROM orders
+        )
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               -- literal 100.0 parses as DECIMAL in Spark SQL (unlike
+               -- the DataFrame API); cast so the division stays DOUBLE
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+                   / CAST(100 AS DOUBLE) AS total
+        FROM base
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))""")
+
+
+@register("sql_subquery_in", oracle="""
+SELECT p_partkey, p_type
+FROM part
+WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem
+                        WHERE l_quantity > 45)
+""")
+def sql_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN subquery -> null-aware anti join."""
+    pin_session_conf(spark)
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT p_partkey, p_type
+        FROM part
+        WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem
+                                WHERE l_quantity > 45)""")

@@ -53,6 +53,7 @@ _QUERY_MODULES = (
     "recommendation_system_spark_ml_spark.functions.scalar",
     "recommendation_system_spark_ml_spark.streaming.windows",
     "recommendation_system_spark_ml_spark.streaming.stateful",
+    "recommendation_system_spark_ml_spark.operators.sqlapi",
     "recommendation_system_spark_ml_spark.operators.scale",
     "recommendation_system_spark_ml_spark.operators.dedup",
     "recommendation_system_spark_ml_spark.operators.similarity",
