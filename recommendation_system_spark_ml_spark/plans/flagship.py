@@ -97,3 +97,49 @@ def flagship_cluster_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.round("sum_rev", 4).alias("sum_rev"),
                    F.round("avg_rev", 4).alias("avg_rev"),
                    F.round("rmse_dev", 4).alias("rmse_dev")))
+
+
+@register("flagship_fused", oracle="""
+WITH enriched AS (
+    SELECT c.c_mktsegment,
+           CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+           l.l_quantity,
+           l.l_extendedprice * (1 - l.l_discount) AS rev
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT c_mktsegment, order_year,
+       count(*) AS n_items,
+       sum(l_quantity) AS sum_qty,
+       round(sum(rev), 4) AS sum_rev,
+       round(avg(rev), 4) AS avg_rev,
+       round(stddev_pop(rev), 4) AS rmse_dev
+FROM enriched GROUP BY 1, 2
+""", bench=True)
+def flagship_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship's algebraic fusion: per-group RMSE-deviation from
+    the group mean IS the population stddev, so the join-back collapses
+    into the first aggregation -- ONE fact scan and ONE shuffle instead
+    of three scans and two shuffles (compare PLANS.md). Same output as
+    flagship_cluster_avg; at 100 TB this rewrite is the difference
+    between touching the fact table once and three times. The unfused
+    twin is kept because the join-back *shape* is the reference's M7
+    operator (MovieLensRecommender.py:72-83) -- when the second pass
+    computes something stddev can't express (e.g. per-row top-k), the
+    broadcast join-back is still the right plan."""
+    pin_session_conf(spark)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("order_year"))
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+                .join(cust, orders.o_custkey == cust.c_custkey))
+    return (enriched.groupBy("c_mktsegment", "order_year")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum("l_quantity").alias("sum_qty"),
+                 F.round(F.sum("rev"), 4).alias("sum_rev"),
+                 F.round(F.avg("rev"), 4).alias("avg_rev"),
+                 F.round(F.stddev_pop("rev"), 4).alias("rmse_dev")))
