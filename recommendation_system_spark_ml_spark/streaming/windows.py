@@ -157,3 +157,44 @@ FROM events GROUP BY 1, 2, 3
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_session_conf(spark)
     return windowed_dedup(load(spark, sf_dir, "events"))
+
+
+def click_purchase_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to same-user
+    clicks in the preceding 10 minutes. In streaming mode both sides
+    carry watermarks, so state for either stream is bounded by the
+    interval + watermark delay; in batch mode the identical expression
+    is a plain range join."""
+    c = clicks.select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts"))
+    p = purchases.select(F.col("user_id").alias("p_user"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("purchase_ts"))
+    cond = ((F.col("c_user") == F.col("p_user")) &
+            (F.col("click_ts") <= F.col("purchase_ts")) &
+            (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 10 MINUTES")))
+    return (c.join(p, cond)
+            .select(F.col("p_user").alias("user_id"), "purchase_id", "click_id",
+                    F.unix_timestamp("purchase_ts").alias("purchase_epoch"),
+                    F.unix_timestamp("click_ts").alias("click_epoch")))
+
+
+@register("stream_stream_join", oracle="""
+SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch,
+       CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch
+FROM events p JOIN events c
+  ON c.user_id = p.user_id
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 10 MINUTE
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+""")
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join (clicks preceding
+    each purchase by <= 10 min, same user). tests/test_streaming.py
+    runs the same transform through two readStream sources with
+    watermarks and checks row parity against this."""
+    pin_session_conf(spark)
+    ev = load(spark, sf_dir, "events")
+    return click_purchase_join(ev.where(F.col("event_type") == "click"),
+                               ev.where(F.col("event_type") == "purchase"))

@@ -62,6 +62,30 @@ def test_stateful_totals_match_batch_aggregate(spark):
     assert got.count() == want
 
 
+def test_stream_stream_interval_join_matches_batch(spark):
+    """Two watermarked readStream sources joined on user + 10-minute
+    interval must produce exactly the batch twin's rows."""
+    from pyspark.sql import functions as F
+    from recommendation_system_spark_ml_spark.streaming.windows import (
+        click_purchase_join, stream_stream_join)
+
+    src = stream_events(spark, SF_SMOKE)
+    clicks = with_watermark(src.where(F.col("event_type") == "click"),
+                            "30 minutes")
+    purchases = with_watermark(src.where(F.col("event_type") == "purchase"),
+                               "30 minutes")
+    q = (click_purchase_join(clicks, purchases)
+         .writeStream.outputMode("append")
+         .format("memory").queryName("t_ssj").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM t_ssj")
+    want = stream_stream_join(spark, SF_SMOKE).toPandas()
+    assert_df_matches(got, want)
+
+
 def test_streaming_append_with_watermark_closes_windows(spark):
     """Append mode only emits windows the watermark has passed; with the
     whole file processed, every window except the tail should be final."""
