@@ -252,3 +252,22 @@ def split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (load(spark, sf_dir, "orders")
             .select("o_orderkey",
                     F.when(bucket < 7, "train").otherwise("test").alias("split")))
+
+
+@register("sample_stratified")  # rows-only: sampling is probabilistic
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 (SURVEY.md §2.7): seeded stratified sampling -- sampleBy with
+    per-stratum fractions (Bernoulli per row, no shuffle, no sort).
+    Returns per-stratum sampled counts next to the population so the
+    test can bound the sampling error."""
+    pin_session_conf(spark)
+    li = load(spark, sf_dir, "lineitem")
+    fractions = {"A": 0.5, "N": 0.1, "R": 0.25}
+    sampled = li.sampleBy("l_returnflag", fractions=fractions, seed=823)
+    pop = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_pop"))
+    got = sampled.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_sampled"))
+    frac_col = F.create_map(
+        *[x for kv in fractions.items() for x in (F.lit(kv[0]), F.lit(kv[1]))])
+    return (pop.join(got, "l_returnflag")
+            .withColumn("target_fraction",
+                        F.element_at(frac_col, F.col("l_returnflag"))))

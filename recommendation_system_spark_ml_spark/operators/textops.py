@@ -197,3 +197,40 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.col("n").desc(), F.col("bigram").asc())
             .limit(20))
+
+
+@register("text_pipeline_mllib")  # rows-only: hashed features
+def text_pipeline_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MLlib text stack (SURVEY.md §2.11): RegexTokenizer ->
+    StopWordsRemover -> NGram -> HashingTF -> IDF. Feature hashing is
+    what scales past a bounded vocabulary (no global dictionary, no
+    second pass); the exact-TF-IDF twin (text_tfidf) is the oracle
+    for the un-hashed semantics. Returns per-doc token/bigram counts
+    and the L2 norm of the hashed TF-IDF vector (a stable scalar
+    summary of the feature vector)."""
+    pin_session_conf(spark)
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import (HashingTF, IDF, NGram, RegexTokenizer,
+                                    StopWordsRemover)
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    pipe = Pipeline(stages=[
+        RegexTokenizer(inputCol="text", outputCol="tokens",
+                       pattern=r"\s+", toLowercase=True),
+        StopWordsRemover(inputCol="tokens", outputCol="content_tokens",
+                         stopWords=list(_STOPWORDS)),
+        NGram(n=2, inputCol="content_tokens", outputCol="bigrams"),
+        HashingTF(inputCol="content_tokens", outputCol="tf",
+                  numFeatures=1 << 14),
+        IDF(inputCol="tf", outputCol="tfidf"),
+    ])
+    out = pipe.fit(docs).transform(docs)
+    from pyspark.ml.functions import vector_to_array
+    l2 = F.sqrt(F.aggregate(vector_to_array("tfidf"), F.lit(0.0),
+                            lambda acc, x: acc + x * x))
+    return out.select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        F.size("content_tokens").alias("n_content_tokens"),
+        F.size("bigrams").alias("n_bigrams"),
+        F.round(l2, 4).alias("tfidf_l2"))
