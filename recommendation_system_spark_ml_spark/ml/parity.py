@@ -53,6 +53,21 @@ def _hash_split(df: DataFrame, key_col) -> DataFrame:
     return df.withColumn("split", F.when(bucket < 7, "train").otherwise("test"))
 
 
+def kmeans_sweep(feats: DataFrame, ks=range(2, 11)) -> list[tuple[int, float]]:
+    """Seeded KMeans fits for every k, submitted concurrently -- each
+    fit is an independent chain of Spark jobs, so the scheduler overlaps
+    them across the cluster (the reference runs them sequentially,
+    MLR.py:180-182). Results are (k, SSE) with SSE from
+    summary.trainingCost (JVM-side, no Python row maps)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def fit(k: int) -> tuple[int, float]:
+        return k, float(KMeans(k=k, seed=SEED).fit(feats).summary.trainingCost)
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        return sorted(pool.map(fit, ks))
+
+
 def ratings_analog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(user, item, rating) in the MovieLens shape: customer x part with
     the average ordered quantity as the explicit 'rating' (1..50-ish)."""
@@ -100,10 +115,7 @@ def ml_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(array_to_vector(F.col("embedding").cast("array<double>"))
                      .alias("features"))
              .cache())
-    rows = []
-    for k in range(2, 11):
-        model = KMeans(k=k, seed=SEED).fit(feats)
-        rows.append((k, float(model.summary.trainingCost)))
+    rows = kmeans_sweep(feats)
     feats.unpersist()
     sweep = spark.createDataFrame(rows, "k int, sse double")
     w = Window.orderBy("k")
@@ -220,8 +232,7 @@ def ml_movielens_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = (VectorAssembler(inputCols=genre_cols, outputCol="features")
              .transform(onehot).cache())
 
-    sse = {k: float(KMeans(k=k, seed=SEED).fit(feats).summary.trainingCost)
-           for k in range(2, 11)}
+    sse = dict(kmeans_sweep(feats))
     # reference elbow: argmin of first difference; k=2's diff is 0 so it
     # can never win (MLR.py:49).
     diffs = {k: (0.0 if k == 2 else sse[k] - sse[k - 1]) for k in sse}
