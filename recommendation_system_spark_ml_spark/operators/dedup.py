@@ -300,3 +300,83 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
             .where(jac >= t)
             .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")))
+
+
+def _jaccard_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (multiset Jaccard >= 0.8) as an undirected edge
+    list -- the input graph for duplicate clustering."""
+    return dedup_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+
+
+@register("dedup_components", oracle="""
+WITH RECURSIVE
+edges AS (
+    WITH cnt AS (
+        SELECT doc_id, w, count(*) AS c
+        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+              FROM documents)
+        GROUP BY 1, 2
+    ), sizes AS (
+        SELECT doc_id, sum(c) AS n FROM cnt GROUP BY 1
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               sum(least(a.c, b.c)) AS shared
+        FROM cnt a JOIN cnt b ON a.w = b.w AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE CAST(i.shared AS DOUBLE) / (sa.n + sb.n - i.shared) >= 0.8
+),
+undirected AS (
+    SELECT doc_a AS src, doc_b AS dst FROM edges
+    UNION ALL SELECT doc_b, doc_a FROM edges
+),
+reach(doc, comp) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT u.src, r.comp FROM reach r JOIN undirected u ON u.dst = r.doc
+)
+SELECT doc AS doc_id, CAST(min(comp) AS BIGINT) AS component,
+       CAST(count(*) OVER (PARTITION BY min(comp)) AS BIGINT) AS component_size
+FROM reach GROUP BY doc
+""")
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering: connected components over the near-dup
+    graph, component id = min reachable doc_id. Pregel-style min-label
+    propagation as a DataFrame loop -- each iteration is one join + one
+    aggregate, converging in O(graph diameter) rounds; the driver only
+    inspects a scalar per round (the change count), never row data.
+    The DuckDB oracle computes the same fixpoint with a recursive CTE.
+
+    At 100 TB: iteration count is bounded by the diameter of near-dup
+    clusters (tiny in practice); each round shuffles the frontier only,
+    and the edge list comes pre-blocked from the Jaccard join. This is
+    the canonical 'keep one per duplicate group' semantics that pair
+    lists alone can't express."""
+    pin_session_conf(spark)
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    edges = _jaccard_edges(spark, sf_dir)
+    undirected = (edges.selectExpr("doc_a AS src", "doc_b AS dst")
+                  .union(edges.selectExpr("doc_b AS src", "doc_a AS dst"))
+                  .cache())
+    comp = docs.select("doc_id", F.col("doc_id").alias("comp")).cache()
+    while True:
+        msgs = (undirected.join(comp, undirected.dst == comp.doc_id)
+                .select(F.col("src").alias("doc_id"), "comp"))
+        new_comp = (comp.union(msgs)
+                    .groupBy("doc_id").agg(F.min("comp").alias("comp"))
+                    .cache())
+        changed = (new_comp.alias("n")
+                   .join(comp.alias("o"), "doc_id")
+                   .where(F.col("n.comp") != F.col("o.comp")).count())
+        comp.unpersist()
+        comp = new_comp
+        if changed == 0:
+            break
+    undirected.unpersist()
+    w = Window.partitionBy("comp")
+    return (comp.select(F.col("doc_id"),
+                        F.col("comp").alias("component"),
+                        F.count(F.lit(1)).over(w).alias("component_size")))
