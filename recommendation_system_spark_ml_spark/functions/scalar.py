@@ -212,3 +212,85 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.concat_ws(",", F.array_sort(F.map_keys("m"))).alias("keys_csv"),
                     F.element_at("m", "k").alias("k_val"),
                     F.size(F.map_keys("m")).alias("n_keys")))
+
+
+@register("fn_posexplode", oracle="""
+WITH t AS (SELECT p_partkey, string_split(p_name, ' ') AS arr FROM part)
+SELECT p_partkey, CAST(g AS INTEGER) AS pos, arr[CAST(g AS BIGINT) + 1] AS word
+FROM t, LATERAL (SELECT unnest(generate_series(0, len(arr) - 1)) AS g) gs
+""")
+def fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal-preserving flatten (posexplode / LATERAL ... WITH
+    ORDINALITY): part names to (position, word) rows. The position
+    column is what downstream sequence models need (token order);
+    explode alone loses it. Narrow op -- no shuffle, output fan-out is
+    bounded by words-per-name."""
+    pin_session_conf(spark)
+    return (load(spark, sf_dir, "part")
+            .select("p_partkey", F.split("p_name", " ").alias("arr"))
+            .select("p_partkey", F.posexplode("arr").alias("pos", "word")))
+
+
+@register("fn_bitwise", oracle="""
+SELECT p_partkey,
+       CAST(p_size & 7 AS INTEGER) AS size_and,
+       CAST(p_size | 8 AS INTEGER) AS size_or,
+       CAST(xor(p_size, 5) AS INTEGER) AS size_xor,
+       CAST(p_size << 2 AS INTEGER) AS size_shl
+FROM part
+""")
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise expression family (&, |, xor, shifts) -- flag unpacking
+    and hash mixing at the expression layer, all whole-stage-codegen
+    JVM ops."""
+    pin_session_conf(spark)
+    sz = F.col("p_size")
+    return (load(spark, sf_dir, "part")
+            .select("p_partkey",
+                    sz.bitwiseAND(F.lit(7)).alias("size_and"),
+                    sz.bitwiseOR(F.lit(8)).alias("size_or"),
+                    sz.bitwiseXOR(F.lit(5)).alias("size_xor"),
+                    F.shiftleft(sz, 2).alias("size_shl")))
+
+
+@register("fn_hash", oracle="""
+SELECT c_custkey,
+       md5(c_name) AS name_md5,
+       sha256(c_name) AS name_sha256,
+       CAST(length(c_name) AS INTEGER) AS name_len
+FROM customer
+""")
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic digests (md5 / sha2-256): content addressing and
+    dedup keys. Standard algorithms, so the hex strings are
+    engine-portable -- unlike xxhash64/hash whose seeds are
+    engine-specific (those stay internal, see dedup_fingerprint)."""
+    pin_session_conf(spark)
+    return (load(spark, sf_dir, "customer")
+            .select("c_custkey",
+                    F.md5("c_name").alias("name_md5"),
+                    F.lower(F.sha2("c_name", 256)).alias("name_sha256"),
+                    F.length("c_name").alias("name_len")))
+
+
+@register("fn_null_family", oracle="""
+SELECT l_orderkey, l_linenumber,
+       coalesce(nullif(l_discount, 0.0), -1.0) AS disc_or_flag,
+       greatest(l_quantity, CAST(round(l_discount * 100, 0) AS DOUBLE)) AS g,
+       least(l_tax, l_discount) AS l,
+       (l_discount IS NULL) AS disc_null
+FROM lineitem
+""")
+def fn_null_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling family: nullif / coalesce / greatest / least /
+    null-test -- the sentinel-scrubbing idioms every ingest layer
+    needs, all codegen'd JVM expressions."""
+    pin_session_conf(spark)
+    return (load(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_linenumber",
+                    F.coalesce(F.nullif("l_discount", F.lit(0.0)), F.lit(-1.0))
+                    .alias("disc_or_flag"),
+                    F.greatest("l_quantity",
+                               F.round(F.col("l_discount") * 100, 0).cast("double")).alias("g"),
+                    F.least("l_tax", "l_discount").alias("l"),
+                    F.isnull("l_discount").alias("disc_null")))

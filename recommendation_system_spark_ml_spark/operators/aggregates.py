@@ -215,3 +215,68 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("l_returnflag")
             .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
                  F.countDistinct("l_partkey").alias("exact_parts")))
+
+
+@register("agg_minmax_by", oracle="""
+SELECT o_orderpriority,
+       CAST(arg_max(o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) * 100000000
+                                + o_orderkey) AS BIGINT) AS priciest_order,
+       CAST(arg_min(o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) * 100000000
+                                + o_orderkey) AS BIGINT) AS cheapest_order,
+       round(max(o_totalprice), 2) AS max_price
+FROM orders GROUP BY 1
+""")
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed argmin/argmax (max_by / arg_max): the order id carrying
+    each priority's extreme price, in ONE aggregate pass -- no
+    rank-window + filter second shuffle. Price ties are broken inside
+    the ordering value (cents * 1e8 + orderkey, fits in int64) so the
+    answer is engine-deterministic; a bare max_by on a tied column is
+    not."""
+    pin_session_conf(spark)
+    score = (F.round(F.col("o_totalprice") * 100, 0).cast("long") * 100000000
+             + F.col("o_orderkey"))
+    return (load(spark, sf_dir, "orders")
+            .groupBy("o_orderpriority")
+            .agg(F.max_by("o_orderkey", score).alias("priciest_order"),
+                 F.min_by("o_orderkey", score).alias("cheapest_order"),
+                 F.round(F.max("o_totalprice"), 2).alias("max_price")))
+
+
+@register("agg_bool", oracle="""
+SELECT l_returnflag,
+       bool_and(l_quantity > 0) AS all_qty_pos,
+       bool_or(l_discount > 0.05) AS any_big_disc,
+       CAST(count(*) FILTER (l_tax > 0.03) AS BIGINT) AS n_taxed
+FROM lineitem GROUP BY 1
+""")
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (every / any / count_if): data-quality
+    assertions as single-pass map-side-combinable aggregates -- the
+    distributed form of an invariant check over 100 TB."""
+    pin_session_conf(spark)
+    return (load(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.bool_and(F.col("l_quantity") > 0).alias("all_qty_pos"),
+                 F.bool_or(F.col("l_discount") > 0.05).alias("any_big_disc"),
+                 F.count_if(F.col("l_tax") > 0.03).alias("n_taxed")))
+
+
+@register("agg_histogram", oracle="""
+SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+       count(*) AS n,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM orders GROUP BY 1
+""")
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram as a binned aggregate: the one-pass,
+    map-side-combinable way to see a distribution at 100 TB (a sort
+    or exact percentile would shuffle the world; this shuffles one
+    row per bin)."""
+    pin_session_conf(spark)
+    return (load(spark, sf_dir, "orders")
+            .groupBy(F.floor(F.col("o_totalprice") / 50000).alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.min("o_totalprice"), 2).alias("lo"),
+                 F.round(F.max("o_totalprice"), 2).alias("hi")))

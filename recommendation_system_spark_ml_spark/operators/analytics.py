@@ -1,0 +1,391 @@
+"""Decision-support analytics: TPC-H-shaped benchmark queries + gap ops.
+
+The reference's one relational query is the M7 cluster-average
+predictor (MovieLensRecommender.py:72-83); its published result tables
+(README.md:45-55, 73-101) are ordered/limited summary reports. This
+module exposes the standard decision-support query shapes those imply,
+on the harness star schema: a full-scan aggregate report (Q1 shape), a
+selective 3-way-join top-k (Q3 shape), and a 6-table snowflake revenue
+rollup (Q5 shape) -- plus the remaining gap operators: exact
+percentiles, distribution windows (percent_rank/cume_dist), unpivot,
+bounded cross join, edit-distance matching, and a generated date spine
+densifying sparse months.
+
+Money math follows the registry's integer-cents discipline so oracle
+hashes are exact. Scale notes per query in the docstrings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from recommendation_system_spark_ml_spark.registry import register
+from recommendation_system_spark_ml_spark.session import pin_session_conf
+from recommendation_system_spark_ml_spark.sources.catalog import load
+
+
+def _cents(col: str) -> F.Column:
+    return F.round(F.col(col) * 100, 0).cast("long")
+
+
+@register("tpch_q1", oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT) / 10000.0 AS sum_disc_price,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+                * (100 + CAST(round(l_tax * 100, 0) AS BIGINT))) AS BIGINT) / 1000000.0 AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""", bench=True)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-summary report (TPC-H Q1 shape): one full scan, partial
+    aggregation map-side, 4-group output. At 100 TB this is the
+    canonical scan-bound query -- the only shuffle carries 4 groups of
+    partial aggregates, so throughput == parquet scan speed. The date
+    predicate pushes to the scan (min/max row-group pruning)."""
+    pin_session_conf(spark)
+    ep, dc, tx = _cents("l_extendedprice"), _cents("l_discount"), _cents("l_tax")
+    return (load(spark, sf_dir, "lineitem")
+            .filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.round("l_quantity", 0).cast("long")).alias("sum_qty"),
+                 (F.sum(ep) / 100.0).alias("sum_base_price"),
+                 (F.sum(ep * (100 - dc)) / 10000.0).alias("sum_disc_price"),
+                 (F.sum(ep * (100 - dc) * (100 + tx)) / 1000000.0).alias("sum_charge"),
+                 F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+@register("tpch_q3", oracle="""
+SELECT l.l_orderkey,
+       CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))) AS BIGINT) / 10000.0 AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY 1, 3, 4
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""", bench=True)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority top-k (TPC-H Q3 shape): selective predicates on
+    all three tables, join, group, global top-10. Filters push to every
+    scan; the segment-filtered customer side broadcasts; the top-k is a
+    TakeOrderedAndProject (no full sort of the aggregate). Tie-break on
+    l_orderkey keeps the LIMIT deterministic across engines."""
+    pin_session_conf(spark)
+    cust = (load(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey"))
+    orders = (load(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate") < "1998-01-01")
+              .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"))
+    li = (load(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate") > "1998-01-01")
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    ep, dc = _cents("l_extendedprice"), _cents("l_discount")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("l_orderkey",
+                     F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+                     "o_orderpriority")
+            .agg((F.sum(ep * (100 - dc)) / 10000.0).alias("revenue"))
+            .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+            .orderBy(F.desc("revenue"), "l_orderkey")
+            .limit(10))
+
+
+@register("tpch_q5", oracle="""
+SELECT n.n_name,
+       CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))) AS BIGINT) / 10000.0 AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY 1
+""", bench=True)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier revenue rollup (TPC-H Q5 shape): 6-table snowflake
+    join with a region filter that prunes 4/5 of the dimension space.
+    All four dimension sides (customer-keys, supplier, nation, region)
+    broadcast; only the orders<->lineitem join shuffles, on the already
+    partitioned orderkey. The s_nationkey = c_nationkey equality rides
+    the supplier broadcast -- no extra shuffle."""
+    pin_session_conf(spark)
+    nat = (load(spark, sf_dir, "nation")
+           .join(F.broadcast(load(spark, sf_dir, "region")
+                             .filter(F.col("r_name") == "ASIA")),
+                 F.col("n_regionkey") == F.col("r_regionkey"))
+           .select("n_nationkey", "n_name"))
+    cust = (load(spark, sf_dir, "customer")
+            .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", "c_nationkey", "n_name"))
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    ep, dc = _cents("l_extendedprice"), _cents("l_discount")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(sup),
+                  (li.l_suppkey == sup.s_suppkey)
+                  & (sup.s_nationkey == cust.c_nationkey))
+            .groupBy("n_name")
+            .agg((F.sum(ep * (100 - dc)) / 10000.0).alias("revenue")))
+
+
+@register("agg_percentile", oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+       round(quantile_cont(l_extendedprice, 0.90), 4) AS p90_price
+FROM lineitem GROUP BY 1
+""")
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation -- Spark `percentile`
+    and DuckDB `quantile_cont` share the definition). Exact percentile
+    collects per-group value buffers; at 100 TB swap to
+    approx_percentile (t-digest sketch, bounded memory, map-side
+    mergeable) -- same call shape, which is why both are exposed
+    (agg_approx covers the sketch path's HLL sibling)."""
+    pin_session_conf(spark)
+    return (load(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+                 F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25_price"),
+                 F.round(F.expr("percentile(l_extendedprice, 0.90)"), 4).alias("p90_price")))
+
+
+@register("window_cume", oracle="""
+SELECT c_custkey, c_mktsegment,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cum_dist
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+""")
+def window_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows: percent_rank + cume_dist per segment.
+    Ties share a value, so results are deterministic without a
+    tie-break column. One shuffle on the partition key."""
+    pin_session_conf(spark)
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return (load(spark, sf_dir, "customer")
+            .select("c_custkey", "c_mktsegment",
+                    F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+                    F.round(F.cume_dist().over(w), 6).alias("cum_dist")))
+
+
+@register("unpivot_melt", oracle="""
+SELECT p_partkey, 'retailprice' AS metric, round(p_retailprice, 2) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+""")
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) wide columns into (metric, value) rows -- the
+    inverse of agg_pivot. Narrow transformation: no shuffle, output is
+    2x the input rows, column-pruned scan reads only the 3 columns."""
+    pin_session_conf(spark)
+    return (load(spark, sf_dir, "part")
+            .select("p_partkey",
+                    F.round("p_retailprice", 2).alias("retailprice"),
+                    F.col("p_size").cast("double").alias("size"))
+            .unpivot("p_partkey", ["retailprice", "size"], "metric", "value"))
+
+
+@register("join_cross", oracle="""
+SELECT r.r_name, x.o_orderstatus
+FROM region r CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) x
+""")
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded cross join: 5 regions x |distinct statuses|. Cross joins
+    are only ever legal here between provably-tiny sides (this is the
+    dimension-scaffold idiom); data-sized cross products are forbidden
+    -- tests/test_plans.py asserts no unblocked CartesianProduct in any
+    other registered plan."""
+    pin_session_conf(spark)
+    statuses = (load(spark, sf_dir, "orders")
+                .select("o_orderstatus").distinct())
+    return (load(spark, sf_dir, "region").select("r_name")
+            .crossJoin(F.broadcast(statuses)))
+
+
+@register("fn_levenshtein", oracle="""
+SELECT a.n_name AS name_a, b.n_name AS name_b,
+       levenshtein(a.n_name, b.n_name) AS edit_dist
+FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+WHERE levenshtein(a.n_name, b.n_name) <= 2
+""")
+def fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance matching (fuzzy string join on a bounded
+    dimension). The inequality self-join is a broadcast nested loop on
+    a 25-row table; at scale, edit-distance joins must be blocked first
+    (see dedup_jaccard_prefix for the blocking pattern)."""
+    pin_session_conf(spark)
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    a = nat.alias("a")
+    b = nat.alias("b")
+    dist = F.levenshtein(F.col("a.n_name"), F.col("b.n_name"))
+    return (a.join(F.broadcast(b),
+                   F.col("a.n_nationkey") < F.col("b.n_nationkey"))
+            .select(F.col("a.n_name").alias("name_a"),
+                    F.col("b.n_name").alias("name_b"),
+                    dist.alias("edit_dist"))
+            .filter(F.col("edit_dist") <= 2))
+
+
+@register("series_spine", oracle="""
+WITH spine AS (
+    SELECT strftime(unnest(generate_series(DATE '1995-01-01',
+                                           DATE '2001-08-01',
+                                           INTERVAL 1 MONTH)), '%Y-%m') AS ym
+), counts AS (
+    SELECT strftime(o_orderdate, '%Y-%m') AS ym, count(*) AS n_orders
+    FROM orders GROUP BY 1
+)
+SELECT s.ym, CAST(coalesce(c.n_orders, 0) AS BIGINT) AS n_orders
+FROM spine s LEFT JOIN counts c ON s.ym = c.ym
+""")
+def series_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated date spine densifying sparse months (gap-filling --
+    every reporting pipeline needs it). The spine is generated
+    JVM-side (sequence + explode, 80 rows) and broadcast against the
+    aggregated counts; no data-sized generate step."""
+    pin_session_conf(spark)
+    spine = (spark.range(1)
+             .select(F.explode(F.expr(
+                 "sequence(to_date('1995-01-01'), to_date('2001-08-01'),"
+                 " interval 1 month)")).alias("month_start"))
+             .select(F.date_format("month_start", "yyyy-MM").alias("ym")))
+    counts = (load(spark, sf_dir, "orders")
+              .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("ym"))
+              .agg(F.count(F.lit(1)).alias("n_orders")))
+    return (F.broadcast(spine)
+            .join(counts, on="ym", how="left")
+            .select("ym", F.coalesce("n_orders", F.lit(0)).alias("n_orders")))
+
+
+@register("agg_string_agg", oracle="""
+SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation GROUP BY 1
+""")
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation. collect_list order is
+    partition-dependent, so sort INSIDE the aggregate result
+    (array_sort) before joining -- the only way a list agg can be
+    deterministic on a distributed engine."""
+    pin_session_conf(spark)
+    return (load(spark, sf_dir, "nation")
+            .groupBy("n_regionkey")
+            .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",")
+                 .alias("nations")))
+
+
+@register("tpch_q18", oracle="""
+SELECT c.c_custkey, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       round(o.o_totalprice, 2) AS o_totalprice,
+       CAST(sum(CAST(round(l.l_quantity, 0) AS BIGINT)) AS BIGINT) AS total_qty
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2, 3, 4
+HAVING sum(CAST(round(l.l_quantity, 0) AS BIGINT)) > 250
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""", bench=True)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume-customer top-k (TPC-H Q18 shape). The scale move:
+    aggregate lineitem by orderkey FIRST (partial map-side sum, the
+    one big shuffle), HAVING-filter to the rare >250-qty orders, and
+    only then join orders -- the filtered aggregate is tiny, so that
+    join broadcasts instead of shuffling the full fact table twice."""
+    pin_session_conf(spark)
+    qty = (load(spark, sf_dir, "lineitem")
+           .groupBy("l_orderkey")
+           .agg(F.sum(F.round("l_quantity", 0).cast("long")).alias("total_qty"))
+           .filter(F.col("total_qty") > 250))
+    orders = (load(spark, sf_dir, "orders")
+              .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+              .join(load(spark, sf_dir, "customer").select("c_custkey"),
+                    F.col("o_custkey") == F.col("c_custkey"), "leftsemi"))
+    return (orders.join(F.broadcast(qty), orders.o_orderkey == qty.l_orderkey)
+            .select(F.col("o_custkey").alias("c_custkey"), "o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+                    F.round("o_totalprice", 2).alias("o_totalprice"),
+                    "total_qty")
+            .orderBy(F.desc("o_totalprice"), "o_orderkey")
+            .limit(20))
+
+
+@register("tpch_q17", oracle="""
+SELECT round(CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+             / 700.0, 4) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                      FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+""")
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17 shape): CORRELATED
+    scalar subquery -- the per-part average computed inside the
+    predicate. Spark-first plan: decorrelate by hand into one
+    aggregate of the brand-filtered lineitem (per-part avg) joined
+    back -- the brand filter cuts partkeys ~25x, and the per-part
+    aggregate is computed over ONLY those parts' lineitems, once, not
+    per row. Both sides of the final join are brand-pruned, so at
+    100 TB the fact table is scanned once and the tiny avg table
+    broadcasts."""
+    pin_session_conf(spark)
+    parts = (load(spark, sf_dir, "part")
+             .filter(F.col("p_brand") == "Brand#23")
+             .select("p_partkey"))
+    li = (load(spark, sf_dir, "lineitem")
+          .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+          .select("l_partkey", "l_quantity", "l_extendedprice"))
+    avg_qty = (li.groupBy("l_partkey")
+               .agg((F.avg("l_quantity") * 0.2).alias("qty_cap"))
+               .withColumnRenamed("l_partkey", "a_partkey"))
+    ep = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    return (li.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("a_partkey"))
+            .filter(F.col("l_quantity") < F.col("qty_cap"))
+            .agg(F.round(F.sum(ep) / 700.0, 4).alias("avg_yearly")))
+
+
+@register("agg_stats", oracle="""
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+       round(stddev_samp(l_quantity), 6) AS qty_stddev,
+       round(var_samp(l_discount), 6) AS disc_var
+FROM lineitem GROUP BY 1
+""")
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr / covar / stddev / variance):
+    single-pass streaming moments, map-side combinable -- feature
+    screening over 100 TB without a second scan."""
+    pin_session_conf(spark)
+    return (load(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+                 F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
+                 F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+                 F.round(F.var_samp("l_discount"), 6).alias("disc_var")))

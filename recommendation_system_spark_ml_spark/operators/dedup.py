@@ -380,3 +380,25 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (comp.select(F.col("doc_id"),
                         F.col("comp").alias("component"),
                         F.count(F.lit(1)).over(w).alias("component_size")))
+
+
+@register("dedup_latest_by_key", oracle="""
+SELECT event_id, user_id, event_type, round(value, 6) AS value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1
+""")
+def dedup_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style compaction: keep each key's latest record (latest
+    event per user, ties broken by event_id). One shuffle on the key;
+    the rank filter streams per-partition, so state is O(1) per key --
+    this is the upsert-log -> current-snapshot pattern that a 100 TB
+    change stream compaction runs daily."""
+    pin_session_conf(spark)
+    from pyspark.sql import Window as W
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (load(spark, sf_dir, "events")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("event_id", "user_id", "event_type",
+                    F.round("value", 6).alias("value")))

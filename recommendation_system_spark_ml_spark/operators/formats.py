@@ -1,0 +1,113 @@
+"""Interchange formats & partition-pruned sinks (SURVEY.md §2.1 gaps).
+
+The reference reads exactly one format: '::'-delimited text
+(MovieLensRecommender.py:113-132; covered by scan_text). A complete
+engine also ingests CSV and JSON-lines -- the two interchange formats
+every data pipeline meets -- and writes partitioned parquet that later
+scans can prune. Each query here round-trips through the format (write
+a twin from parquet, read it back with an explicit schema) so the
+oracle stays the original table: the check proves the round-trip is
+lossless.
+
+Scale notes: schemas are always explicit on read (schema inference
+scans the data twice -- never at 100 TB). Partitioned writes use a
+derived directory key so downstream readers prune at planning time.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from recommendation_system_spark_ml_spark.registry import register
+from recommendation_system_spark_ml_spark.session import pin_session_conf
+from recommendation_system_spark_ml_spark.sources.catalog import load
+
+_SCRATCH = "/tmp/rsml_scratch"
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    return os.path.join(_SCRATCH, os.path.basename(os.path.normpath(sf_dir)), name)
+
+
+@register("scan_csv", oracle="""
+SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 2) AS c_acctbal,
+       c_mktsegment
+FROM customer
+""")
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip with an explicit schema (no inference pass).
+    Doubles survive the text round-trip because Spark writes
+    shortest-round-trip representations; the oracle-side round(2)
+    pins the comparison either way."""
+    pin_session_conf(spark)
+    path = _scratch(sf_dir, "customer_csv")
+    (load(spark, sf_dir, "customer")
+     .write.mode("overwrite").option("header", True).csv(path))
+    schema = ("c_custkey BIGINT, c_name STRING, c_nationkey INT, "
+              "c_acctbal DOUBLE, c_mktsegment STRING")
+    return (spark.read.schema(schema).option("header", True).csv(path)
+            .select("c_custkey", "c_name", "c_nationkey",
+                    F.round("c_acctbal", 2).alias("c_acctbal"),
+                    "c_mktsegment"))
+
+
+@register("scan_json", oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+""")
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines round-trip with an explicit schema. The JSON reader
+    is the 100 TB landing-zone path (logs, event exports); explicit
+    schema keeps it a single streaming pass with column pruning."""
+    pin_session_conf(spark)
+    path = _scratch(sf_dir, "nation_json")
+    load(spark, sf_dir, "nation").write.mode("overwrite").json(path)
+    schema = "n_nationkey INT, n_name STRING, n_regionkey INT"
+    return (spark.read.schema(schema).json(path)
+            .select("n_nationkey", "n_name", "n_regionkey"))
+
+
+@register("sink_partition_prune", oracle="""
+SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS sum_price
+FROM orders
+WHERE year(o_orderdate) = 1996
+GROUP BY 1
+""")
+def sink_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-partitioned parquet write + pruned read-back: the reader's
+    o_year = 1996 predicate is a partition filter, so only one
+    directory is listed and scanned (tests/test_plans.py asserts the
+    pruned InMemoryFileIndex). This is the 100 TB table layout --
+    time-partitioned, query-pruned."""
+    pin_session_conf(spark)
+    path = _scratch(sf_dir, "orders_by_year")
+    (load(spark, sf_dir, "orders")
+     .withColumn("o_year", F.year("o_orderdate"))
+     .write.mode("overwrite").partitionBy("o_year").parquet(path))
+    return (spark.read.parquet(path)
+            .filter(F.col("o_year") == 1996)
+            .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("ym"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 (F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")) / 100.0)
+                 .alias("sum_price")))
+
+
+@register("scan_orc", oracle="""
+SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS s_acctbal
+FROM supplier
+""")
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip -- the other columnar interchange format Spark
+    ships natively (Hive-ecosystem tables). Same pruning/pushdown
+    machinery as parquet; the check proves lossless round-trip against
+    the original table."""
+    pin_session_conf(spark)
+    path = _scratch(sf_dir, "supplier_orc")
+    load(spark, sf_dir, "supplier").write.mode("overwrite").orc(path)
+    return (spark.read.orc(path)
+            .select("s_suppkey", "s_name", "s_nationkey",
+                    F.round("s_acctbal", 2).alias("s_acctbal")))

@@ -116,3 +116,30 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                      lambda acc, x: acc + x.cast("double"))
     return feats.select("doc_id", "format", "n_bytes", "features",
                         F.round(l1, 4).alias("l1_norm"))
+
+
+@register("multimodal_frame_sample", oracle="""
+WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents)
+SELECT doc_id, CAST((g - 1) / 1024 AS INTEGER) AS frame_idx,
+       md5(substr(text, CAST(g AS BIGINT), 256)) AS frame_digest,
+       CAST(length(substr(text, CAST(g AS BIGINT), 256)) AS INTEGER) AS frame_len
+FROM t, LATERAL (SELECT unnest(generate_series(1, CAST(n AS BIGINT), 1024)) AS g) gs
+""")
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over a media payload: every 4th 256-unit frame
+    (stride 1024), the video keyframe-sampling access pattern on a 1-D
+    payload. The frame index set is computed from per-row length with
+    sequence + posexplode -- pure JVM expressions, fan-out bounded by
+    payload size / stride; a real codec version swaps the substring
+    for a decoder inside mapInPandas (see extract_features) without
+    changing the plan shape. Digest-per-frame makes the result exactly
+    checkable."""
+    pin_session_conf(spark)
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    starts = F.sequence(F.lit(1), F.length("text"), F.lit(1024))
+    frame = F.expr("substring(text, start, 256)")
+    return (docs.select("doc_id", "text", F.explode(starts).alias("start"))
+            .select("doc_id",
+                    ((F.col("start") - 1) / 1024).cast("int").alias("frame_idx"),
+                    F.md5(frame).alias("frame_digest"),
+                    F.length(frame).alias("frame_len")))

@@ -162,3 +162,30 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("query_id", "neighbor_id", "rank",
                    F.round("cos", 4).alias("cosine")))
     return out
+
+
+@register("vec_stats", oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS INTEGER) AS dim,
+       round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))), 4)
+           AS l2_norm,
+       round(CAST(list_max(embedding) AS DOUBLE), 5) AS max_val,
+       round(CAST(list_min(embedding) AS DOUBLE), 5) AS min_val
+FROM embeddings
+""")
+def vec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector statistics via array higher-order functions
+    (transform / aggregate / array_min / array_max) -- all JVM
+    expressions, no UDF. The norm check doubles as an ingest-quality
+    gate: embeddings arriving un-normalized (norm != 1) would corrupt
+    every cosine downstream, so a 100 TB pipeline runs exactly this
+    scan-shaped assertion before indexing."""
+    pin_session_conf(spark)
+    emb_d = F.transform("embedding", lambda x: x.cast("double"))
+    sumsq = F.aggregate(emb_d, F.lit(0.0), lambda a, x: a + x * x)
+    return (load(spark, sf_dir, "embeddings")
+            .select("vec_id",
+                    F.size("embedding").alias("dim"),
+                    F.round(F.sqrt(sumsq), 4).alias("l2_norm"),
+                    F.round(F.array_max("embedding").cast("double"), 5).alias("max_val"),
+                    F.round(F.array_min("embedding").cast("double"), 5).alias("min_val")))

@@ -234,3 +234,27 @@ def text_pipeline_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("content_tokens").alias("n_content_tokens"),
         F.size("bigrams").alias("n_bigrams"),
         F.round(l2, 4).alias("tfidf_l2"))
+
+
+@register("text_corpus_report", oracle="""
+SELECT lang, source, count(*) AS n_docs,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+       round(avg(n_chars), 4) AS avg_chars,
+       CAST(sum(CASE WHEN length(text) >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_long
+FROM documents GROUP BY 1, 2
+""")
+def text_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus health report: per (lang, source) doc counts, exact-dup
+    rate via content digest, length stats. This is the monitoring
+    query a 100 TB ingest runs per batch -- one scan, one shuffle on
+    the low-cardinality group keys; the distinct-digest count is the
+    only memory-heavy aggregate and would swap to approx_count_distinct
+    at full scale (agg_approx shows the sketch twin)."""
+    pin_session_conf(spark)
+    return (load(spark, sf_dir, "documents")
+            .groupBy("lang", "source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct(F.md5("text")).alias("n_unique"),
+                 F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+                 F.sum(F.when(F.length("text") >= 100, 1).otherwise(0))
+                 .alias("n_long")))

@@ -129,3 +129,31 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.orderBy("c_acctbal", "c_custkey")
     return (load(spark, sf_dir, "customer")
             .select("c_custkey", F.ntile(4).over(w).alias("balance_quartile")))
+
+
+@register("window_first_last", oracle="""
+SELECT o_custkey, o_orderkey,
+       round(first_value(o_totalprice) OVER w, 2) AS first_price,
+       round(last_value(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS last_price,
+       CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_orders
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""")
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value with explicit frames: each customer's
+    first and latest order price side-by-side with every order. The
+    classic footgun -- last_value over the DEFAULT frame (unbounded
+    preceding..current row) returns the current row -- is avoided by
+    pinning the full frame explicitly. Tie-break on o_orderkey keeps
+    same-day orders deterministic. One shuffle on o_custkey serves all
+    three windows (same partitioning)."""
+    pin_session_conf(spark)
+    wo = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = wo.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (load(spark, sf_dir, "orders")
+            .select("o_custkey", "o_orderkey",
+                    F.round(F.first("o_totalprice").over(wo), 2).alias("first_price"),
+                    F.round(F.last("o_totalprice").over(wfull), 2).alias("last_price"),
+                    F.count(F.lit(1)).over(W.partitionBy("o_custkey")).alias("n_orders")))

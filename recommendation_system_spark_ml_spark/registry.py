@@ -47,6 +47,8 @@ def register(name: str, oracle: str | None = None, bench: bool = False):
 _QUERY_MODULES = (
     "recommendation_system_spark_ml_spark.plans.flagship",
     "recommendation_system_spark_ml_spark.operators.relational",
+    "recommendation_system_spark_ml_spark.operators.analytics",
+    "recommendation_system_spark_ml_spark.operators.formats",
     "recommendation_system_spark_ml_spark.operators.joins",
     "recommendation_system_spark_ml_spark.operators.aggregates",
     "recommendation_system_spark_ml_spark.operators.windows",

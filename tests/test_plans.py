@@ -74,3 +74,38 @@ def test_group_aggregates_are_partial(spark):
     """Hash aggregates must have a partial (map-side combine) phase."""
     plan = _plan(_specs()["agg_avg_groupby"].fn(spark, SF_SMOKE))
     assert "partial_" in plan  # partial_count / partial_sum
+
+
+def test_tpch_q1_scan_bound(spark):
+    """Q1: the date predicate reaches the parquet scan, the aggregate
+    has a map-side partial phase, and no join appears anywhere."""
+    plan = _plan(_specs()["tpch_q1"].fn(spark, SF_SMOKE))
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1].split("\n")[0]
+    assert "partial_" in plan
+    assert "Join" not in plan
+
+
+def test_tpch_q3_broadcasts_filtered_customer(spark):
+    """Q3: the segment-filtered customer side must broadcast, and the
+    top-10 must plan as TakeOrderedAndProject (no global sort)."""
+    plan = _plan(_specs()["tpch_q3"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort" not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_tpch_q5_single_fact_shuffle(spark):
+    """Q5: all four dimension sides broadcast -- the only shuffle
+    exchanges feed the lineitem<->orders join and the final agg."""
+    plan = _plan(_specs()["tpch_q5"].fn(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+
+
+def test_tpch_q18_preaggregates_before_join(spark):
+    """Q18: the quantity rollup must happen BEFORE the orders join
+    (partial agg below the join), and the rare-order side broadcasts."""
+    plan = _plan(_specs()["tpch_q18"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
