@@ -258,3 +258,44 @@ def text_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("n_chars"), 4).alias("avg_chars"),
                  F.sum(F.when(F.length("text") >= 100, 1).otherwise(0))
                  .alias("n_long")))
+
+
+@register("pipeline_docs", oracle=f"""
+WITH kept AS (
+    SELECT doc_id, lang, source, text
+    FROM documents
+    WHERE lang IN ('en', 'de', 'fr') AND length(text) >= 50
+    QUALIFY row_number() OVER (PARTITION BY md5(text)
+                               ORDER BY doc_id) = 1
+)
+SELECT doc_id, lang, source,
+       CAST(len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS INTEGER)
+           AS n_tokens,
+       round(CAST(len(string_split(text, ' ')) AS DOUBLE)
+             / length(text), 6) AS ws_token_density
+FROM kept
+""")
+def pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data prep pipeline in ONE Catalyst plan:
+    language allowlist + minimum-length gate (predicate pushdown ->
+    the parquet scan skips short/foreign docs), exact dedup keeping
+    the lowest doc_id per content digest (one shuffle on the digest),
+    then tokenize + density features on the survivors only. Filter
+    BEFORE dedup before featurize is the 100 TB ordering: each stage
+    shrinks the data the next one shuffles; tokenization (the
+    expensive step) runs on deduped survivors, never on the raw
+    corpus."""
+    pin_session_conf(spark)
+    from pyspark.sql import Window as W
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = (load(spark, sf_dir, "documents")
+            .filter(F.col("lang").isin("en", "de", "fr")
+                    & (F.length("text") >= 50))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1))
+    return kept.select(
+        "doc_id", "lang", "source",
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(_BPE_RE), F.lit(0)))
+        .alias("n_tokens"),
+        F.round(F.size(F.split("text", " ")).cast("double") / F.length("text"), 6)
+        .alias("ws_token_density"))
