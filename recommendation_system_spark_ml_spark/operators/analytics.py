@@ -389,3 +389,55 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
                  F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
                  F.round(F.var_samp("l_discount"), 6).alias("disc_var")))
+
+
+@register("tpch_q7", oracle="""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+       CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))) AS BIGINT)
+           / 10000.0 AS revenue
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
+    OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9'))
+GROUP BY 1, 2, 3
+""")
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-nation trade volume (TPC-H Q7 shape): the fact table
+    joins two different dimension paths (supplier-side nation,
+    customer-side nation) with a disjunctive pair predicate. Plan
+    strategy: push each nation filter into its dimension BEFORE the
+    fact joins (supplier and customer shrink ~25x and broadcast), keep
+    the pair disjunction as the only post-join residual. The single
+    shuffle left is lineitem<->orders on orderkey."""
+    pin_session_conf(spark)
+    nat = load(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_9", "NATION_10"))
+    sup = (load(spark, sf_dir, "supplier")
+           .join(F.broadcast(nat.select(F.col("n_nationkey").alias("sn_key"),
+                                        F.col("n_name").alias("supp_nation"))),
+                 F.col("s_nationkey") == F.col("sn_key"))
+           .select("s_suppkey", "supp_nation"))
+    cust = (load(spark, sf_dir, "customer")
+            .join(F.broadcast(nat.select(F.col("n_nationkey").alias("cn_key"),
+                                         F.col("n_name").alias("cust_nation"))),
+                  F.col("c_nationkey") == F.col("cn_key"))
+            .select("c_custkey", "cust_nation"))
+    orders = (load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+              .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+              .select("o_orderkey", "cust_nation"))
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    ep, dc = _cents("l_extendedprice"), _cents("l_discount")
+    return (li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .filter(((F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_10"))
+                    | ((F.col("supp_nation") == "NATION_10") & (F.col("cust_nation") == "NATION_9")))
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").alias("l_year"))
+            .agg((F.sum(ep * (100 - dc)) / 10000.0).alias("revenue")))

@@ -157,3 +157,26 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.first("o_totalprice").over(wo), 2).alias("first_price"),
                     F.round(F.last("o_totalprice").over(wfull), 2).alias("last_price"),
                     F.count(F.lit(1)).over(W.partitionBy("o_custkey")).alias("n_orders")))
+
+
+@register("window_range_frame", oracle="""
+SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS c_acctbal,
+       CAST(count(*) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal
+                           RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING)
+            AS BIGINT) AS n_peers_within_500
+FROM customer
+""")
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): how many same-segment
+    customers sit within +-500 of each balance. Unlike ROWS frames,
+    RANGE bounds move with the ORDER BY value, so ties share a frame
+    and the result needs no tie-break to be deterministic. Same single
+    shuffle on the partition key; the frame scan is a sliding pointer
+    pair over the sorted partition -- O(n) per partition, not O(n^2)."""
+    pin_session_conf(spark)
+    w = (W.partitionBy("c_mktsegment").orderBy("c_acctbal")
+         .rangeBetween(-500, 500))
+    return (load(spark, sf_dir, "customer")
+            .select("c_custkey", "c_mktsegment",
+                    F.round("c_acctbal", 2).alias("c_acctbal"),
+                    F.count(F.lit(1)).over(w).alias("n_peers_within_500")))
