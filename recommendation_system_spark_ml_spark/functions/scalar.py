@@ -294,3 +294,27 @@ def fn_null_family(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.round(F.col("l_discount") * 100, 0).cast("double")).alias("g"),
                     F.least("l_tax", "l_discount").alias("l"),
                     F.isnull("l_discount").alias("disc_null")))
+
+
+@register("fn_try_cast", oracle="""
+SELECT c_custkey,
+       TRY_CAST(split_part(c_name, '#', 2) AS BIGINT) AS name_num,
+       TRY_CAST(c_mktsegment AS BIGINT) AS seg_num,
+       CASE WHEN c_nationkey = 0 THEN NULL
+            ELSE round(c_acctbal / c_nationkey, 6) END AS bal_per_nation
+FROM customer
+""")
+def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe conversions: try_cast yields NULL (not a job-killing
+    exception) on malformed input, try_divide on zero denominators.
+    At 100 TB there is ALWAYS a malformed row; try_* turns a 3-hour
+    job abort into a null to filter."""
+    pin_session_conf(spark)
+    return (load(spark, sf_dir, "customer")
+            .select("c_custkey",
+                    F.try_to_number(F.split_part("c_name", F.lit("#"), F.lit(2)),
+                                    F.lit("999999999999")).cast("bigint").alias("name_num"),
+                    F.expr("try_cast(c_mktsegment AS BIGINT)").alias("seg_num"),
+                    F.round(F.try_divide("c_acctbal",
+                                         F.col("c_nationkey").cast("double")), 6)
+                    .alias("bal_per_nation")))

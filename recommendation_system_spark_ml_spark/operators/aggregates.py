@@ -280,3 +280,23 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.min("o_totalprice"), 2).alias("lo"),
                  F.round(F.max("o_totalprice"), 2).alias("hi")))
+
+
+@register("agg_grouping_id", oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(grouping(o_orderpriority) AS INTEGER) AS g_prio,
+       count(*) AS n
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""")
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping() markers: the flags that let a report
+    consumer tell a real NULL group from a subtotal row -- required
+    the moment rollups run over nullable keys."""
+    pin_session_conf(spark)
+    return (load(spark, sf_dir, "orders")
+            .rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.grouping("o_orderstatus").cast("int").alias("g_status"),
+                 F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+                 F.count(F.lit(1)).alias("n")))

@@ -441,3 +441,120 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("supp_nation", "cust_nation",
                      F.year("l_shipdate").alias("l_year"))
             .agg((F.sum(ep * (100 - dc)) / 10000.0).alias("revenue")))
+
+
+@register("tpch_q10", oracle="""
+SELECT c.c_custkey, c.c_name, round(c.c_acctbal, 2) AS c_acctbal, n.n_name,
+       CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))) AS BIGINT)
+           / 10000.0 AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""")
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item reporting (TPC-H Q10 shape): who returned the
+    most revenue last quarter. Quarter filter pushes to the orders
+    scan (partition-prunable under the sink_partition_prune layout),
+    returnflag filter pushes to lineitem, nation broadcast-decorates
+    at the end; top-20 is a TakeOrderedAndProject."""
+    pin_session_conf(spark)
+    orders = (load(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate") >= "1996-01-01")
+                      & (F.col("o_orderdate") < "1996-04-01"))
+              .select("o_orderkey", "o_custkey"))
+    li = (load(spark, sf_dir, "lineitem")
+          .filter(F.col("l_returnflag") == "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    cust = (load(spark, sf_dir, "customer")
+            .join(F.broadcast(load(spark, sf_dir, "nation")
+                              .select("n_nationkey", "n_name")),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", "c_name", "c_acctbal", "n_name"))
+    ep, dc = _cents("l_extendedprice"), _cents("l_discount")
+    return (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("c_custkey", "c_name",
+                     F.round("c_acctbal", 2).alias("c_acctbal"), "n_name")
+            .agg((F.sum(ep * (100 - dc)) / 10000.0).alias("revenue"))
+            .orderBy(F.desc("revenue"), "c_custkey")
+            .limit(20))
+
+
+@register("tpch_q14", oracle="""
+SELECT round(100.0 * CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%' THEN
+                 CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))
+             ELSE 0 END) AS DOUBLE)
+       / sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+             * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))), 6)
+       AS promo_revenue_pct
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1996-02-01'
+""")
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion-effect ratio (TPC-H Q14 shape): conditional
+    aggregation -- the numerator is a CASE inside the sum, so one scan
+    and one broadcast join produce both sides of the ratio. The month
+    filter prunes the fact scan; part broadcasts."""
+    pin_session_conf(spark)
+    li = (load(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= "1996-01-01")
+                  & (F.col("l_shipdate") < "1996-02-01"))
+          .select("l_partkey", "l_extendedprice", "l_discount"))
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    ep, dc = _cents("l_extendedprice"), _cents("l_discount")
+    disc_price = ep * (100 - dc)
+    promo = F.when(F.col("p_type").like("PROMO%"), disc_price).otherwise(F.lit(0))
+    return (li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+            .agg(F.round(100.0 * F.sum(promo).cast("double") / F.sum(disc_price), 6)
+                 .alias("promo_revenue_pct")))
+
+
+@register("tpch_q19", oracle="""
+SELECT CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))) AS BIGINT)
+           / 10000.0 AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+""")
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive-predicate join (TPC-H Q19 shape). OR-of-ANDs can't
+    push through a join as-is, so each side gets its hand-derived
+    relaxation pushed to the scan -- part keeps the brand/size
+    disjunction, lineitem keeps the quantity envelope [1,30] -- and
+    the exact three-arm predicate stays as the post-join residual.
+    Semantics are unchanged (the residual implies both relaxations);
+    the fact scan skips every row outside the envelope."""
+    pin_session_conf(spark)
+    part = (load(spark, sf_dir, "part")
+            .filter(((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5))
+                    | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10))
+                    | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)))
+            .select("p_partkey", "p_brand", "p_size"))
+    li = (load(spark, sf_dir, "lineitem")
+          .filter(F.col("l_quantity").between(1, 30))
+          .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount"))
+    arm = (((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11))
+           | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+              & F.col("l_quantity").between(10, 20))
+           | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+              & F.col("l_quantity").between(20, 30)))
+    ep, dc = _cents("l_extendedprice"), _cents("l_discount")
+    return (li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+            .filter(arm)
+            .agg((F.sum(ep * (100 - dc)) / 10000.0).alias("revenue")))

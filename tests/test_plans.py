@@ -109,3 +109,11 @@ def test_tpch_q18_preaggregates_before_join(spark):
     plan = _plan(_specs()["tpch_q18"].fn(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
     assert "partial_sum" in plan
+
+
+def test_tpch_q7_broadcasts_both_dimension_paths(spark):
+    """Q7: supplier-path and customer-path nation filters shrink both
+    dims to broadcast size; the fact shuffles at most once."""
+    plan = _plan(_specs()["tpch_q7"].fn(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
