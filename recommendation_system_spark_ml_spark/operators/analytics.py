@@ -406,7 +406,7 @@ JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
 WHERE ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
     OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9'))
 GROUP BY 1, 2, 3
-""")
+""", bench=True)
 def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-nation trade volume (TPC-H Q7 shape): the fact table
     joins two different dimension paths (supplier-side nation,
@@ -458,7 +458,7 @@ WHERE l.l_returnflag = 'R'
 GROUP BY 1, 2, 3, 4
 ORDER BY revenue DESC, c_custkey
 LIMIT 20
-""")
+""", bench=True)
 def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Returned-item reporting (TPC-H Q10 shape): who returned the
     most revenue last quarter. Quarter filter pushes to the orders
@@ -499,7 +499,7 @@ SELECT round(100.0 * CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%' THEN
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
   AND l.l_shipdate < TIMESTAMP '1996-02-01'
-""")
+""", bench=True)
 def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Promotion-effect ratio (TPC-H Q14 shape): conditional
     aggregation -- the numerator is a CASE inside the sum, so one scan
@@ -530,7 +530,7 @@ WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
        AND l.l_quantity BETWEEN 10 AND 20)
    OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
        AND l.l_quantity BETWEEN 20 AND 30)
-""")
+""", bench=True)
 def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Disjunctive-predicate join (TPC-H Q19 shape). OR-of-ANDs can't
     push through a join as-is, so each side gets its hand-derived

@@ -161,7 +161,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@register("dedup_minhash")  # rows-only: hash-seeded LSH candidate set
+@register("dedup_minhash", bench=True)  # rows-only: hash-seeded LSH candidates
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH near-dup pairs, expression-native: word set -> 16
     minhashes (xxhash64 under 16 seeds) -> 4 bands x 4 rows -> bucket
@@ -334,8 +334,11 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _jaccard_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs (multiset Jaccard >= 0.8) as an undirected edge
-    list -- the input graph for duplicate clustering."""
-    return dedup_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    list -- the input graph for duplicate clustering. Uses the
+    prefix-filtered join (oracle-proven identical to the exhaustive
+    dedup_jaccard, ~7x faster at sf0.1 because the shared ~31-word
+    vocabulary makes plain token blocking nearly quadratic)."""
+    return dedup_jaccard_prefix(spark, sf_dir).select("doc_a", "doc_b")
 
 
 @register("dedup_components", oracle="""
@@ -387,7 +390,9 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists alone can't express."""
     pin_session_conf(spark)
     docs = load(spark, sf_dir, "documents").select("doc_id")
-    edges = _jaccard_edges(spark, sf_dir)
+    # cache BEFORE the union: its two branches are separate consumers,
+    # and an uncached edge list would run the prefix join twice
+    edges = _jaccard_edges(spark, sf_dir).cache()
     undirected = (edges.selectExpr("doc_a AS src", "doc_b AS dst")
                   .union(edges.selectExpr("doc_b AS src", "doc_a AS dst"))
                   .cache())
@@ -406,6 +411,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     undirected.unpersist()
+    edges.unpersist()
     w = Window.partitionBy("comp")
     return (comp.select(F.col("doc_id"),
                         F.col("comp").alias("component"),

@@ -271,3 +271,34 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pop.join(got, "l_returnflag")
             .withColumn("target_fraction",
                         F.element_at(frac_col, F.col("l_returnflag"))))
+
+
+@register("set_except_all", oracle="""
+SELECT o_custkey AS custkey FROM orders
+EXCEPT ALL
+SELECT c_custkey FROM customer
+""")
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL: each order's custkey minus ONE occurrence
+    per matching customer -- multiplicities survive, unlike the
+    distinct EXCEPT (set_except). Implemented as a count-compare
+    shuffle on the key, not a sort."""
+    pin_session_conf(spark)
+    return (load(spark, sf_dir, "orders")
+            .select(F.col("o_custkey").alias("custkey"))
+            .exceptAll(load(spark, sf_dir, "customer")
+                       .select(F.col("c_custkey").alias("custkey"))))
+
+
+@register("set_intersect_all", oracle="""
+SELECT user_id FROM events
+INTERSECT ALL
+SELECT o_custkey AS user_id FROM orders
+""")
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT ALL: min(multiplicity) per key across two
+    fact-sized inputs -- one shuffle per side on the compare key."""
+    pin_session_conf(spark)
+    return (load(spark, sf_dir, "events").select("user_id")
+            .intersectAll(load(spark, sf_dir, "orders")
+                          .select(F.col("o_custkey").alias("user_id"))))

@@ -274,7 +274,7 @@ SELECT doc_id, lang, source,
        round(CAST(len(string_split(text, ' ')) AS DOUBLE)
              / length(text), 6) AS ws_token_density
 FROM kept
-""")
+""", bench=True)
 def pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data prep pipeline in ONE Catalyst plan:
     language allowlist + minimum-length gate (predicate pushdown ->
