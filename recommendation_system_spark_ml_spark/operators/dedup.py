@@ -315,19 +315,27 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
-    # exact multiset Jaccard, candidates only
-    ca = cnt.alias("ca")
-    cb = cnt.alias("cb")
-    inter = (cand.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
-             .join(cb, (F.col("doc_b") == F.col("cb.doc_id")) &
-                   (F.col("ca.w") == F.col("cb.w")))
-             .groupBy("doc_a", "doc_b")
-             .agg(F.sum(F.least(F.col("ca.c"), F.col("cb.c"))).alias("shared")))
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("shared") / (F.col("sa.n") + F.col("sb.n") - F.col("shared"))
-    return (inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-            .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+    # exact multiset Jaccard, candidates only. The verify attaches each
+    # doc's word-count MAP (vocabulary is small, so maps are a few
+    # hundred bytes) and computes the bag intersection as a JVM
+    # map_zip_with expression per pair -- re-joining the per-word rows
+    # would turn |candidates| into |candidates| x |vocab| shuffle rows
+    # (measured 3x slower at sf0.1).
+    bags = (cnt.groupBy("doc_id")
+            .agg(F.map_from_entries(F.collect_list(F.struct("w", "c"))).alias("m"),
+                 F.sum("c").alias("n")))
+    ba = bags.select(F.col("doc_id").alias("doc_a"), F.col("m").alias("ma"),
+                     F.col("n").alias("na"))
+    bb = bags.select(F.col("doc_id").alias("doc_b"), F.col("m").alias("mb"),
+                     F.col("n").alias("nb"))
+    shared = F.aggregate(
+        F.map_values(F.map_zip_with(
+            "ma", "mb", lambda k, x, y: F.least(F.coalesce(x, F.lit(0)),
+                                                F.coalesce(y, F.lit(0))))),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (cand.join(ba, "doc_a").join(bb, "doc_b")
+            .withColumn("shared", shared)
             .where(jac >= t)
             .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")))
 
