@@ -558,3 +558,133 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
             .filter(arm)
             .agg((F.sum(ep * (100 - dc)) / 10000.0).alias("revenue")))
+
+
+@register("tpch_q6", oracle="""
+SELECT CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+               * CAST(round(l_discount * 100, 0) AS BIGINT)) AS BIGINT)
+           / 10000.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""", bench=True)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting-revenue-change (TPC-H Q6 shape): a pure
+    filter-and-sum -- zero joins, zero groups. Every predicate pushes
+    to the parquet scan (date range prunes row groups via min/max,
+    discount/quantity via column stats); the aggregate ships ONE
+    partial row per partition. At 100 TB this is the query whose cost
+    IS the (pruned) scan -- the canonical I/O-bound lower bound to
+    measure scan efficiency against."""
+    pin_session_conf(spark)
+    ep, dc = _cents("l_extendedprice"), _cents("l_discount")
+    return (load(spark, sf_dir, "lineitem")
+            .filter((F.col("l_shipdate") >= "1996-01-01")
+                    & (F.col("l_shipdate") < "1997-01-01")
+                    & F.col("l_discount").between(0.05, 0.07)
+                    & (F.col("l_quantity") < 24))
+            .agg((F.sum(ep * dc) / 10000.0).alias("revenue")))
+
+
+@register("tpch_q13", oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+    SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                       AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey
+)
+GROUP BY c_count
+""")
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape): outer join
+    with a join-condition residual (not a WHERE -- customers with only
+    urgent orders must still appear with count 0), then a second
+    aggregation over the first's output. The double aggregation is the
+    scale lesson: the first groupBy shuffles on custkey, the second on
+    the tiny count domain -- the second shuffle is negligible."""
+    pin_session_conf(spark)
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = (load(spark, sf_dir, "orders")
+              .filter(F.col("o_orderpriority") != "1-URGENT")
+              .select("o_custkey", "o_orderkey"))
+    per_cust = (cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register("tpch_q15", oracle="""
+WITH rev AS (
+    SELECT l_suppkey AS supplier_no,
+           CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT)
+               / 10000.0 AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+""")
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier by quarterly revenue (TPC-H Q15 shape): an
+    aggregate reused twice -- once as the ranking input, once inside
+    the scalar-subquery max. The reuse is explicit (cache on the
+    quarter rollup) so the fact table is scanned once, not twice;
+    the max is a one-row broadcast literal."""
+    pin_session_conf(spark)
+    ep, dc = _cents("l_extendedprice"), _cents("l_discount")
+    rev = (load(spark, sf_dir, "lineitem")
+           .filter((F.col("l_shipdate") >= "1996-01-01")
+                   & (F.col("l_shipdate") < "1996-04-01"))
+           .groupBy(F.col("l_suppkey").alias("supplier_no"))
+           .agg((F.sum(ep * (100 - dc)) / 10000.0).alias("total_revenue"))
+           .cache())
+    top = rev.agg(F.max("total_revenue").alias("mx"))
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (rev.join(F.broadcast(top), rev.total_revenue == F.col("mx"))
+            .join(F.broadcast(sup), rev.supplier_no == sup.s_suppkey)
+            .select("s_suppkey", "s_name", "total_revenue"))
+
+
+@register("tpch_q22", oracle="""
+WITH avg_bal AS (
+    SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0
+)
+SELECT c.c_nationkey,
+       count(*) AS numcust,
+       round(sum(c.c_acctbal), 2) AS totacctbal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.ab
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 300000)
+GROUP BY 1
+""")
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-sales-opportunity (TPC-H Q22 shape): customers with
+    above-average balances and no large order -- scalar-subquery
+    threshold + anti join + rollup by nation. (The classic Q22 uses
+    'no orders at all'; this testdata gives every customer at least
+    one order, so the anti-join side is the >300k-price subset to keep
+    the result non-degenerate.) The anti join shuffles only custkeys;
+    the average is one broadcast scalar."""
+    pin_session_conf(spark)
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal")
+    avg_bal = (cust.filter(F.col("c_acctbal") > 0)
+               .agg(F.avg("c_acctbal").alias("ab")))
+    orders = (load(spark, sf_dir, "orders")
+              .filter(F.col("o_totalprice") > 300000)
+              .select("o_custkey"))
+    return (cust.join(F.broadcast(avg_bal), cust.c_acctbal > F.col("ab"))
+            .join(orders, cust.c_custkey == orders.o_custkey, "leftanti")
+            .groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 F.round(F.sum("c_acctbal"), 2).alias("totacctbal")))
