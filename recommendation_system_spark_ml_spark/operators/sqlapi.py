@@ -100,3 +100,28 @@ def sql_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM part
         WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem
                                 WHERE l_quantity > 45)""")
+
+
+@register("sql_window_qualify", oracle="""
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+) WHERE rn = 1
+""")
+def sql_window_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-1-per-key through the SQL entry point (the
+    QUALIFY idiom spelled portably as a ranked subquery) -- proves the
+    SQL surface plans the same WindowGroupLimit as the DataFrame API."""
+    pin_session_conf(spark)
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders
+        ) WHERE rn = 1""")

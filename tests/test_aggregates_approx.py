@@ -21,3 +21,19 @@ def test_stratified_sample_fractions(spark):
         sigma = math.sqrt(r.target_fraction * (1 - r.target_fraction) / r.n_pop)
         assert abs(got_frac - r.target_fraction) <= 6 * sigma + 1e-9, \
             f"{r.l_returnflag}: {got_frac} vs {r.target_fraction}"
+
+
+def test_approx_percentile_within_rank_tolerance(spark):
+    """The sketch twin of agg_percentile: approx_percentile's t-digest
+    answer must land within 5% relative error of the exact percentile
+    -- the bound that licenses the swap at 100 TB."""
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+    from recommendation_system_spark_ml_spark.sources.catalog import load
+
+    li = load(spark, SF_SMOKE, "lineitem")
+    row = li.agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx"),
+    ).first()
+    assert abs(row.approx - row.exact) / row.exact < 0.05, row
