@@ -299,3 +299,56 @@ def pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_tokens"),
         F.round(F.size(F.split("text", " ")).cast("double") / F.length("text"), 6)
         .alias("ws_token_density"))
+
+
+@register("pipeline_pack_sequences", oracle=f"""
+WITH tok AS (
+    SELECT doc_id, g AS pos,
+           regexp_extract_all(lower(text), '{_BPE_RE}')[CAST(g AS BIGINT) + 1] AS token
+    FROM (SELECT doc_id, text FROM documents),
+         LATERAL (SELECT unnest(generate_series(
+             0, len(regexp_extract_all(lower(text), '{_BPE_RE}')) - 1)) AS g) gs
+), cnts AS (
+    SELECT doc_id, count(*) AS n FROM tok GROUP BY 1
+), offs AS (
+    SELECT doc_id,
+           coalesce(sum(n) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS off
+    FROM cnts
+)
+SELECT CAST((o.off + t.pos) // 512 AS BIGINT) AS chunk_id,
+       count(*) AS n_tokens,
+       CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
+       min(t.token) AS min_token
+FROM tok t JOIN offs o ON t.doc_id = o.doc_id
+GROUP BY 1
+""")
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate every document's token stream in
+    doc_id order and cut it into fixed 512-token training chunks --
+    the step that turns a deduped corpus into dense LM batches.
+
+    Offsets are HIERARCHICAL so no global per-token window exists:
+    per-doc token counts (one aggregate), a prefix-sum over the
+    doc-level counts (a window over n_docs rows, not n_tokens), then
+    each token's global index = doc offset + in-doc position, all
+    expression-level. At 100 TB the doc-level prefix sum is the only
+    ordered step; it runs over millions of doc rows, not trillions of
+    tokens, and partitions further by shard (ship date / source) the
+    same way. Chunks report token count (512 except the tail), docs
+    spanned, and a content witness for the oracle."""
+    pin_session_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(_BPE_RE), F.lit(0))
+    tok = (docs.select("doc_id", F.posexplode(toks).alias("pos", "token")))
+    cnts = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window as W
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    offs = cnts.select("doc_id", F.coalesce(F.sum("n").over(w), F.lit(0)).alias("off"))
+    return (tok.join(offs, "doc_id")
+            .groupBy(((F.col("off") + F.col("pos")) / 512).cast("long")
+                     .alias("chunk_id"))
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.countDistinct("doc_id").alias("n_docs"),
+                 F.min("token").alias("min_token")))
