@@ -117,3 +117,26 @@ def test_tpch_q7_broadcasts_both_dimension_paths(spark):
     plan = _plan(_specs()["tpch_q7"].fn(spark, SF_SMOKE))
     assert plan.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_partitioned_sink_read_prunes_partitions(spark):
+    """sink_partition_prune: the o_year predicate must appear as a
+    PartitionFilter (directory pruning at planning time), not a data
+    filter -- one directory listed and scanned."""
+    plan = _plan(_specs()["sink_partition_prune"].fn(spark, SF_SMOKE))
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1].split("\n")[0]
+    assert "o_year" in seg
+
+
+def test_pack_sequences_no_global_token_window(spark):
+    """pipeline_pack_sequences: the prefix-sum window runs over doc
+    rows only -- the plan's Window must sit above the doc-count
+    aggregate, and no Window may consume the exploded token stream."""
+    plan = _plan(_specs()["pipeline_pack_sequences"].fn(spark, SF_SMOKE))
+    assert "Window" in plan
+    # the token explode (Generate) must not feed directly into a Window:
+    # between them sits the doc-level HashAggregate
+    gen_pos = plan.find("Generate")
+    assert gen_pos != -1
+    assert "partial_count" in plan
