@@ -352,3 +352,54 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_tokens"),
                  F.countDistinct("doc_id").alias("n_docs"),
                  F.min("token").alias("min_token")))
+
+
+@register("text_winnow_fingerprint", oracle="""
+WITH t AS (
+    SELECT doc_id, substr(text, 1, 2048) AS s FROM documents
+), kg AS (
+    SELECT doc_id, g AS pos, md5(substr(s, CAST(g AS BIGINT), 8)) AS h,
+           length(s) - 8 + 1 AS n_kg
+    FROM t, LATERAL (SELECT unnest(generate_series(
+        1, CAST(length(s) - 8 + 1 AS BIGINT))) AS g) gs
+    WHERE length(s) >= 8
+), mins AS (
+    SELECT doc_id,
+           min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS mh
+    FROM kg WHERE pos <= n_kg - 16 + 1
+)
+SELECT doc_id,
+       CAST(count(DISTINCT mh) AS INTEGER) AS n_fp,
+       md5(array_to_string(list_sort(list_distinct(list(mh))), '')) AS fp_digest
+FROM mins GROUP BY doc_id
+""")
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprint (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every 8-char k-gram (the rolling-hash result,
+    computed portably as md5 so the oracle can reproduce it), slide a
+    16-gram window, keep each window's minimum hash, and the distinct
+    minima are the document's fingerprint set -- robust to insertions
+    because any shared substring of length >= k+w-1 guarantees a shared
+    fingerprint. Text is sampled to its first 2048 chars to bound
+    fan-out. At 100 TB the per-doc fan-out is fixed (~2k rows/doc), the
+    window is per-doc (no global shuffle), and the fingerprint SET --
+    not the text -- is what any downstream copy-detection join touches."""
+    pin_session_conf(spark)
+    from pyspark.sql import Window as W
+    docs = (load(spark, sf_dir, "documents")
+            .select("doc_id", F.substring("text", 1, 2048).alias("s"))
+            .filter(F.length("s") >= 8))
+    kg = (docs.select(
+        "doc_id", (F.length("s") - 8 + 1).alias("n_kg"),
+        F.posexplode(F.expr(
+            "transform(sequence(1, length(s) - 8 + 1),"
+            " i -> md5(substring(s, i, 8)))")).alias("pos0", "h"))
+        .select("doc_id", "n_kg", (F.col("pos0") + 1).alias("pos"), "h"))
+    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 15)
+    mins = (kg.filter(F.col("pos") <= F.col("n_kg") - 16 + 1)
+            .select("doc_id", F.min("h").over(w).alias("mh")))
+    return (mins.groupBy("doc_id")
+            .agg(F.countDistinct("mh").cast("int").alias("n_fp"),
+                 F.md5(F.concat_ws("", F.array_sort(F.collect_set("mh"))))
+                 .alias("fp_digest")))
