@@ -111,3 +111,23 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (spark.read.orc(path)
             .select("s_suppkey", "s_name", "s_nationkey",
                     F.round("s_acctbal", 2).alias("s_acctbal")))
+
+
+@register("scan_binaryfile")  # rows-only: file metadata isn't a SQL table
+def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile source -- the real multimodal ingest path: a
+    directory of opaque media files becomes (path, length, content)
+    rows, ready for the mapInPandas decode stage (multimodal.py).
+    Here it reads the sf directory's parquet files themselves as
+    binary payloads and reports name, size, and a content digest --
+    deterministic, and exactly the plumbing a 100 TB image crawl uses
+    (with spark.sql.files.maxPartitionBytes sizing the per-task file
+    batch; content column capped by binaryFile's 2 GB/file limit)."""
+    pin_session_conf(spark)
+    return (spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.parquet")
+            .load(sf_dir)
+            .select(F.element_at(F.split("path", "/"), -1).alias("file_name"),
+                    F.col("length").cast("bigint").alias("n_bytes"),
+                    F.sha2("content", 256).alias("digest"))
+            .orderBy("file_name"))
