@@ -318,3 +318,25 @@ def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.try_divide("c_acctbal",
                                          F.col("c_nationkey").cast("double")), 6)
                     .alias("bal_per_nation")))
+
+
+@register("fn_variant", oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       json_extract_string(props, '$.tag') AS tag
+FROM events
+""")
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT (Spark 4): parse the open-ended JSON once into the
+    binary semi-structured type, then typed path extraction. Unlike
+    get_json_object (re-parses the string per call) or from_json
+    (needs a declared schema), variant keeps the full document
+    shredded and binary -- the right ingest type for a 100 TB
+    schema-on-read event lake."""
+    pin_session_conf(spark)
+    v = F.parse_json("props")
+    return (load(spark, sf_dir, "events")
+            .select("event_id", v.alias("v"))
+            .select("event_id",
+                    F.variant_get("v", "$.k", "bigint").alias("k_val"),
+                    F.variant_get("v", "$.tag", "string").alias("tag")))

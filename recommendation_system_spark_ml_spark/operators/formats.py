@@ -131,3 +131,44 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("length").cast("bigint").alias("n_bytes"),
                     F.sha2("content", 256).alias("digest"))
             .orderBy("file_name"))
+
+
+@register("scan_xml", oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+""")
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML round-trip (Spark 4 native XML source): the enterprise
+    interchange format. Explicit schema on read, same single-pass
+    pruning discipline as the CSV/JSON paths."""
+    pin_session_conf(spark)
+    path = _scratch(sf_dir, "nation_xml")
+    (load(spark, sf_dir, "nation")
+     .write.mode("overwrite").option("rootTag", "nations")
+     .option("rowTag", "nation").format("xml").save(path))
+    schema = "n_nationkey INT, n_name STRING, n_regionkey INT"
+    return (spark.read.schema(schema).option("rowTag", "nation")
+            .format("xml").load(path)
+            .select("n_nationkey", "n_name", "n_regionkey"))
+
+
+@register("scan_python_datasource", oracle="""
+SELECT g AS sample_id,
+       CASE g % 4 WHEN 0 THEN 'temp' WHEN 1 THEN 'hum'
+                  WHEN 2 THEN 'pres' ELSE 'volt' END AS sensor,
+       CAST((g * g) % 97 AS DOUBLE) AS reading
+FROM (SELECT unnest(generate_series(0, 999)) AS g)
+""")
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 API): a partitioned synthetic
+    telemetry reader registered as a real format -- 8 parallel input
+    partitions, Arrow-batched rows. The oracle reproduces the
+    generator formula, proving partition planning loses/duplicates
+    nothing. See sources/pysource.py for the scale notes."""
+    pin_session_conf(spark)
+    from recommendation_system_spark_ml_spark.sources.pysource import (
+        SyntheticTelemetrySource)
+    try:
+        spark.dataSource.register(SyntheticTelemetrySource)
+    except Exception:
+        pass  # already registered in this session
+    return spark.read.format("synthetic_telemetry").load()

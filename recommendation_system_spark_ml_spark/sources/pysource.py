@@ -1,0 +1,52 @@
+"""Custom Python data source (Spark 4 DataSource API).
+
+The extension point for sources Spark doesn't ship: internal feature
+stores, billing APIs, bespoke file layouts. This one emits a
+deterministic synthetic telemetry table -- (sample_id, sensor,
+reading) over N partitioned id-ranges -- so the DuckDB oracle can
+reproduce it formula-for-formula, proving the reader's partition
+planning and row generation are exact.
+
+Scale notes: partitions() returns one split per id-range, so Spark
+schedules the generator in parallel exactly like file splits; a real
+connector returns one partition per shard/page/segment the backend can
+serve independently. The reader runs IN the Python worker (Arrow
+batches back to the JVM), which is the documented cost of a Python
+source -- format-native JVM sources stay preferred for hot paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+N_ROWS = 1000
+N_PARTS = 8
+SENSORS = ("temp", "hum", "pres", "volt")
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class SyntheticTelemetryReader(DataSourceReader):
+    def partitions(self):
+        step = N_ROWS // N_PARTS
+        return [_RangePartition(i * step, min((i + 1) * step, N_ROWS))
+                for i in range(N_PARTS)]
+
+    def read(self, partition: _RangePartition):
+        for i in range(partition.start, partition.end):
+            yield (i, SENSORS[i % len(SENSORS)], float((i * i) % 97))
+
+
+class SyntheticTelemetrySource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_telemetry"
+
+    def schema(self) -> str:
+        return "sample_id bigint, sensor string, reading double"
+
+    def reader(self, schema) -> DataSourceReader:
+        return SyntheticTelemetryReader()
