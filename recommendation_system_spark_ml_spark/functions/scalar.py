@@ -340,3 +340,74 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id",
                     F.variant_get("v", "$.k", "bigint").alias("k_val"),
                     F.variant_get("v", "$.tag", "string").alias("tag")))
+
+
+@register("udtf_python", oracle="""
+SELECT doc_id, CAST(g / 512 AS BIGINT) AS chunk_idx,
+       CAST(length(substr(text, CAST(g AS BIGINT) + 1, 512)) AS INTEGER)
+           AS chunk_len
+FROM (SELECT doc_id, text FROM documents),
+     LATERAL (SELECT unnest(generate_series(0, length(text) - 1, 512)) AS g) gs
+""")
+def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4): one input row -> many output rows from
+    user code -- here a document chunker emitting fixed 512-char spans.
+    UDTFs run row-at-a-time in the Python worker, so POLICY: they are
+    for logic that genuinely needs per-row Python control flow; this
+    same chunking is expressible with sequence+posexplode JVM-side
+    (multimodal_frame_sample), which is the hot-path form. The UDTF
+    form exists to prove the surface and its exact semantics."""
+    pin_session_conf(spark)
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx bigint, chunk_len int")
+    class Chunker:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, start in enumerate(range(0, len(text), 512)):
+                yield i, len(text[start:start + 512])
+
+    spark.udtf.register("doc_chunker", Chunker)
+    docs = load(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("udtf_docs")
+    return spark.sql("""
+        SELECT d.doc_id, c.chunk_idx, c.chunk_len
+        FROM udtf_docs d, LATERAL doc_chunker(d.text) c""")
+
+
+@register("udf_grouped_pandas", oracle="""
+SELECT l_returnflag, l_orderkey, l_linenumber,
+       round((l_quantity - avg(l_quantity) OVER (PARTITION BY l_returnflag))
+             / stddev_samp(l_quantity) OVER (PARTITION BY l_returnflag), 6)
+           AS qty_z
+FROM lineitem
+""")
+def udf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped applyInPandas (the pandas-UDAF surface): per-group
+    z-score normalization, each group handed to pandas as one Arrow
+    batch. POLICY twin: the oracle shows the same result as pure
+    window expressions -- which is the preferred JVM form; applyInPandas
+    is for group-wise logic that needs real pandas/numpy (model
+    scoring, scipy stats). One shuffle on the group key; each group
+    must fit a worker's memory -- partition keys are chosen
+    accordingly (3 flags here, fine; at 100 TB group by a
+    higher-cardinality key or pre-aggregate)."""
+    pin_session_conf(spark)
+    import pandas as pd
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["l_quantity"].mean()
+        sd = pdf["l_quantity"].std(ddof=1)
+        return pd.DataFrame({
+            "l_returnflag": pdf["l_returnflag"],
+            "l_orderkey": pdf["l_orderkey"],
+            "l_linenumber": pdf["l_linenumber"],
+            "qty_z": ((pdf["l_quantity"] - mu) / sd).round(6),
+        })
+
+    return (load(spark, sf_dir, "lineitem")
+            .select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity")
+            .groupBy("l_returnflag")
+            .applyInPandas(zscore, schema=("l_returnflag string, l_orderkey bigint, "
+                                           "l_linenumber int, qty_z double")))
