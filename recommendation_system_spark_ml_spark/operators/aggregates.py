@@ -300,3 +300,30 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.grouping("o_orderstatus").cast("int").alias("g_status"),
                  F.grouping("o_orderpriority").cast("int").alias("g_prio"),
                  F.count(F.lit(1)).alias("n")))
+
+
+@register("agg_hll_mergeable")  # rows-only: sketch binaries are engine-specific
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches, Spark 3.5+): build
+    one sketch per returnflag shard, then UNION the shard sketches
+    into a global estimate -- the exact workflow a 100 TB rollup uses
+    (per-partition/day sketches persisted, merged at query time,
+    never re-scanning the raw data). Output: per-shard estimates plus
+    the merged global next to the exact count for the test's error
+    bound (tests/test_aggregates_approx.py)."""
+    pin_session_conf(spark)
+    li = load(spark, sf_dir, "lineitem")
+    shards = (li.groupBy("l_returnflag")
+              .agg(F.hll_sketch_agg("l_partkey").alias("sk"),
+                   F.countDistinct("l_partkey").alias("exact_shard")))
+    merged = (shards.agg(
+        F.hll_union_agg("sk").alias("sk_all"))
+        .select(F.hll_sketch_estimate("sk_all").cast("long")
+                .alias("global_estimate")))
+    per_shard = shards.select(
+        "l_returnflag",
+        F.hll_sketch_estimate("sk").cast("long").alias("shard_estimate"),
+        "exact_shard")
+    exact_global = li.agg(F.countDistinct("l_partkey").alias("exact_global"))
+    return (per_shard.crossJoin(F.broadcast(merged))
+            .crossJoin(F.broadcast(exact_global)))

@@ -37,3 +37,17 @@ def test_approx_percentile_within_rank_tolerance(spark):
         F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx"),
     ).first()
     assert abs(row.approx - row.exact) / row.exact < 0.05, row
+
+
+def test_hll_mergeable_union_within_tolerance(spark):
+    """Merged shard sketches must estimate the global distinct within
+    5% -- the property that licenses sketch persistence + merge."""
+    from recommendation_system_spark_ml_spark.operators.aggregates import (
+        agg_hll_mergeable)
+    from tests.conftest import SF_SMOKE
+    rows = agg_hll_mergeable(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    g_est, g_exact = rows[0].global_estimate, rows[0].exact_global
+    assert abs(g_est - g_exact) / g_exact < 0.05, (g_est, g_exact)
+    for r in rows:
+        assert abs(r.shard_estimate - r.exact_shard) / max(r.exact_shard, 1) < 0.05

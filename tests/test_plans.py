@@ -140,3 +140,11 @@ def test_pack_sequences_no_global_token_window(spark):
     gen_pos = plan.find("Generate")
     assert gen_pos != -1
     assert "partial_count" in plan
+
+
+def test_grouped_pandas_plans_as_flatmap_groups(spark):
+    """udf_grouped_pandas must plan as FlatMapGroupsInPandas (one
+    Arrow batch per group), never a row-python fallback."""
+    plan = _plan(_specs()["udf_grouped_pandas"].fn(spark, SF_SMOKE))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
