@@ -1,0 +1,61 @@
+"""Full-coverage perf sweep: run EVERY registered query at the bench
+scale factor through the noop sink and write PERF.md (name, rows/sec
+timing, oracle status) sorted slowest-first. Evidence artifact for
+perf review beyond the 19 bench-flagged headliners.
+
+Usage: python tools/perf_sweep.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from recommendation_system_spark_ml_spark.registry import all_specs
+from recommendation_system_spark_ml_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else \
+        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="perf_sweep")
+    specs = all_specs()
+    # warm the JVM outside the timed region
+    specs["scan_parquet"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    rows = []
+    for name in sorted(specs):
+        spec = specs[name]
+        t0 = time.perf_counter()
+        try:
+            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            rows.append((name, round(dt, 2), "oracle" if spec.oracle else "rows-only"))
+            print(f"{name} {dt:.2f}s", flush=True)
+        except Exception as ex:  # pragma: no cover
+            rows.append((name, -1.0, f"ERROR {str(ex)[:60]}"))
+            print(f"{name} ERROR {ex}", flush=True)
+
+    rows.sort(key=lambda r: -r[1])
+    total = sum(r[1] for r in rows if r[1] > 0)
+    out = ["# PERF — full registry sweep",
+           "",
+           f"Every registered query at `{sf_dir}`, noop sink (full distributed",
+           f"materialization), single warm session, slowest first. Total {total:.0f}s",
+           f"for {len(rows)} queries. Regenerate: `python tools/perf_sweep.py`.",
+           "",
+           "| query | seconds | check |",
+           "|---|---|---|"]
+    out += [f"| {n} | {t} | {k} |" for n, t, k in rows]
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "PERF.md")
+    with open(path, "w") as f:
+        f.write("\n".join(out) + "\n")
+    print(f"wrote {path}: total {total:.0f}s")
+
+
+if __name__ == "__main__":
+    main()
