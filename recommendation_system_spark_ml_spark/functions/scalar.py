@@ -411,3 +411,26 @@ def udf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("l_returnflag")
             .applyInPandas(zscore, schema=("l_returnflag string, l_orderkey bigint, "
                                            "l_linenumber int, qty_z double")))
+
+
+@register("fn_pad_trim", oracle="""
+SELECT n_nationkey,
+       lpad(n_name, 20, '*') AS padded_l,
+       rpad(n_name, 20, '.') AS padded_r,
+       trim(concat('  ', n_name, '  ')) AS trimmed,
+       replace(n_name, '_', '-') AS replaced,
+       reverse(n_name) AS reversed
+FROM nation
+""")
+def fn_pad_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width formatting family: lpad/rpad/trim/replace/reverse
+    -- the record-layout normalizers every mainframe-adjacent ingest
+    needs, all codegen'd JVM expressions."""
+    pin_session_conf(spark)
+    return (load(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        F.lpad("n_name", 20, "*").alias("padded_l"),
+        F.rpad("n_name", 20, ".").alias("padded_r"),
+        F.trim(F.concat(F.lit("  "), F.col("n_name"), F.lit("  "))).alias("trimmed"),
+        F.replace("n_name", F.lit("_"), F.lit("-")).alias("replaced"),
+        F.reverse("n_name").alias("reversed")))

@@ -327,3 +327,29 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_global = li.agg(F.countDistinct("l_partkey").alias("exact_global"))
     return (per_shard.crossJoin(F.broadcast(merged))
             .crossJoin(F.broadcast(exact_global)))
+
+
+@register("agg_count_min_sketch")  # rows-only: sketch binary is engine-specific
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates (Spark count_min_sketch):
+    per-key frequency over a fixed-size mergeable structure -- the
+    heavy-hitters answer at 100 TB where an exact per-key count table
+    would itself be data-sized. CMS guarantees estimate >= true count
+    (one-sided error); the test asserts that bound against the exact
+    counts for the 5 order-status keys."""
+    pin_session_conf(spark)
+    orders = load(spark, sf_dir, "orders")
+    # distributed build (one pass, mergeable partials) via the SQL
+    # aggregate; the probe deserializes the sketch at the driver and
+    # queries the PROVABLY-BOUNDED key set (order statuses)
+    blob = (orders.agg(F.count_min_sketch(
+        "o_orderstatus", F.lit(0.001), F.lit(0.99), F.lit(823)).alias("cms"))
+        .first().cms)
+    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytearray(blob))
+    exact = (orders.groupBy("o_orderstatus")
+             .agg(F.count(F.lit(1)).alias("exact_n")).collect())
+    rows = [(r.o_orderstatus, int(r.exact_n),
+             int(cms.estimateCount(r.o_orderstatus))) for r in exact]
+    return spark.createDataFrame(
+        rows, "o_orderstatus string, exact_n bigint, cms_n bigint")

@@ -51,3 +51,16 @@ def test_hll_mergeable_union_within_tolerance(spark):
     assert abs(g_est - g_exact) / g_exact < 0.05, (g_est, g_exact)
     for r in rows:
         assert abs(r.shard_estimate - r.exact_shard) / max(r.exact_shard, 1) < 0.05
+
+
+def test_count_min_sketch_one_sided_bound(spark):
+    """CMS guarantees estimate >= true count; with eps=0.001 over
+    ~1.5k rows the overestimate must be tiny."""
+    from recommendation_system_spark_ml_spark.operators.aggregates import (
+        agg_count_min_sketch)
+    from tests.conftest import SF_SMOKE
+    rows = agg_count_min_sketch(spark, SF_SMOKE).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert r.cms_n >= r.exact_n
+        assert r.cms_n - r.exact_n <= max(5, 0.01 * r.exact_n), r
