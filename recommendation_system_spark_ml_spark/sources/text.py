@@ -66,7 +66,10 @@ def generate_movielens_twin(spark: SparkSession, out_dir: str,
     scale the row counts and this generator runs distributed as-is."""
     movies_path = os.path.join(out_dir, "movies.dat")
     ratings_path = os.path.join(out_dir, "ratings.dat")
-    if os.path.exists(movies_path) and os.path.exists(ratings_path):
+    # a crashed writer leaves a partial dir that os.path.exists would
+    # accept; the _SUCCESS marker is the real commit record
+    if all(os.path.exists(os.path.join(p, "_SUCCESS"))
+           for p in (movies_path, ratings_path)):
         return movies_path, ratings_path
 
     def h(*cols):
