@@ -688,3 +688,32 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("c_nationkey")
             .agg(F.count(F.lit(1)).alias("numcust"),
                  F.round(F.sum("c_acctbal"), 2).alias("totacctbal")))
+
+
+@register("tpch_q4", oracle="""
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o.o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY 1
+""")
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking (TPC-H Q4 shape): correlated EXISTS
+    whose inner predicate compares COLUMNS OF BOTH TABLES
+    (l_shipdate > o_orderdate) -- the semi join carries the outer
+    column into the join condition, so it can't be pre-filtered away.
+    Spark plans it as a left-semi join with the inequality as a join
+    residual; the quarter filter prunes the orders scan first."""
+    pin_session_conf(spark)
+    orders = (load(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate") >= "1996-07-01")
+                      & (F.col("o_orderdate") < "1996-10-01"))
+              .select("o_orderkey", "o_orderdate", "o_orderpriority"))
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (orders.join(li, (orders.o_orderkey == li.l_orderkey)
+                        & (li.l_shipdate > orders.o_orderdate), "leftsemi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count")))
