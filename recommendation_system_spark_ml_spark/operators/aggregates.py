@@ -353,3 +353,29 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
              int(cms.estimateCount(r.o_orderstatus))) for r in exact]
     return spark.createDataFrame(
         rows, "o_orderstatus string, exact_n bigint, cms_n bigint")
+
+
+@register("agg_mode", oracle="""
+WITH c AS (
+    SELECT l_linestatus, l_returnflag, count(*) AS n
+    FROM lineitem GROUP BY 1, 2
+)
+SELECT l_linestatus,
+       arg_max(l_returnflag, n * 256 + ascii(l_returnflag)) AS mode_flag,
+       CAST(max(n) AS BIGINT) AS mode_n
+FROM c GROUP BY 1
+""")
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent value) with a DETERMINISTIC tie-break --
+    the bare mode() aggregate is engine-arbitrary under ties, so the
+    count is composed with the value's own order (n*256 + ascii) and
+    taken via arg_max. Two map-side-combinable aggregations; never a
+    sort."""
+    pin_session_conf(spark)
+    c = (load(spark, sf_dir, "lineitem")
+         .groupBy("l_linestatus", "l_returnflag")
+         .agg(F.count(F.lit(1)).alias("n")))
+    score = F.col("n") * 256 + F.ascii("l_returnflag")
+    return (c.groupBy("l_linestatus")
+            .agg(F.max_by("l_returnflag", score).alias("mode_flag"),
+                 F.max("n").alias("mode_n")))
