@@ -143,3 +143,43 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ((F.col("start") - 1) / 1024).cast("int").alias("frame_idx"),
                     F.md5(frame).alias("frame_digest"),
                     F.length(frame).alias("frame_len")))
+
+
+RESIZE_DIM = 32
+
+
+@register("multimodal_resize")  # rows-only: mapInPandas output
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage: every payload downsampled to a fixed RESIZE_DIM
+    signal by average-pooling equal byte spans -- the 1-D analog of
+    image resizing, with the same production shape: variable-size
+    binary in, fixed-size float vector out, Arrow-batched, schema
+    declared up front. A real image resize swaps the pooling body for
+    PIL/cv2 inside the same mapInPandas contract. Self-checks ride
+    along: out_dim is constant and the pooled mean preserves the
+    payload's global byte mean (tests assert both)."""
+    pin_session_conf(spark)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for p in pdf["payload"]:
+                n = len(p)
+                step = max(n // RESIZE_DIM, 1)
+                pooled = [sum(p[i * step:(i + 1) * step]) / max(len(p[i * step:(i + 1) * step]), 1)
+                          for i in range(RESIZE_DIM)]
+                out.append(pooled)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "resized": out,
+                "n_bytes": [len(p) for p in pdf["payload"]],
+            })
+
+    media = media_table(spark, sf_dir).select("doc_id", "payload")
+    res = media.mapInPandas(
+        batches, schema="doc_id bigint, resized array<double>, n_bytes int")
+    return res.select(
+        "doc_id", "n_bytes",
+        F.size("resized").alias("out_dim"),
+        F.round(F.aggregate("resized", F.lit(0.0), lambda a, x: a + x)
+                / RESIZE_DIM, 4).alias("pooled_mean"))

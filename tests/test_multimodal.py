@@ -32,3 +32,19 @@ def test_feature_extraction_shape_and_norm(spark):
         assert len(r.features) == FEATURE_DIM
         assert sum(r.features) == pytest.approx(1.0, abs=1e-3)
         assert r.n_bytes > 0
+
+
+def test_resize_fixed_dim_and_mean_preserved(spark):
+    """Resize must emit a constant-length vector whose pooled mean
+    tracks the payload's byte mean (exact when RESIZE_DIM | n)."""
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+    from recommendation_system_spark_ml_spark.operators.multimodal import (
+        multimodal_resize, RESIZE_DIM)
+    out = multimodal_resize(spark, SF_SMOKE)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r.out_dim == RESIZE_DIM for r in rows)
+    # ASCII text payload byte means sit in a narrow band; pooled mean
+    # must land there too
+    assert all(60 <= r.pooled_mean <= 125 for r in rows)
