@@ -717,3 +717,50 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
                         & (li.l_shipdate > orders.o_orderdate), "leftsemi")
             .groupBy("o_orderpriority")
             .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+@register("tpch_q8", oracle="""
+WITH vol AS (
+    SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           n.n_name AS supp_nation,
+           CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)) AS v
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_type LIKE 'ECONOMY%'
+)
+SELECT o_year,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_9' THEN v ELSE 0 END)
+                  AS DOUBLE) / sum(v), 6) AS mkt_share
+FROM vol GROUP BY 1
+""")
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (TPC-H Q8 shape): one nation's slice of a
+    part-segment's revenue per year -- a ratio of conditional sums
+    over a 5-table join. The part filter prunes the fact first (LIKE
+    prefix pushes as a range); supplier/nation broadcast; numerator
+    and denominator come from ONE aggregation pass (CASE inside sum),
+    so the join output is scanned once."""
+    pin_session_conf(spark)
+    part = (load(spark, sf_dir, "part")
+            .filter(F.col("p_type").like("ECONOMY%")).select("p_partkey"))
+    sup = (load(spark, sf_dir, "supplier")
+           .join(F.broadcast(load(spark, sf_dir, "nation")
+                             .select("n_nationkey", "n_name")),
+                 F.col("s_nationkey") == F.col("n_nationkey"))
+           .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_partkey", "l_extendedprice", "l_discount")
+    ep, dc = _cents("l_extendedprice"), _cents("l_discount")
+    v = ep * (100 - dc)
+    return (li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+            .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy(F.year("o_orderdate").alias("o_year"))
+            .agg(F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_9", v).otherwise(F.lit(0)))
+                .cast("double") / F.sum(v), 6).alias("mkt_share")))

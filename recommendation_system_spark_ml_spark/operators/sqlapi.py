@@ -125,3 +125,24 @@ def sql_window_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
             FROM orders
         ) WHERE rn = 1""")
+
+
+@register("sql_pivot", oracle="""
+SELECT user_id,
+       CAST(coalesce(count(*) FILTER (event_type = 'click'), 0) AS BIGINT) AS click,
+       CAST(coalesce(count(*) FILTER (event_type = 'purchase'), 0) AS BIGINT) AS purchase,
+       CAST(coalesce(count(*) FILTER (event_type = 'view'), 0) AS BIGINT) AS "view"
+FROM events GROUP BY user_id
+""")
+def sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIVOT clause (the syntax surface of agg_pivot): pinned
+    value list, counts coalesced to 0 -- one aggregation pass."""
+    pin_session_conf(spark)
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT user_id,
+               coalesce(click, 0) AS click,
+               coalesce(purchase, 0) AS purchase,
+               coalesce(view, 0) AS view
+        FROM (SELECT user_id, event_type FROM events)
+        PIVOT (count(*) FOR event_type IN ('click', 'purchase', 'view'))""")
