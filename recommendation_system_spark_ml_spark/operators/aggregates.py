@@ -329,30 +329,48 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(F.broadcast(exact_global)))
 
 
-@register("agg_count_min_sketch")  # rows-only: sketch binary is engine-specific
+_CMS_DEPTH_SEEDS = (823, 1733, 2741)  # one hash row per seed
+_CMS_WIDTH = 2048
+
+
+@register("agg_count_min_sketch")  # rows-only: hash layout is engine-specific
 def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min sketch frequency estimates (Spark count_min_sketch):
-    per-key frequency over a fixed-size mergeable structure -- the
-    heavy-hitters answer at 100 TB where an exact per-key count table
-    would itself be data-sized. CMS guarantees estimate >= true count
-    (one-sided error); the test asserts that bound against the exact
-    counts for the 5 order-status keys."""
+    """Count-min sketch frequency estimates, expression-native: the
+    d x w cell grid is built as a (seed, bucket) -> count aggregate
+    with bucket = xxhash64(key, seed) % w, and the probe is
+    min-over-seeds of the probed cells -- the whole sketch stays one
+    lazy Catalyst plan (no driver round-trip, no private JVM API; the
+    earlier version deserialized Spark's CountMinSketch via spark._jvm,
+    which is eager and unavailable under Spark Connect).
+
+    CMS semantics hold by construction: adding each key's count into
+    its d cells makes every probe an overestimate (collisions only
+    add), so estimate >= true count -- the one-sided bound the test
+    asserts for the 5 order-status keys. At 100 TB the cell grid is
+    the fixed-size (d*w) mergeable rollup; the per-key pre-aggregate
+    is map-side combinable so the shuffle carries keys, not rows."""
     pin_session_conf(spark)
     orders = load(spark, sf_dir, "orders")
-    # distributed build (one pass, mergeable partials) via the SQL
-    # aggregate; the probe deserializes the sketch at the driver and
-    # queries the PROVABLY-BOUNDED key set (order statuses)
-    blob = (orders.agg(F.count_min_sketch(
-        "o_orderstatus", F.lit(0.001), F.lit(0.99), F.lit(823)).alias("cms"))
-        .first().cms)
-    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        bytearray(blob))
-    exact = (orders.groupBy("o_orderstatus")
-             .agg(F.count(F.lit(1)).alias("exact_n")).collect())
-    rows = [(r.o_orderstatus, int(r.exact_n),
-             int(cms.estimateCount(r.o_orderstatus))) for r in exact]
-    return spark.createDataFrame(
-        rows, "o_orderstatus string, exact_n bigint, cms_n bigint")
+    keyed = (orders.groupBy("o_orderstatus")
+             .agg(F.count(F.lit(1)).alias("n")))
+    seeds = F.array(*[F.lit(s) for s in _CMS_DEPTH_SEEDS])
+    cells = (keyed.select(
+        "o_orderstatus", "n", F.explode(seeds).alias("seed"))
+        .withColumn("bucket",
+                    F.pmod(F.xxhash64("o_orderstatus", "seed"),
+                           F.lit(_CMS_WIDTH)))
+        .groupBy("seed", "bucket").agg(F.sum("n").alias("cell")))
+    probes = (keyed.select(
+        "o_orderstatus", F.col("n").alias("exact_n"),
+        F.explode(seeds).alias("seed"))
+        .withColumn("bucket",
+                    F.pmod(F.xxhash64("o_orderstatus", "seed"),
+                           F.lit(_CMS_WIDTH))))
+    return (probes.join(cells, on=["seed", "bucket"])
+            .groupBy("o_orderstatus")
+            .agg(F.max("exact_n").alias("exact_n"),
+                 F.min("cell").alias("cms_n"))
+            .select("o_orderstatus", "exact_n", "cms_n"))
 
 
 @register("agg_mode", oracle="""

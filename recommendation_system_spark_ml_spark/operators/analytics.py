@@ -635,21 +635,23 @@ WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
 def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top supplier by quarterly revenue (TPC-H Q15 shape): an
     aggregate reused twice -- once as the ranking input, once inside
-    the scalar-subquery max. The reuse is explicit (cache on the
-    quarter rollup) so the fact table is scanned once, not twice;
-    the max is a one-row broadcast literal."""
+    the scalar-subquery max. Expressed as a global-max window OVER THE
+    POST-AGGREGATE, so the fact table is scanned once and nothing is
+    cached into the shared session (an earlier cache() here leaked
+    blocks for the session's lifetime). The single-partition window is
+    bounded: its input is one row per supplier with two columns, about
+    six orders of magnitude smaller than the lineitem scan feeding it."""
     pin_session_conf(spark)
     ep, dc = _cents("l_extendedprice"), _cents("l_discount")
     rev = (load(spark, sf_dir, "lineitem")
            .filter((F.col("l_shipdate") >= "1996-01-01")
                    & (F.col("l_shipdate") < "1996-04-01"))
            .groupBy(F.col("l_suppkey").alias("supplier_no"))
-           .agg((F.sum(ep * (100 - dc)) / 10000.0).alias("total_revenue"))
-           .cache())
-    top = rev.agg(F.max("total_revenue").alias("mx"))
+           .agg((F.sum(ep * (100 - dc)) / 10000.0).alias("total_revenue")))
+    mx = F.max("total_revenue").over(Window.partitionBy())
     sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    return (rev.join(F.broadcast(top), rev.total_revenue == F.col("mx"))
-            .join(F.broadcast(sup), rev.supplier_no == sup.s_suppkey)
+    top = rev.withColumn("mx", mx).filter(F.col("total_revenue") == F.col("mx"))
+    return (top.join(F.broadcast(sup), top.supplier_no == sup.s_suppkey)
             .select("s_suppkey", "s_name", "total_revenue"))
 
 

@@ -401,16 +401,40 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache BEFORE the union: its two branches are separate consumers,
     # and an uncached edge list would run the prefix join twice
     edges = _jaccard_edges(spark, sf_dir).cache()
+    out = min_label_components(docs, edges)
+    edges.unpersist()
+    return out
+
+
+def min_label_components(docs: DataFrame, edges: DataFrame,
+                         max_rounds: int = 50) -> DataFrame:
+    """Pregel-style min-label propagation over (doc_a, doc_b) edges.
+    Returns (doc_id, component, component_size); component = min
+    reachable doc_id. Factored out of dedup_components so tests can
+    drive it with adversarial graph shapes (e.g. a chain, the worst
+    diameter per edge count)."""
     undirected = (edges.selectExpr("doc_a AS src", "doc_b AS dst")
                   .union(edges.selectExpr("doc_b AS src", "doc_a AS dst"))
                   .cache())
     comp = docs.select("doc_id", F.col("doc_id").alias("comp")).cache()
-    while True:
+    # Iteration cap: min-label propagation converges in O(diameter)
+    # rounds; the cap turns a pathological input (or a future bug) into
+    # a loud error instead of an unbounded job.
+    for round_no in range(1, max_rounds + 1):
         msgs = (undirected.join(comp, undirected.dst == comp.doc_id)
                 .select(F.col("src").alias("doc_id"), "comp"))
         new_comp = (comp.union(msgs)
-                    .groupBy("doc_id").agg(F.min("comp").alias("comp"))
-                    .cache())
+                    .groupBy("doc_id").agg(F.min("comp").alias("comp")))
+        # cache() alone leaves the logical plan growing one join+agg
+        # per round; every 5th round localCheckpoint truncates lineage
+        # so a large-diameter graph can't blow up planning time or the
+        # driver stack. The checkpoint's blocks are reclaimed by the
+        # ContextCleaner once the superseded DataFrame goes out of
+        # scope; intermediate rounds use cache(), freed explicitly.
+        if round_no % 5 == 0:
+            new_comp = new_comp.localCheckpoint(eager=True)
+        else:
+            new_comp = new_comp.cache()
         changed = (new_comp.alias("n")
                    .join(comp.alias("o"), "doc_id")
                    .where(F.col("n.comp") != F.col("o.comp")).count())
@@ -418,8 +442,10 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         comp = new_comp
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"min_label_components did not converge in {max_rounds} rounds")
     undirected.unpersist()
-    edges.unpersist()
     w = Window.partitionBy("comp")
     return (comp.select(F.col("doc_id"),
                         F.col("comp").alias("component"),

@@ -16,20 +16,13 @@ derived directory key so downstream readers prune at planning time.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from recommendation_system_spark_ml_spark.registry import register
-from recommendation_system_spark_ml_spark.session import pin_session_conf
+from recommendation_system_spark_ml_spark.session import (
+    pin_session_conf, scratch_path as _scratch)
 from recommendation_system_spark_ml_spark.sources.catalog import load
-
-_SCRATCH = "/tmp/rsml_scratch"
-
-
-def _scratch(sf_dir: str, name: str) -> str:
-    return os.path.join(_SCRATCH, os.path.basename(os.path.normpath(sf_dir)), name)
 
 
 @register("scan_csv", oracle="""
@@ -113,24 +106,46 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("s_acctbal", 2).alias("s_acctbal")))
 
 
-@register("scan_binaryfile")  # rows-only: file metadata isn't a SQL table
+@register("scan_binaryfile", oracle="""
+WITH lines AS (
+    SELECT c_custkey,
+           c_custkey || '::' || c_name || '::' || c_mktsegment || chr(10) AS line
+    FROM customer
+), blob AS (
+    SELECT string_agg(line, '' ORDER BY c_custkey) AS content FROM lines
+)
+SELECT CAST(strlen(content) AS BIGINT) AS n_bytes,
+       sha256(content) AS digest
+FROM blob
+""")
 def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """binaryFile source -- the real multimodal ingest path: a
-    directory of opaque media files becomes (path, length, content)
-    rows, ready for the mapInPandas decode stage (multimodal.py).
-    Here it reads the sf directory's parquet files themselves as
-    binary payloads and reports name, size, and a content digest --
-    deterministic, and exactly the plumbing a 100 TB image crawl uses
-    (with spark.sql.files.maxPartitionBytes sizing the per-task file
-    batch; content column capped by binaryFile's 2 GB/file limit)."""
+    directory of opaque files becomes (path, length, content) rows,
+    ready for the mapInPandas decode stage (multimodal.py).
+
+    To make the check byte-exact rather than rows-only, the query first
+    materializes a deterministic payload (the customer table as
+    '::'-delimited text, globally sorted into a single file), then
+    binaryFile-reads it back and reports (size, sha256 of content). The
+    DuckDB oracle rebuilds the identical byte stream with string_agg +
+    sha256, so the digest proves binaryFile delivered the exact bytes
+    written. Part-file names carry task UUIDs so they are excluded. At
+    100 TB the same plumbing reads media crawls, with
+    spark.sql.files.maxPartitionBytes sizing the per-task file batch
+    and binaryFile's 2 GB/file cap on the content column."""
     pin_session_conf(spark)
+    path = _scratch(sf_dir, "customer_bin")
+    (load(spark, sf_dir, "customer")
+     .select("c_custkey",
+             F.concat_ws("::", F.col("c_custkey"), F.col("c_name"),
+                         F.col("c_mktsegment")).alias("value"))
+     .repartition(1).sortWithinPartitions("c_custkey").select("value")
+     .write.mode("overwrite").text(path))
     return (spark.read.format("binaryFile")
-            .option("pathGlobFilter", "*.parquet")
-            .load(sf_dir)
-            .select(F.element_at(F.split("path", "/"), -1).alias("file_name"),
-                    F.col("length").cast("bigint").alias("n_bytes"),
-                    F.sha2("content", 256).alias("digest"))
-            .orderBy("file_name"))
+            .option("pathGlobFilter", "*.txt")
+            .load(path)
+            .select(F.col("length").cast("bigint").alias("n_bytes"),
+                    F.sha2("content", 256).alias("digest")))
 
 
 @register("scan_xml", oracle="""

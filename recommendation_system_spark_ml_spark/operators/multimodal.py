@@ -18,6 +18,7 @@ the plan.
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Iterator
 
 import pandas as pd
@@ -28,6 +29,18 @@ from pyspark.sql import functions as F
 from recommendation_system_spark_ml_spark.registry import register
 from recommendation_system_spark_ml_spark.session import pin_session_conf
 from recommendation_system_spark_ml_spark.sources.catalog import load
+
+# The mapInPandas closures below reference module-level helpers
+# (decode_image_stub); cloudpickle ships closures by value but their
+# module-global references BY REFERENCE, so a Python worker whose
+# sys.path lacks the repo root would fail to import this module.
+# By-value registration makes the shipped closure self-contained
+# (same fix as sources/pysource.py).
+try:
+    from pyspark import cloudpickle as _cloudpickle
+except ImportError:
+    import cloudpickle as _cloudpickle
+_cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
 FEATURE_DIM = 8
 

@@ -20,20 +20,13 @@ tests/test_plans.py); no collect(), no driver loops.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from recommendation_system_spark_ml_spark.registry import register
-from recommendation_system_spark_ml_spark.session import pin_session_conf
+from recommendation_system_spark_ml_spark.session import (
+    pin_session_conf, scratch_path as _scratch)
 from recommendation_system_spark_ml_spark.sources.catalog import load
-
-_SCRATCH = "/tmp/rsml_scratch"
-
-
-def _scratch(sf_dir: str, name: str) -> str:
-    return os.path.join(_SCRATCH, os.path.basename(os.path.normpath(sf_dir)), name)
 
 
 # --- S: scans & sinks ------------------------------------------------------
@@ -254,23 +247,37 @@ def split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when(bucket < 7, "train").otherwise("test").alias("split")))
 
 
-@register("sample_stratified")  # rows-only: sampling is probabilistic
+@register("sample_stratified", oracle=f"""
+WITH gated AS (
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           ((l_orderkey * 16 + l_linenumber) * {_KNUTH}) % 4294967296 % 1000
+               AS bucket,
+           CASE l_returnflag WHEN 'A' THEN 500 WHEN 'N' THEN 100
+                             WHEN 'R' THEN 250 END AS cutoff
+    FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, l_returnflag FROM gated WHERE bucket < cutoff
+""")
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R2 (SURVEY.md §2.7): seeded stratified sampling -- sampleBy with
-    per-stratum fractions (Bernoulli per row, no shuffle, no sort).
-    Returns per-stratum sampled counts next to the population so the
-    test can bound the sampling error."""
+    """R2 (SURVEY.md §2.7): stratified sampling with per-stratum
+    fractions (A: 0.5, N: 0.1, R: 0.25), the engine twin of sampleBy
+    (MLR.py uses randomSplit at :145; same Bernoulli-per-row shape).
+
+    The gate is the Knuth multiplicative hash on the row's natural key
+    -- per-row, no shuffle, no sort, exactly like sampleBy's XORShift
+    gate -- but deterministic across engines AND across restarts /
+    repartitioning, which sampleBy is not. At 100 TB restart-stable
+    sampling is what you actually want (re-running a failed stage must
+    not change the sample), and it makes the sample oracle-checkable."""
     pin_session_conf(spark)
     li = load(spark, sf_dir, "lineitem")
-    fractions = {"A": 0.5, "N": 0.1, "R": 0.25}
-    sampled = li.sampleBy("l_returnflag", fractions=fractions, seed=823)
-    pop = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_pop"))
-    got = sampled.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_sampled"))
-    frac_col = F.create_map(
-        *[x for kv in fractions.items() for x in (F.lit(kv[0]), F.lit(kv[1]))])
-    return (pop.join(got, "l_returnflag")
-            .withColumn("target_fraction",
-                        F.element_at(frac_col, F.col("l_returnflag"))))
+    bucket = ((F.col("l_orderkey") * 16 + F.col("l_linenumber"))
+              * F.lit(_KNUTH)) % F.lit(4294967296) % F.lit(1000)
+    cutoff = (F.when(F.col("l_returnflag") == "A", 500)
+              .when(F.col("l_returnflag") == "N", 100)
+              .when(F.col("l_returnflag") == "R", 250))
+    return (li.select("l_orderkey", "l_linenumber", "l_returnflag")
+            .filter(bucket < cutoff))
 
 
 @register("set_except_all", oracle="""

@@ -86,3 +86,17 @@ def pin_session_conf(spark: SparkSession) -> SparkSession:
         os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS",
                        str(max(int(os.environ.get("SPARK_GRAFT_CPUS", "32")), 8))))
     return spark
+
+
+def scratch_path(sf_dir: str, name: str) -> str:
+    """Per-process scratch directory for round-trip queries.
+
+    Namespaced by PID so two concurrent sessions on the same scale
+    factor cannot overwrite each other's files mid-read (the fixed
+    shared path used before made that race possible). Within one
+    process, re-runs reuse the same path -- writes are mode=overwrite,
+    so idempotent."""
+    import os as _os
+
+    return _os.path.join("/tmp/rsml_scratch", f"pid{_os.getpid()}",
+                         _os.path.basename(_os.path.normpath(sf_dir)), name)

@@ -17,7 +17,22 @@ source -- format-native JVM sources stay preferred for hot paths.
 
 from __future__ import annotations
 
+import sys
+
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+# The registered DataSource class is cloudpickled to Python workers.
+# Classes in importable modules pickle BY REFERENCE, so a worker whose
+# sys.path lacks the repo root (driver launched from another cwd) fails
+# with ModuleNotFoundError at create_data_source time. Forcing by-value
+# pickling ships the class definition inside the pickle instead, making
+# the source self-contained -- the same discipline a real connector
+# wheel gets from being installed on every executor.
+try:
+    from pyspark import cloudpickle as _cloudpickle
+except ImportError:  # cloudpickle moved around across Spark versions
+    import cloudpickle as _cloudpickle
+_cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
 N_ROWS = 1000
 N_PARTS = 8

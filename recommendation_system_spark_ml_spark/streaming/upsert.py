@@ -41,6 +41,33 @@ def _latest_per_user(df: DataFrame) -> DataFrame:
             .filter(F.col("rn") == 1).drop("rn"))
 
 
+def upsert_batch(batch_df: DataFrame, out: str) -> None:
+    """Merge one micro-batch into the bucketed snapshot at `out`:
+    latest-per-user within the batch, union with the already-written
+    rows of the touched buckets, keep the winners, overwrite ONLY those
+    buckets. This is the foreachBatch body; it is module-level (not a
+    closure) so tests drive the identical code over multi-file inputs.
+
+    Dynamic partition overwrite is requested per-write via the writer
+    option -- NOT via spark.conf.set, which would silently change every
+    later partitioned overwrite in the shared session."""
+    batch = (_latest_per_user(batch_df)
+             .select("event_id", "ts", "user_id", "event_type", "value")
+             .withColumn("bucket", F.pmod(F.col("user_id"), N_BUCKETS)))
+    touched = [r.bucket for r in batch.select("bucket").distinct().collect()]
+    merged = batch
+    if os.path.isdir(out):
+        # localCheckpoint breaks lineage to the snapshot path --
+        # Spark refuses to overwrite a path its plan still reads
+        existing = (batch_df.sparkSession.read.parquet(out)
+                    .filter(F.col("bucket").isin(touched))
+                    .localCheckpoint(eager=True))
+        merged = _latest_per_user(existing.unionByName(batch))
+    (merged.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("bucket").parquet(out))
+
+
 @register("stream_upsert_snapshot", oracle="""
 SELECT event_id, user_id, event_type, round(value, 6) AS value
 FROM events
@@ -58,26 +85,9 @@ def stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(root, "snapshot")
     ckpt = os.path.join(root, "ckpt")
     shutil.rmtree(root, ignore_errors=True)  # deterministic re-runs
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-
-    def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        batch = (_latest_per_user(batch_df)
-                 .select("event_id", "ts", "user_id", "event_type", "value")
-                 .withColumn("bucket", F.pmod(F.col("user_id"), N_BUCKETS)))
-        touched = [r.bucket for r in batch.select("bucket").distinct().collect()]
-        merged = batch
-        if os.path.isdir(out):
-            # localCheckpoint breaks lineage to the snapshot path --
-            # Spark refuses to overwrite a path its plan still reads
-            existing = (batch_df.sparkSession.read.parquet(out)
-                        .filter(F.col("bucket").isin(touched))
-                        .localCheckpoint(eager=True))
-            merged = _latest_per_user(existing.unionByName(batch))
-        (merged.write.mode("overwrite")
-         .partitionBy("bucket").parquet(out))
 
     q = (stream_events(spark, sf_dir)
-         .writeStream.foreachBatch(upsert)
+         .writeStream.foreachBatch(lambda bdf, _bid: upsert_batch(bdf, out))
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True)
          .start())

@@ -12,15 +12,29 @@ def test_approx_distinct_within_tolerance(spark):
 
 
 def test_stratified_sample_fractions(spark):
+    """The hash-gate sample must hit each stratum's target fraction
+    within the Bernoulli 6-sigma band (the gate is uniform, so observed
+    fractions concentrate exactly like sampleBy's)."""
+    import math
+
+    from pyspark.sql import functions as F
+
     from recommendation_system_spark_ml_spark.operators.relational import (
         sample_stratified)
-    for r in sample_stratified(spark, SF_SMOKE).collect():
-        got_frac = r.n_sampled / r.n_pop
-        # Bernoulli sampling: 6-sigma bound on the observed fraction
-        import math
-        sigma = math.sqrt(r.target_fraction * (1 - r.target_fraction) / r.n_pop)
-        assert abs(got_frac - r.target_fraction) <= 6 * sigma + 1e-9, \
-            f"{r.l_returnflag}: {got_frac} vs {r.target_fraction}"
+    from recommendation_system_spark_ml_spark.sources.catalog import load
+
+    target = {"A": 0.5, "N": 0.1, "R": 0.25}
+    pop = {r.l_returnflag: r.n for r in
+           load(spark, SF_SMOKE, "lineitem").groupBy("l_returnflag")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {r.l_returnflag: r.n for r in
+           sample_stratified(spark, SF_SMOKE).groupBy("l_returnflag")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    for flag, frac in target.items():
+        got_frac = got.get(flag, 0) / pop[flag]
+        sigma = math.sqrt(frac * (1 - frac) / pop[flag])
+        assert abs(got_frac - frac) <= 6 * sigma + 1e-9, \
+            f"{flag}: {got_frac} vs {frac}"
 
 
 def test_approx_percentile_within_rank_tolerance(spark):

@@ -38,8 +38,65 @@ def test_als_rmse_two_ways_agree(spark):
     assert 0.0 < row.rmse_evaluator < 50.0
 
 
+def test_als_cv_full_reproduces_reference_grid(spark):
+    """The full-fidelity CV artifact must be the reference's exact
+    27-combo grid (MLR.py:211-226) in ParamGridBuilder order, with the
+    best row selected as first-minimal avg RMSE (MLR.py:63 idxmin)."""
+    from itertools import product
+
+    from recommendation_system_spark_ml_spark.ml.parity import ml_als_cv_full
+
+    rows = ml_als_cv_full(spark, SF_SMOKE).collect()
+    assert len(rows) == 27
+    # grid order: regParam varies fastest (last addGrid), rank slowest.
+    expected = [(r, m, lam) for r, m, lam in
+                product([1, 10, 100], [5, 10, 15], [0.001, 0.01, 0.05])]
+    got = [(r.rank, r.max_iter, r.reg_param) for r in sorted(rows, key=lambda r: r.grid_idx)]
+    assert got == expected
+    # every metric is a finite RMSE
+    assert all(r.avg_rmse == r.avg_rmse and r.avg_rmse > 0 for r in rows)
+    best = [r for r in rows if r.is_best == 1]
+    assert len(best) == 1
+    min_rmse = min(r.avg_rmse for r in rows)
+    assert best[0].avg_rmse == min_rmse
+    # first-minimal tie-break, like pandas idxmin
+    first_min_idx = min(r.grid_idx for r in rows if r.avg_rmse == min_rmse)
+    assert best[0].grid_idx == first_min_idx
+
+
 def test_ratings_analog_is_a_matrix(spark):
     df = ratings_analog(spark, SF_SMOKE)
     assert df.columns == ["userId", "movieId", "rating"]
     first = df.first()
     assert first.rating > 0
+
+
+# Golden regression fixture: ml_movielens_report at the smoke twin
+# (200 movies x 150 users x 20 ratings/user, seed 823) is fully
+# deterministic -- twin generation is xxhash-based, the split is the
+# Knuth hash, KMeans/ALS are seeded -- and was verified identical
+# across local[16] and local[32]. A drift here means an ML refactor
+# changed semantics, not noise. (The reference's published numbers,
+# README.md:45-55, are from real MovieLens-1M which is not in this
+# sandbox; this pins OUR pipeline's numbers the same way theirs pins
+# theirs.)
+_REPORT_GOLD = {
+    "kmeans_best_k": 3.0,
+    "kmeans_sse_best_k": 249.0397,
+    "kmeans_train_rmse": 0.6101,
+    "kmeans_test_rmse": 0.759,
+    "als_test_rmse": 0.5756,
+}
+
+
+def test_movielens_report_matches_golden_fixture(spark):
+    from recommendation_system_spark_ml_spark.ml.parity import (
+        ml_movielens_report)
+
+    got = {r.metric: r.value for r in
+           ml_movielens_report(spark, SF_SMOKE).collect()}
+    assert set(got) == set(_REPORT_GOLD)
+    assert got["kmeans_best_k"] == _REPORT_GOLD["kmeans_best_k"]
+    for metric, want in _REPORT_GOLD.items():
+        assert got[metric] == pytest.approx(want, rel=1e-3), \
+            f"{metric}: {got[metric]} vs golden {want}"

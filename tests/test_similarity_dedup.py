@@ -50,3 +50,27 @@ def test_lsh_pairs_nonempty_and_above_threshold(spark):
     rows = pairs.collect()
     assert len(rows) > 0
     assert all(r.cosine >= 0.4 - 1e-6 for r in rows)
+
+
+def test_min_label_components_chain_worst_diameter(spark):
+    """A 12-node chain is the worst diameter per edge count: the min
+    label crosses one hop per round, forcing >10 rounds and exercising
+    the every-5-rounds localCheckpoint lineage truncation. All nodes
+    must collapse to component 0; a detached singleton stays alone."""
+    import pytest
+
+    from recommendation_system_spark_ml_spark.operators.dedup import (
+        min_label_components)
+
+    n = 12
+    docs = spark.createDataFrame([(i,) for i in range(n)] + [(99,)],
+                                 "doc_id bigint")
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  "doc_a bigint, doc_b bigint")
+    rows = {r.doc_id: r for r in min_label_components(docs, edges).collect()}
+    assert all(rows[i].component == 0 for i in range(n))
+    assert all(rows[i].component_size == n for i in range(n))
+    assert rows[99].component == 99 and rows[99].component_size == 1
+    # the iteration cap fails loudly instead of looping forever
+    with pytest.raises(RuntimeError, match="did not converge"):
+        min_label_components(docs, edges, max_rounds=3)

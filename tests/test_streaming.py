@@ -128,28 +128,17 @@ def test_upsert_sink_merges_across_micro_batches(spark, tmp_path):
     for i, f in enumerate(sorted(_glob.glob(os.path.join(src_dir, "events_*.parquet")))):
         os.rename(f, os.path.join(src_dir, f"events.parquet.{i + 1}"))
     # stream_upsert_snapshot reads pathGlobFilter=events.parquet -- only
-    # the first file. For the multi-batch path, call the module pieces
-    # directly over all three files.
-    from recommendation_system_spark_ml_spark.streaming import upsert as U
+    # the first file. For the multi-batch path, drive the operator's
+    # OWN per-batch merge (upsert_batch) over all three files -- the
+    # same function foreachBatch runs, so the test can't drift from it.
+    from recommendation_system_spark_ml_spark.streaming.upsert import upsert_batch
     import tempfile
     root = tempfile.mkdtemp(prefix="upsert_mb_")
-    out, ckpt = os.path.join(root, "snap"), os.path.join(root, "ckpt")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    out = os.path.join(root, "snap")
     for f in sorted(_glob.glob(os.path.join(src_dir, "events.parquet*"))):
         # these part-files came through catalog.load, so ts is already
         # a proper timestamp -- no nanos conversion here
-        batch = spark.read.parquet(f)
-        U_batch = (U._latest_per_user(batch)
-                   .select("event_id", "ts", "user_id", "event_type", "value")
-                   .withColumn("bucket", F.pmod(F.col("user_id"), U.N_BUCKETS)))
-        touched = [r.bucket for r in U_batch.select("bucket").distinct().collect()]
-        merged = U_batch
-        if os.path.isdir(out):
-            existing = (spark.read.parquet(out)
-                        .filter(F.col("bucket").isin(touched))
-                        .localCheckpoint(eager=True))
-            merged = U._latest_per_user(existing.unionByName(U_batch))
-        merged.write.mode("overwrite").partitionBy("bucket").parquet(out)
+        upsert_batch(spark.read.parquet(f), out)
     got = (spark.read.parquet(out)
            .select("event_id", "user_id", "event_type",
                    F.round("value", 6).alias("value")))

@@ -3,7 +3,13 @@ scale factor through the noop sink and write PERF.md (name, rows/sec
 timing, oracle status) sorted slowest-first. Evidence artifact for
 perf review beyond the 19 bench-flagged headliners.
 
-Usage: python tools/perf_sweep.py [sf_dir]
+The two deliberately-exhaustive correctness twins (dedup_jaccard,
+dedup_embedding -- quadratic by design, each with an oracle-proven
+scale-safe sibling) run at the CHECK scale factor (sf0.01) by default
+so 140s of intentional brute force doesn't bury regressions in the
+other queries. Pass --full to run them at the bench sf too.
+
+Usage: python tools/perf_sweep.py [sf_dir] [--full]
 """
 
 from __future__ import annotations
@@ -17,9 +23,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from recommendation_system_spark_ml_spark.registry import all_specs
 from recommendation_system_spark_ml_spark.session import get_spark
 
+# Quadratic-by-design oracle baselines; their scale-path siblings
+# (dedup_jaccard_prefix, sim_ivf) stay in the main sweep.
+EXHAUSTIVE_ORACLES = {"dedup_jaccard", "dedup_embedding"}
+CHECK_SF_DIR = "/root/testdata/sf0.01"
+
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else \
+    args = [a for a in sys.argv[1:] if a != "--full"]
+    full = "--full" in sys.argv[1:]
+    sf_dir = args[0] if args else \
         os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="perf_sweep")
     specs = all_specs()
@@ -29,11 +42,16 @@ def main() -> None:
     rows = []
     for name in sorted(specs):
         spec = specs[name]
+        q_sf = sf_dir
+        tag = "oracle" if spec.oracle else "rows-only"
+        if name in EXHAUSTIVE_ORACLES and not full:
+            q_sf = CHECK_SF_DIR
+            tag += " (exhaustive twin @ sf0.01)"
         t0 = time.perf_counter()
         try:
-            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            spec.fn(spark, q_sf).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
-            rows.append((name, round(dt, 2), "oracle" if spec.oracle else "rows-only"))
+            rows.append((name, round(dt, 2), tag))
             print(f"{name} {dt:.2f}s", flush=True)
         except Exception as ex:  # pragma: no cover
             rows.append((name, -1.0, f"ERROR {str(ex)[:60]}"))
@@ -46,6 +64,7 @@ def main() -> None:
            f"Every registered query at `{sf_dir}`, noop sink (full distributed",
            f"materialization), single warm session, slowest first. Total {total:.0f}s",
            f"for {len(rows)} queries. Regenerate: `python tools/perf_sweep.py`.",
+           "Exhaustive oracle twins run at sf0.01 unless --full (see module doc).",
            "",
            "| query | seconds | check |",
            "|---|---|---|"]
