@@ -434,3 +434,52 @@ def fn_pad_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trim(F.concat(F.lit("  "), F.col("n_name"), F.lit("  "))).alias("trimmed"),
         F.replace("n_name", F.lit("_"), F.lit("-")).alias("replaced"),
         F.reverse("n_name").alias("reversed")))
+
+
+@register("udf_arrow_batch", oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_cents,
+       CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+           AS discounted_e4
+FROM lineitem
+WHERE l_returnflag = 'R'
+""")
+def udf_arrow_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow (Spark 4): the zero-copy batch API below mapInPandas
+    -- the closure receives pyarrow RecordBatches directly, skipping
+    the Arrow->pandas conversion entirely. The right surface when the
+    Python kernel is itself Arrow-native (pyarrow.compute, polars,
+    DuckDB-in-worker); integer cents math keeps the result exact so
+    the oracle can hash-verify the Arrow path end to end. The filter
+    still reaches the parquet scan: mapInArrow is a plan node, and
+    the projection/predicate sit below it."""
+    pin_session_conf(spark)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def batches(it):
+        for batch in it:
+            price_cents = pc.cast(pc.round(pc.multiply(
+                batch.column("l_extendedprice"), pa.scalar(100.0))), pa.int64())
+            disc_cents = pc.cast(pc.round(pc.multiply(
+                batch.column("l_discount"), pa.scalar(100.0))), pa.int64())
+            # passthrough columns must be cast to the DECLARED schema
+            # types -- mapInArrow hands the arrays to the JVM as-is,
+            # and an int32 array under a bigint column fails at read
+            yield pa.RecordBatch.from_arrays(
+                [pc.cast(batch.column("l_orderkey"), pa.int64()),
+                 pc.cast(batch.column("l_linenumber"), pa.int64()),
+                 price_cents,
+                 pc.multiply(price_cents,
+                             pc.subtract(pa.scalar(100, pa.int64()), disc_cents))],
+                names=["l_orderkey", "l_linenumber", "price_cents",
+                       "discounted_e4"])
+
+    li = (load(spark, sf_dir, "lineitem")
+          .filter(F.col("l_returnflag") == "R")
+          .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"))
+    return li.mapInArrow(
+        batches,
+        schema=("l_orderkey bigint, l_linenumber bigint, "
+                "price_cents bigint, discounted_e4 bigint"))

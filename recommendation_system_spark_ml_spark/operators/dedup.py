@@ -472,3 +472,31 @@ def dedup_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("event_id", "user_id", "event_type",
                     F.round("value", 6).alias("value")))
+
+
+@register("scd2_history", oracle="""
+SELECT event_id, user_id, event_type,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to,
+       CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            IS NULL AS INTEGER) AS is_current
+FROM events
+""")
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history table from a change log: each record gets a
+    validity interval [valid_from, valid_to) whose end is the NEXT
+    change for the same key (NULL = current row). The warehouse-side
+    complement of dedup_latest_by_key: latest-compaction keeps the head
+    of each chain, this keeps the whole chain queryable as-of any time
+    ('what did this user look like last March'). One shuffle on the
+    key; lead() streams per partition, so a 100 TB change log builds
+    its history in a single pass."""
+    pin_session_conf(spark)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return (load(spark, sf_dir, "events")
+            .select("event_id", "user_id", "event_type",
+                    F.col("ts").alias("valid_from"),
+                    nxt.alias("valid_to"),
+                    nxt.isNull().cast("int").alias("is_current")))

@@ -20,7 +20,7 @@ tests/test_plans.py); no collect(), no driver loops.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from recommendation_system_spark_ml_spark.registry import register
@@ -309,3 +309,42 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (load(spark, sf_dir, "events").select("user_id")
             .intersectAll(load(spark, sf_dir, "orders")
                           .select(F.col("o_custkey").alias("user_id"))))
+
+
+@register("stable_row_ids", oracle="""
+SELECT o_orderkey,
+       CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT)
+           AS stable_id
+FROM orders
+""")
+def stable_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense, order-preserving 0..N-1 row IDs, distributed -- the
+    restart-stable replacement for monotonically_increasing_id (whose
+    values depend on partition layout, so two runs of the same data
+    disagree) and for zipWithIndex (an RDD detour). Two-phase:
+
+    1. range-bucket the key (bucket = key div 1000), row_number within
+       each bucket -- the global sort becomes many independent
+       per-bucket sorts;
+    2. per-bucket counts -> running offset over the tiny bucket table
+       (a window over n_buckets rows, not n rows) -> broadcast the
+       offsets back and add.
+
+    At 100 TB the only global structure is the bucket-offset table
+    (~key-range/1000 rows); everything row-sized stays partition-local.
+    The oracle is the single-window definition: row_number() - 1 over
+    the key order."""
+    pin_session_conf(spark)
+    orders = load(spark, sf_dir, "orders").select("o_orderkey")
+    bucketed = orders.withColumn("bucket", (F.col("o_orderkey") / 1000).cast("long"))
+    wb = Window.partitionBy("bucket").orderBy("o_orderkey")
+    within = bucketed.withColumn("rn", F.row_number().over(wb))
+    counts = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    woff = (Window.orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    offsets = (counts
+               .withColumn("offset", F.sum("n").over(woff) - F.col("n"))
+               .select("bucket", "offset"))
+    return (within.join(F.broadcast(offsets), "bucket")
+            .select("o_orderkey",
+                    (F.col("offset") + F.col("rn") - 1).alias("stable_id")))

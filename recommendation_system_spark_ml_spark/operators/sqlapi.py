@@ -146,3 +146,81 @@ def sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
                coalesce(view, 0) AS view
         FROM (SELECT user_id, event_type FROM events)
         PIVOT (count(*) FOR event_type IN ('click', 'purchase', 'view'))""")
+
+
+@register("sql_lateral_topn", oracle="""
+SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS o_totalprice
+FROM customer c,
+     LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+WHERE c.c_mktsegment = 'BUILDING'
+""")
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY/LIMIT: each building-
+    segment customer's top-2 orders by price. Catalyst decorrelates
+    the lateral into a join + per-key WindowGroupLimit -- the same
+    physical shape as the QUALIFY top-n (sql_window_qualify), proving
+    the per-row-subquery SYNTAX costs nothing extra: no re-execution
+    per outer row at any scale. Tie-broken on o_orderkey so the top-2
+    set is deterministic."""
+    pin_session_conf(spark)
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT c.c_custkey, t.o_orderkey,
+               round(t.o_totalprice, 2) AS o_totalprice
+        FROM customer c,
+             LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c.c_mktsegment = 'BUILDING'""")
+
+
+@register("sql_recursive_cte", oracle="""
+WITH RECURSIVE spine(ym_start) AS (
+    SELECT DATE '1992-01-01'
+    UNION ALL
+    SELECT ym_start + INTERVAL 1 MONTH FROM spine
+    WHERE ym_start < DATE '1998-12-01'
+)
+SELECT strftime(s.ym_start, '%Y-%m') AS ym,
+       CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+FROM spine s
+LEFT JOIN orders o
+       ON o.o_orderdate >= s.ym_start
+      AND o.o_orderdate < s.ym_start + INTERVAL 1 MONTH
+GROUP BY 1
+""")
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): an 84-row month spine
+    generated by recursion, left-joined to per-month order counts so
+    empty months survive with 0. The declarative-iteration surface
+    demo; series_spine computes the same spine with sequence()+explode,
+    which stays the 100 TB path (one expression, no iterative
+    planning), and dedup_components keeps its explicit loop for
+    fixpoints a recursive UNION ALL can't express safely on cyclic
+    graphs (Spark's rCTE has no cycle-safe UNION yet).
+
+    The orders side is pre-aggregated to per-month counts and joined
+    on month-start EQUALITY: a range predicate against the spine would
+    plan a nested-loop join that builds a fact-table side, while the
+    equi-join aggregates fact rows map-side and broadcasts the tiny
+    month table -- the shape that survives a 100 TB order log."""
+    pin_session_conf(spark)
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        WITH RECURSIVE spine(ym_start) AS (
+            SELECT DATE '1992-01-01'
+            UNION ALL
+            SELECT ym_start + INTERVAL 1 MONTH FROM spine
+            WHERE ym_start < DATE '1998-12-01'
+        ),
+        monthly AS (
+            SELECT trunc(o_orderdate, 'MM') AS m_start,
+                   count(*) AS n
+            FROM orders GROUP BY 1
+        )
+        SELECT date_format(s.ym_start, 'yyyy-MM') AS ym,
+               coalesce(m.n, 0) AS n_orders
+        FROM spine s
+        LEFT JOIN monthly m ON CAST(s.ym_start AS DATE) = m.m_start""")

@@ -180,3 +180,42 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("c_custkey", "c_mktsegment",
                     F.round("c_acctbal", 2).alias("c_acctbal"),
                     F.count(F.lit(1)).over(w).alias("n_peers_within_500")))
+
+
+@register("sessionize_events", oracle="""
+WITH flagged AS (
+    SELECT event_id, user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) > 21600
+                THEN 1 ELSE 0 END AS is_new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id,
+       CAST(sum(is_new_session)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_seq,
+       CAST(is_new_session AS INTEGER) AS is_new_session
+FROM flagged
+""")
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: gap-based session assignment (a new
+    session starts after >6h of user inactivity) via lag + running sum
+    -- the telemetry/clickstream shape every training-data pipeline
+    cuts its examples on, and the batch twin of stream_session's
+    session_window. One shuffle on user_id serves both windows; the
+    running sum streams per partition, so state is O(1) per user and
+    skew follows the user-activity distribution (a bot-grade hot user
+    salts the same way join_salted does)."""
+    pin_session_conf(spark)
+    ev = load(spark, sf_dir, "events")
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(wo))
+    is_new = F.when(gap.isNull() | (gap > 21600), 1).otherwise(0)
+    flagged = ev.select("event_id", "user_id", "ts",
+                        is_new.alias("is_new_session"))
+    wrun = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (flagged.select(
+        "event_id", "user_id",
+        F.sum("is_new_session").over(wrun).cast("int").alias("session_seq"),
+        F.col("is_new_session").cast("int")))

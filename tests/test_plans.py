@@ -148,3 +148,43 @@ def test_grouped_pandas_plans_as_flatmap_groups(spark):
     plan = _plan(_specs()["udf_grouped_pandas"].fn(spark, SF_SMOKE))
     assert "FlatMapGroupsInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_sessionize_single_shuffle_on_user(spark):
+    """Both windows (lag flag + running sum) must share ONE exchange on
+    user_id -- a second shuffle would double the cost of the most
+    common telemetry query."""
+    import re
+    plan = _plan(_specs()["sessionize_events"].fn(spark, SF_SMOKE))
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+
+
+def test_stable_row_ids_broadcasts_offsets_no_global_sort(spark):
+    """The per-bucket offsets (tiny) must broadcast back, and nothing
+    may plan a global (non-bucketed) sort of the row-sized side."""
+    plan = _plan(_specs()["stable_row_ids"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    # the only rangepartitioning allowed is the n_buckets-row offset
+    # window; the row-sized side sorts within hash partitions only
+    for line in plan.splitlines():
+        if "Exchange rangepartitioning" in line:
+            # global sort of the data rows would list o_orderkey ASC
+            # with the full row schema; offsets sort on bucket only
+            assert "bucket" in line and "o_orderkey ASC" not in line
+
+
+def test_scd2_history_single_window_shuffle(spark):
+    import re
+    plan = _plan(_specs()["scd2_history"].fn(spark, SF_SMOKE))
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+
+
+def test_arrow_batch_udf_pushes_filter_below_python(spark):
+    """mapInArrow is a plan node; the returnflag filter and column
+    pruning must still reach the parquet scan underneath it."""
+    plan = _plan(_specs()["udf_arrow_batch"].fn(spark, SF_SMOKE))
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan or "MapInPandas" in plan
+    assert "PushedFilters" in plan
+    assert "l_returnflag" in plan.split("PushedFilters")[1].split("\n")[0]
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_comment" not in read_schema and "l_tax" not in read_schema
