@@ -483,3 +483,31 @@ def udf_arrow_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         batches,
         schema=("l_orderkey bigint, l_linenumber bigint, "
                 "price_cents bigint, discounted_e4 bigint"))
+
+
+@register("fn_collation", oracle="""
+WITH mixed AS (
+    SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                ELSE c_mktsegment END AS seg
+    FROM customer
+)
+SELECT lower(seg) AS segment, count(*) AS n
+FROM mixed GROUP BY 1
+""")
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collation (Spark 4): group case-mangled segments under
+    the UTF8_LCASE collation so 'BUILDING' and 'building' land in one
+    group WITHOUT rewriting every comparison site to lower() -- at
+    100 TB collation beats lower() because the collated comparison
+    happens inside codegen with no derived column materialized, and it
+    generalizes to locale-aware rules lower() can't express. The
+    output key is normalized with lower() only for a deterministic
+    display form; the DuckDB oracle is the lower()-rewrite twin."""
+    pin_session_conf(spark)
+    mixed = (load(spark, sf_dir, "customer")
+             .select(F.when(F.col("c_custkey") % 2 == 0,
+                            F.lower("c_mktsegment"))
+                     .otherwise(F.col("c_mktsegment")).alias("seg")))
+    return (mixed.groupBy(F.expr("collate(seg, 'UTF8_LCASE')").alias("seg_ci"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lower(F.col("seg_ci").cast("string")).alias("segment"), "n"))

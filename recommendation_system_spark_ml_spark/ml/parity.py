@@ -174,9 +174,12 @@ def ml_als_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's sequential fits (its 2h20m bottleneck, BASELINE.md).
     Returns the CV grid table (rank, reg_param, avg_rmse, is_best)."""
     pin_session_conf(spark)
+    # cache: CrossValidator's fold splits + per-fold fit/eval re-read
+    # this input ~10x; without the cache each re-read replays the
+    # join+groupBy lineage of ratings_analog
     train = (_hash_split(ratings_analog(spark, sf_dir),
                          F.col("userId").cast("bigint") * 4096 + F.col("movieId"))
-             .filter(F.col("split") == "train").drop("split"))
+             .filter(F.col("split") == "train").drop("split").cache())
     als = ALS(userCol="userId", itemCol="movieId", ratingCol="rating",
               coldStartStrategy="drop", seed=SEED, maxIter=5)
     grid = (ParamGridBuilder()
@@ -189,6 +192,7 @@ def ml_als_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
                         evaluator=evaluator, numFolds=2,
                         parallelism=8, seed=SEED)
     cv_model = cv.fit(train)
+    train.unpersist()
     rows = [(pm[als.rank], float(pm[als.regParam]), float(m))
             for pm, m in zip(grid, cv_model.avgMetrics)]
     best = min(rows, key=lambda r: r[2])

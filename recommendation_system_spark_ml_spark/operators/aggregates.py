@@ -397,3 +397,25 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (c.groupBy("l_linestatus")
             .agg(F.max_by("l_returnflag", score).alias("mode_flag"),
                  F.max("n").alias("mode_n")))
+
+
+@register("agg_approx_topk", oracle="""
+SELECT event_type AS item, count(*) AS est_count
+FROM events GROUP BY 1 ORDER BY est_count DESC, item LIMIT 3
+""")
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via approx_top_k (Spark 4 frequent-items sketch):
+    one pass, fixed memory, mergeable -- the 100 TB answer to 'top
+    domains / top templates' where an exact per-key count table is
+    itself data-sized. The testdata's event_type domain (4 values) sits
+    far under the sketch's 10k capacity, so its counts are EXACT here
+    and the oracle can hash-match them -- the same bound a production
+    use asserts when it sizes the sketch to the expected key domain.
+    Deterministic tie-break on item keeps the k-boundary stable."""
+    pin_session_conf(spark)
+    sketch = (load(spark, sf_dir, "events")
+              .agg(F.expr("approx_top_k(event_type, 3)").alias("tk")))
+    return (sketch.select(F.explode("tk").alias("e"))
+            .select(F.col("e.item").alias("item"),
+                    F.col("e.count").alias("est_count"))
+            .orderBy(F.desc("est_count"), "item"))

@@ -417,6 +417,7 @@ def min_label_components(docs: DataFrame, edges: DataFrame,
                   .union(edges.selectExpr("doc_b AS src", "doc_a AS dst"))
                   .cache())
     comp = docs.select("doc_id", F.col("doc_id").alias("comp")).cache()
+    prev_sum = None
     # Iteration cap: min-label propagation converges in O(diameter)
     # rounds; the cap turns a pathological input (or a future bug) into
     # a loud error instead of an unbounded job.
@@ -435,13 +436,18 @@ def min_label_components(docs: DataFrame, edges: DataFrame,
             new_comp = new_comp.localCheckpoint(eager=True)
         else:
             new_comp = new_comp.cache()
-        changed = (new_comp.alias("n")
-                   .join(comp.alias("o"), "doc_id")
-                   .where(F.col("n.comp") != F.col("o.comp")).count())
+        # Convergence check as one scalar aggregate: labels only ever
+        # DECREASE, so sum(comp) is strictly monotone until fixpoint --
+        # equal sums mean no label moved. Replaces a per-round
+        # join+filter+count (an extra shuffle per round) with a
+        # map-side-combinable sum; the same jobs also materialize
+        # new_comp's cache/checkpoint.
+        cur_sum = new_comp.agg(F.sum("comp")).first()[0]
         comp.unpersist()
         comp = new_comp
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     else:
         raise RuntimeError(
             f"min_label_components did not converge in {max_rounds} rounds")

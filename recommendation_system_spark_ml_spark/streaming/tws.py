@@ -1,0 +1,106 @@
+"""transformWithStateInPandas (Spark 4): the successor stateful API.
+
+Same semantics as stateful.py's applyInPandasWithState operator --
+one (count, cents) state row per user, updated totals emitted per
+micro-batch -- rebuilt on the new StatefulProcessor lifecycle
+(init/handleInputRows/close) so the engine covers both stateful
+surfaces. The new API is what multi-state operators (value + list +
+map state, timers, TTL) will need; the old one caps at a single state
+tuple.
+
+Scale notes: state lives in the RocksDB state store (required by
+transformWithState; also the provider you want at 100 TB -- state
+spills to disk instead of capping at executor heap), partitioned by
+the groupBy key; Arrow batches flow per key-partition.
+
+ENVIRONMENT GATE: the transformWithState protocol needs
+google.protobuf, which this container does not ship, so the query is
+NOT registered in the driver registry (it would raise, not return
+rows). The code path is complete and the test suite runs it whenever
+protobuf is importable (tests/test_streaming.py::test_tws_totals_*);
+stream_stateful_totals covers the same semantics on the always-
+available applyInPandasWithState API."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from recommendation_system_spark_ml_spark.session import pin_session_conf
+from recommendation_system_spark_ml_spark.streaming.windows import stream_events
+
+_OUT_SCHEMA = "user_id bigint, n_events bigint, sum_cents bigint"
+
+_ROCKSDB = ("org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider")
+
+
+def running_totals_tws(events: DataFrame) -> DataFrame:
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n BIGINT, cents BIGINT")
+
+        def handleInputRows(self, key, rows: Iterator[pd.DataFrame],
+                            timer_values) -> Iterator[pd.DataFrame]:
+            n, cents = self._state.get() if self._state.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                # integer cents, same accumulation as the batch oracle
+                cents += int(pdf["value"].mul(100).round(0)
+                             .astype("int64").sum())
+            self._state.update((n, cents))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                                "sum_cents": [cents]})
+
+        def close(self) -> None:
+            pass
+
+    return (events.groupBy("user_id")
+            .transformWithStateInPandas(Totals(),
+                                        outputStructType=_OUT_SCHEMA,
+                                        outputMode="Update",
+                                        timeMode="None"))
+
+
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def stream_tws_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the transformWithState stream to completion and returns the
+    final per-user totals; oracle = the plain batch aggregate, so the
+    new API's state machine is value-checked exactly like the old
+    one's (stream_stateful_totals)."""
+    pin_session_conf(spark)
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, _ROCKSDB)
+    name = "tws_totals_sink"
+    try:
+        q = (running_totals_tws(stream_events(spark, sf_dir))
+             .writeStream.outputMode("update")
+             .format("memory").queryName(name).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        # restore so other streaming queries keep their prior provider
+        # (same save/restore discipline as the upsert sink's conf fix)
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+    return (spark.table(name).groupBy("user_id")
+            .agg(F.max("n_events").alias("n_events"),
+                 F.max_by("sum_cents", "n_events").alias("sum_cents")))

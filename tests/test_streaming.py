@@ -151,3 +151,28 @@ def test_upsert_sink_merges_across_micro_batches(spark, tmp_path):
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_tws_totals_matches_batch_aggregate(spark):
+    """transformWithStateInPandas (Spark 4 StatefulProcessor): final
+    per-user totals must equal the batch aggregate -- same contract as
+    the applyInPandasWithState twin. Skipped where google.protobuf
+    (required by the transformWithState wire protocol) is absent."""
+    import pytest
+
+    from recommendation_system_spark_ml_spark.streaming import tws
+    if not tws._protobuf_available():
+        pytest.skip("google.protobuf not installed in this environment")
+
+    from pyspark.sql import functions as F
+    from recommendation_system_spark_ml_spark.sources.catalog import load
+
+    got = {r.user_id: (r.n_events, r.sum_cents) for r in
+           tws.stream_tws_totals(spark, "/root/testdata/sf0.001").collect()}
+    want = {r.user_id: (r.n_events, r.sum_cents) for r in
+            (load(spark, "/root/testdata/sf0.001", "events")
+             .groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+                  .alias("sum_cents"))).collect()}
+    assert got == want
