@@ -71,15 +71,36 @@ def kmeans_sweep(feats: DataFrame, ks=range(2, 11)) -> list[tuple[int, float]]:
         return sorted(pool.map(fit, ks))
 
 
+_RATINGS_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
 def ratings_analog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(user, item, rating) in the MovieLens shape: customer x part with
-    the average ordered quantity as the explicit 'rating' (1..50-ish)."""
+    the average ordered quantity as the explicit 'rating' (1..50-ish).
+
+    Memoized + cached per (session, sf_dir): four ML queries start from
+    this join+aggregate, and a correctness sweep runs them back to back
+    in one session -- the memo turns three recomputations of the
+    fact-table join into cache hits. The cached table is one row per
+    (customer, part) pair that traded, far smaller than lineitem, and
+    is kept for the session's lifetime by design (same data every
+    query; an unpersist would just force the next query to rebuild it)."""
+    import os
+
+    key = (spark.sparkContext.applicationId,
+           os.path.normpath(sf_dir))
+    memo = _RATINGS_MEMO.get(key)
+    if memo is not None:
+        return memo
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
-            .groupBy(F.col("o_custkey").cast("int").alias("userId"),
-                     F.col("l_partkey").cast("int").alias("movieId"))
-            .agg(F.avg("l_quantity").cast("float").alias("rating")))
+    out = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+           .groupBy(F.col("o_custkey").cast("int").alias("userId"),
+                    F.col("l_partkey").cast("int").alias("movieId"))
+           .agg(F.avg("l_quantity").cast("float").alias("rating"))
+           .cache())
+    _RATINGS_MEMO[key] = out
+    return out
 
 
 def onehot_parts(spark: SparkSession, sf_dir: str) -> DataFrame:

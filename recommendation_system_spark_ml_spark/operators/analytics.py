@@ -766,3 +766,316 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.round(
                 F.sum(F.when(F.col("supp_nation") == "NATION_9", v).otherwise(F.lit(0)))
                 .cast("double") / F.sum(v), 6).alias("mkt_share")))
+
+
+@register("tpch_q2", oracle="""
+WITH pair_cost AS (
+    SELECT l_partkey, l_suppkey,
+           CAST(min(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cost_cents
+    FROM lineitem GROUP BY 1, 2
+), europe AS (
+    SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+), cand AS (
+    SELECT p.p_partkey, p.p_type, e.s_suppkey, e.s_name, e.s_acctbal,
+           e.n_name, pc.cost_cents
+    FROM part p
+    JOIN pair_cost pc ON pc.l_partkey = p.p_partkey
+    JOIN europe e ON e.s_suppkey = pc.l_suppkey
+    WHERE p.p_size < 25 AND p.p_type = 'STANDARD'
+)
+SELECT c.s_acctbal, c.s_name, c.n_name, c.p_partkey, c.p_type,
+       c.cost_cents / 100.0 AS min_cost
+FROM cand c
+WHERE c.cost_cents = (SELECT min(c2.cost_cents) FROM cand c2
+                      WHERE c2.p_partkey = c.p_partkey)
+""")
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier (TPC-H Q2 shape): per STANDARD part under
+    size 25, the European supplier(s) offering it cheapest -- the
+    correlated-min scalar subquery over a derived cost table. This
+    testdata has no partsupp, so (part, supplier) supply cost is
+    derived from their cheapest observed lineitem (same join topology:
+    part x supplycost x supplier x nation x region, min per part).
+    Catalyst decorrelates the min into an aggregate + self-join; the
+    Europe dimension chain broadcasts."""
+    pin_session_conf(spark)
+    pair_cost = (load(spark, sf_dir, "lineitem")
+                 .groupBy(F.col("l_partkey"), F.col("l_suppkey"))
+                 .agg(F.min(_cents("l_extendedprice")).alias("cost_cents")))
+    europe = (load(spark, sf_dir, "supplier")
+              .join(F.broadcast(load(spark, sf_dir, "nation")),
+                    F.col("s_nationkey") == F.col("n_nationkey"))
+              .join(F.broadcast(load(spark, sf_dir, "region")
+                                .filter(F.col("r_name") == "EUROPE")),
+                    F.col("n_regionkey") == F.col("r_regionkey"))
+              .select("s_suppkey", "s_name",
+                      F.round("s_acctbal", 2).alias("s_acctbal"), "n_name"))
+    part = (load(spark, sf_dir, "part")
+            .filter((F.col("p_size") < 25) & (F.col("p_type") == "STANDARD"))
+            .select("p_partkey", "p_type"))
+    cand = (part.join(pair_cost, part.p_partkey == pair_cost.l_partkey)
+            .join(europe, pair_cost.l_suppkey == europe.s_suppkey)
+            .select("p_partkey", "p_type", "s_suppkey", "s_name",
+                    "s_acctbal", "n_name", "cost_cents"))
+    min_per_part = (cand.groupBy(F.col("p_partkey").alias("mp_partkey"))
+                    .agg(F.min("cost_cents").alias("mc")))
+    return (cand.join(F.broadcast(min_per_part),
+                      (cand.p_partkey == F.col("mp_partkey"))
+                      & (cand.cost_cents == F.col("mc")))
+            .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
+                    (F.col("cost_cents") / 100.0).alias("min_cost")))
+
+
+@register("tpch_q9", oracle="""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+                - CAST(round(p_retailprice * 100, 0) AS BIGINT)
+                  * CAST(round(l_quantity, 0) AS BIGINT) * 100) AS BIGINT)
+           / 10000.0 AS profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%bolt%'
+GROUP BY 1, 2
+""")
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit (TPC-H Q9 shape): revenue minus cost per
+    supplier nation and order year for '%bolt%' parts. Cost proxies
+    p_retailprice x quantity (no partsupp here); all money in integer
+    e4 units so the five-table join aggregates exactly. One fact
+    shuffle; part/supplier/nation broadcast; the LIKE filter prunes
+    part before its join."""
+    pin_session_conf(spark)
+    ep, dc = _cents("l_extendedprice"), _cents("l_discount")
+    rc = _cents("p_retailprice")
+    qty = F.round("l_quantity", 0).cast("long")
+    profit_e4 = F.sum(ep * (100 - dc) - rc * qty * 100)
+    return (load(spark, sf_dir, "lineitem")
+            .join(F.broadcast(load(spark, sf_dir, "part")
+                              .filter(F.col("p_name").like("%bolt%"))),
+                  F.col("p_partkey") == F.col("l_partkey"))
+            .join(F.broadcast(load(spark, sf_dir, "supplier")),
+                  F.col("s_suppkey") == F.col("l_suppkey"))
+            .join(F.broadcast(load(spark, sf_dir, "nation")),
+                  F.col("n_nationkey") == F.col("s_nationkey"))
+            .join(load(spark, sf_dir, "orders"),
+                  F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").alias("o_year"))
+            .agg((profit_e4 / 10000.0).alias("profit")))
+
+
+@register("tpch_q11", oracle="""
+WITH german AS (
+    SELECT l_partkey,
+           CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name = 'NATION_7'
+    GROUP BY 1
+)
+SELECT l_partkey, value_cents / 100.0 AS value
+FROM german
+WHERE value_cents > (SELECT CAST(sum(value_cents) * 0.001 AS BIGINT) FROM german)
+""")
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important-stock identification (TPC-H Q11 shape): parts whose
+    NATION_7-supplied value exceeds 0.1% of that nation's total value.
+    The group-by feeds BOTH the per-part rows and the global threshold
+    (an uncorrelated scalar subquery -> one-row broadcast); threshold
+    compare in integer cents so the cut is exact."""
+    pin_session_conf(spark)
+    german = (load(spark, sf_dir, "lineitem")
+              .join(F.broadcast(load(spark, sf_dir, "supplier")),
+                    F.col("s_suppkey") == F.col("l_suppkey"))
+              .join(F.broadcast(load(spark, sf_dir, "nation")
+                                .filter(F.col("n_name") == "NATION_7")),
+                    F.col("n_nationkey") == F.col("s_nationkey"))
+              .groupBy("l_partkey")
+              .agg(F.sum(_cents("l_extendedprice")).alias("value_cents")))
+    threshold = german.agg(
+        (F.sum("value_cents") * 0.001).cast("long").alias("th"))
+    return (german.join(F.broadcast(threshold),
+                        F.col("value_cents") > F.col("th"))
+            .select("l_partkey", (F.col("value_cents") / 100.0).alias("value")))
+
+
+@register("tpch_q12", oracle="""
+WITH banded AS (
+    SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) > 60
+                THEN 'late' ELSE 'on-time' END AS ship_band,
+           o_orderpriority
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+)
+SELECT ship_band,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM banded GROUP BY 1
+""")
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-delay priority split (TPC-H Q12 shape): lineitems
+    banded by order-to-ship latency (no l_shipmode/receiptdate in this
+    testdata; the >60-day band plays the late-shipmode role), with the
+    signature CASE-sum pivot counting high- vs low-priority orders per
+    band. One fact-fact equi join, map-side combinable aggregate."""
+    pin_session_conf(spark)
+    late = (F.when(F.datediff("l_shipdate", "o_orderdate") > 60, "late")
+            .otherwise("on-time"))
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (load(spark, sf_dir, "lineitem")
+            .join(load(spark, sf_dir, "orders"),
+                  F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy(late.alias("ship_band"))
+            .agg(F.sum(is_high.cast("long")).alias("high_line_count"),
+                 F.sum((~is_high).cast("long")).alias("low_line_count")))
+
+
+@register("tpch_q16", oracle="""
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 24, 28)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+""")
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts/supplier relationship count (TPC-H Q16 shape): distinct
+    suppliers per (brand, type, size) for a size IN-list, excluding
+    complaint suppliers (negative balance plays the 'Customer
+    Complaints' role; no partsupp here, so the relationship comes from
+    observed lineitems). The NOT IN subquery is a broadcast anti join
+    -- never a per-row subquery; count(DISTINCT) shuffles once on the
+    group keys with the suppkey folded into the aggregate."""
+    pin_session_conf(spark)
+    bad_sup = (load(spark, sf_dir, "supplier")
+               .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
+    part = (load(spark, sf_dir, "part")
+            .filter((F.col("p_brand") != "Brand#1")
+                    & (F.col("p_type") != "PROMO")
+                    & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 28))
+            .select("p_partkey", "p_brand", "p_type", "p_size"))
+    return (load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+            .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+            .join(F.broadcast(bad_sup),
+                  F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+@register("tpch_q20", oracle="""
+SELECT s.s_suppkey, s.s_name, n.n_name
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE s.s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_suppkey
+    HAVING sum(CAST(round(l_quantity, 0) AS BIGINT)) > 100
+)
+""")
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excess-volume supplier identification (TPC-H Q20 shape):
+    suppliers who moved >100 units of 'small%' parts in 1996 -- the
+    nested IN chain (parts by name -> their 1996 lineitems -> suppliers
+    over threshold). Both INs become semi joins: the part-name set
+    broadcasts into the lineitem scan, the qualifying-supplier set
+    broadcasts into supplier. The HAVING aggregate is the only
+    shuffle, keyed on suppkey."""
+    pin_session_conf(spark)
+    small_parts = (load(spark, sf_dir, "part")
+                   .filter(F.col("p_name").like("small%"))
+                   .select("p_partkey"))
+    heavy = (load(spark, sf_dir, "lineitem")
+             .filter((F.col("l_shipdate") >= "1996-01-01")
+                     & (F.col("l_shipdate") < "1997-01-01"))
+             .join(F.broadcast(small_parts),
+                   F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+             .groupBy("l_suppkey")
+             .agg(F.sum(F.round("l_quantity", 0).cast("long")).alias("qty"))
+             .filter(F.col("qty") > 100)
+             .select("l_suppkey"))
+    return (load(spark, sf_dir, "supplier")
+            .join(F.broadcast(heavy),
+                  F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+            .join(F.broadcast(load(spark, sf_dir, "nation")),
+                  F.col("n_nationkey") == F.col("s_nationkey"))
+            .select("s_suppkey", "s_name", "n_name"))
+
+
+@register("tpch_q21", oracle="""
+WITH lo AS (
+    SELECT l_orderkey, l_suppkey,
+           datediff('day', o_orderdate, l_shipdate) > 90 AS is_late
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE o_orderstatus = 'F'
+)
+SELECT s.s_name,
+       CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+FROM lo l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE l1.is_late
+  AND n.n_name IN ('NATION_3', 'NATION_11')
+  AND EXISTS (SELECT 1 FROM lo l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lo l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.is_late)
+GROUP BY 1
+""")
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers-who-kept-orders-waiting (TPC-H Q21 shape): on
+    finished multi-supplier orders, the supplier whose line shipped
+    >90 days after the order while every OTHER supplier shipped on
+    time (late = shipdate lag; no receipt/commit dates here). The
+    EXISTS / NOT EXISTS pair is computed as per-order supplier
+    statistics over ONE shuffle (count distinct suppliers, count
+    distinct late suppliers per order) instead of two correlated
+    self-joins -- same fixpoint, half the passes; the oracle keeps the
+    classic two-subquery form to prove equivalence."""
+    pin_session_conf(spark)
+    lo = (load(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_shipdate")
+          .join(load(spark, sf_dir, "orders")
+                .filter(F.col("o_orderstatus") == "F")
+                .select("o_orderkey", "o_orderdate"),
+                F.col("o_orderkey") == F.col("l_orderkey"))
+          .select("l_orderkey", "l_suppkey",
+                  (F.datediff("l_shipdate", "o_orderdate") > 90)
+                  .alias("is_late")))
+    per_order = (lo.groupBy("l_orderkey")
+                 .agg(F.countDistinct("l_suppkey").alias("n_supps"),
+                      F.countDistinct(
+                          F.when(F.col("is_late"), F.col("l_suppkey")))
+                      .alias("n_late_supps")))
+    nat = (load(spark, sf_dir, "nation")
+           .filter(F.col("n_name").isin("NATION_3", "NATION_11"))
+           .select("n_nationkey", "n_name"))
+    sup = (load(spark, sf_dir, "supplier")
+           .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+           .select("s_suppkey", "s_name"))
+    return (lo.filter(F.col("is_late"))
+            .join(per_order.filter((F.col("n_supps") >= 2)
+                                   & (F.col("n_late_supps") == 1)),
+                  "l_orderkey", "left_semi")
+            .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+            .groupBy("s_name")
+            .agg(F.countDistinct("l_orderkey").alias("numwait")))
