@@ -128,6 +128,42 @@ def ml_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return onehot_parts(spark, sf_dir)
 
 
+def elbow_frame(spark: SparkSession, rows: list[tuple[int, float]]) -> DataFrame:
+    """(k, sse) sweep rows -> elbow table with lag-diff and best-k flag,
+    exactly the reference's rule (MLR.py:47-51,181-182): best k = the
+    largest drop in SSE (most negative lag-diff), ties -> smallest k.
+    Shared by ml_kmeans_elbow and the golden-log confrontation test
+    (tests/test_golden_log.py), which feeds the reference's OWN
+    published SSE table through this code and expects its published
+    pick (k=3) back."""
+    sweep = spark.createDataFrame(rows, "k int, sse double")
+    w = Window.orderBy("k")
+    diffed = sweep.withColumn(
+        "sse_diff", F.coalesce(F.col("sse") - F.lag("sse").over(w), F.lit(0.0)))
+    best_k = (diffed.orderBy(F.col("sse_diff").asc(), F.col("k").asc())
+              .select("k").first()[0])
+    return diffed.withColumn("is_best", (F.col("k") == best_k).cast("int"))
+
+
+def elbow_best_k(sse: dict[int, float]) -> int:
+    """Pure-Python twin of elbow_frame's pick, for call sites that
+    already hold the sweep as a dict (ml_movielens_report): argmin of
+    the first difference, ties -> smallest k; the smallest k's diff is
+    0 so it can never win (MLR.py:49)."""
+    lo = min(sse)
+    diffs = {k: (0.0 if k == lo else sse[k] - sse[k - 1]) for k in sse}
+    return min(diffs, key=lambda k: (diffs[k], k))
+
+
+def best_by_min_rmse(rows: list, pos: int):
+    """First row attaining the minimal RMSE at tuple position `pos` --
+    the reference's pandas idxmin over the CV output (MLR.py:40-44,
+    :63). Python's min() returns the first minimum, matching idxmin's
+    first-occurrence rule. Shared by ml_als_cv / ml_als_cv_full and
+    the golden-log confrontation test."""
+    return min(rows, key=lambda r: r[pos])
+
+
 @register("ml_kmeans_elbow")  # rows-only: SSE needs MLlib
 def ml_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M2+M5+M6: KMeans sweep k=2..10 (seed 823) over the embeddings
@@ -141,13 +177,7 @@ def ml_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
              .cache())
     rows = kmeans_sweep(feats)
     feats.unpersist()
-    sweep = spark.createDataFrame(rows, "k int, sse double")
-    w = Window.orderBy("k")
-    diffed = sweep.withColumn(
-        "sse_diff", F.coalesce(F.col("sse") - F.lag("sse").over(w), F.lit(0.0)))
-    best_k = (diffed.orderBy(F.col("sse_diff").asc(), F.col("k").asc())
-              .select("k").first()[0])
-    return (diffed.withColumn("is_best", (F.col("k") == best_k).cast("int"))
+    return (elbow_frame(spark, rows)
             .select("k", F.round("sse", 4).alias("sse"),
                     F.round("sse_diff", 4).alias("sse_diff"), "is_best"))
 
@@ -216,7 +246,7 @@ def ml_als_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     train.unpersist()
     rows = [(pm[als.rank], float(pm[als.regParam]), float(m))
             for pm, m in zip(grid, cv_model.avgMetrics)]
-    best = min(rows, key=lambda r: r[2])
+    best = best_by_min_rmse(rows, 2)
     out = spark.createDataFrame(rows, "rank int, reg_param double, avg_rmse double")
     return (out.withColumn("is_best",
                            ((F.col("rank") == best[0]) &
@@ -274,7 +304,7 @@ def ml_als_cv_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     cv_model = cv.fit(train)
     rows = [(i, pm[als.rank], pm[als.maxIter], float(pm[als.regParam]), float(m))
             for i, (pm, m) in enumerate(zip(grid, cv_model.avgMetrics))]
-    best_idx = min(rows, key=lambda r: r[4])[0]
+    best_idx = best_by_min_rmse(rows, 4)[0]
     out = spark.createDataFrame(
         rows, "grid_idx int, rank int, max_iter int, reg_param double, avg_rmse double")
     return (out.withColumn("is_best", (F.col("grid_idx") == best_idx).cast("int"))
@@ -318,10 +348,7 @@ def ml_movielens_report(spark: SparkSession, sf_dir: str) -> DataFrame:
              .transform(onehot).cache())
 
     sse = dict(kmeans_sweep(feats))
-    # reference elbow: argmin of first difference; k=2's diff is 0 so it
-    # can never win (MLR.py:49).
-    diffs = {k: (0.0 if k == 2 else sse[k] - sse[k - 1]) for k in sse}
-    best_k = min(diffs, key=lambda k: (diffs[k], k))
+    best_k = elbow_best_k(sse)
 
     model = KMeans(k=best_k, seed=SEED).fit(feats)
     clusters = (model.transform(feats)
