@@ -412,11 +412,20 @@ def min_label_components(docs: DataFrame, edges: DataFrame,
     Returns (doc_id, component, component_size); component = min
     reachable doc_id. Factored out of dedup_components so tests can
     drive it with adversarial graph shapes (e.g. a chain, the worst
-    diameter per edge count)."""
+    diameter per edge count).
+
+    The iteration runs ONLY over nodes that appear in the edge list:
+    a doc with no near-dup edge is its own component by definition and
+    can never receive a smaller label, so carrying it through every
+    round is pure shuffle waste. At 100 TB this is the difference
+    between looping over the whole corpus and looping over the dup
+    graph (typically orders of magnitude smaller); the isolated docs
+    are joined back once at the end, label = own id, size = 1."""
     undirected = (edges.selectExpr("doc_a AS src", "doc_b AS dst")
                   .union(edges.selectExpr("doc_b AS src", "doc_a AS dst"))
                   .cache())
-    comp = docs.select("doc_id", F.col("doc_id").alias("comp")).cache()
+    comp = (undirected.select(F.col("src").alias("doc_id")).distinct()
+            .select("doc_id", F.col("doc_id").alias("comp")).cache())
     prev_sum = None
     # Iteration cap: min-label propagation converges in O(diameter)
     # rounds; the cap turns a pathological input (or a future bug) into
@@ -453,9 +462,15 @@ def min_label_components(docs: DataFrame, edges: DataFrame,
             f"min_label_components did not converge in {max_rounds} rounds")
     undirected.unpersist()
     w = Window.partitionBy("comp")
-    return (comp.select(F.col("doc_id"),
-                        F.col("comp").alias("component"),
-                        F.count(F.lit(1)).over(w).alias("component_size")))
+    connected = comp.select(F.col("doc_id"),
+                            F.col("comp").alias("component"),
+                            F.count(F.lit(1)).over(w).alias("component_size"))
+    # isolated docs: never touched an edge -> singleton components.
+    isolated = (docs.join(comp.select("doc_id"), "doc_id", "left_anti")
+                .select(F.col("doc_id"),
+                        F.col("doc_id").alias("component"),
+                        F.lit(1).cast("long").alias("component_size")))
+    return connected.unionByName(isolated)
 
 
 @register("dedup_latest_by_key", oracle="""

@@ -192,3 +192,63 @@ def vec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.sqrt(sumsq), 4).alias("l2_norm"),
                     F.round(F.array_max("embedding").cast("double"), 5).alias("max_val"),
                     F.round(F.array_min("embedding").cast("double"), 5).alias("min_val")))
+
+
+@register("sim_sq8", oracle=f"""
+WITH v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+), s AS (
+    SELECT vec_id, ve,
+           127.0 / nullif(list_max(list_transform(ve, x -> abs(x))), 0) AS sc
+    FROM v
+), d AS (
+    SELECT vec_id,
+           list_transform(ve, x -> floor(x * sc + 0.5) / sc) AS dv
+    FROM s
+), q AS (
+    SELECT vec_id AS query_id, dv AS qv FROM d WHERE vec_id < {N_QUERIES}
+), scored AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           list_cosine_similarity(q.qv, c.dv) AS cos
+    FROM q JOIN d c ON q.query_id <> c.vec_id
+), ranked AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+       round(cos, 4) AS cosine
+FROM ranked WHERE rank <= {TOP_K}
+""")
+def sim_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (int8) similarity scan: each vector is encoded
+    as 8-bit codes with a per-vector scale (127 / max|x|), then search
+    runs over the DEQUANTIZED codes -- the memory-bandwidth play every
+    vector store makes: 4x fewer bytes scanned than float32 at <1%
+    cosine error. Quantization is floor(x*scale + 0.5), identical and
+    deterministic in both engines, so the oracle certifies the whole
+    encode -> decode -> rank pipeline value-for-value, which the
+    KMeans-seeded IVF/LSH paths cannot.
+
+    At 100 TB: the codes column (array<tinyint> + 1 double) is what a
+    real deployment would persist and scan; everything here is
+    higher-order array expressions inside codegen -- no UDF, no
+    Python. Composes with sim_ivf: IVF prunes cells, SQ8 shrinks the
+    bytes each probe reads."""
+    pin_session_conf(spark)
+    corpus = _corpus(spark, sf_dir)
+    sc = 127.0 / F.nullif(
+        F.array_max(F.transform("v", lambda x: F.abs(x))), F.lit(0.0))
+    # codes materialized as int8 to prove the storage claim, decoded in
+    # the same projection for the scan.
+    enc = corpus.select(
+        "vec_id",
+        F.transform("v", lambda x: F.floor(x * sc + 0.5).cast("tinyint"))
+        .alias("codes"),
+        sc.alias("sc"))
+    dec = enc.select(
+        "vec_id",
+        F.transform("codes", lambda c: c.cast("double") / F.col("sc"))
+        .alias("v"))
+    return brute_force_topk(dec.where(F.col("vec_id") < N_QUERIES), dec)

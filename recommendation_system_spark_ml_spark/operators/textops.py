@@ -403,3 +403,114 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.countDistinct("mh").cast("int").alias("n_fp"),
                  F.md5(F.concat_ws("", F.array_sort(F.collect_set("mh"))))
                  .alias("fp_digest")))
+
+
+@register("text_pii_redact", oracle="""
+WITH injected AS (
+    SELECT doc_id,
+           text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com or call 555-'
+                || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.' AS s
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(s,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER)
+           AS n_emails,
+       CAST(len(regexp_extract_all(s, '\\d{3}-\\d{3}-\\d{4}')) AS INTEGER)
+           AS n_phones,
+       md5(regexp_replace(regexp_replace(s,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\\d{3}-\\d{3}-\\d{4}', '<PHONE>', 'g')) AS redacted_md5
+FROM injected
+""")
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training data: find-and-mask emails and phone
+    numbers, returning per-doc redaction counts and an md5 of the
+    redacted text (so the oracle certifies the masking byte-for-byte,
+    not just the counts). The synthetic corpus carries no organic PII,
+    so a deterministic doc_id-derived email+phone suffix is appended
+    first -- the SAME injection in Spark and DuckDB -- making the
+    redaction path actually exercise matches at every scale factor.
+
+    Both regex dialects (Java here, RE2 in the oracle) are backtracking-
+    free on these patterns, so matches agree. At 100 TB this is a pure
+    map op inside whole-stage codegen: no shuffle, no UDF; the regexes
+    are the only cost and scale linearly with bytes scanned."""
+    pin_session_conf(spark)
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\d{3}-\d{3}-\d{4}"
+    s = F.concat(
+        F.col("text"), F.lit(" Contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"), F.lit("."))
+    redacted = F.regexp_replace(
+        F.regexp_replace(s, email, "<EMAIL>"), phone, "<PHONE>")
+    return (load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.regexp_extract_all(s, F.lit(email), F.lit(0)))
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(s, F.lit(phone), F.lit(0)))
+        .alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5")))
+
+
+@register("pipeline_decontaminate", oracle="""
+WITH w AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+), sh AS (
+    SELECT doc_id, array_to_string(list_slice(ws, g, g + 7), ' ') AS g8
+    FROM w, LATERAL (SELECT unnest(generate_series(
+        1, CAST(len(ws) - 7 AS BIGINT))) AS g) gs
+    WHERE len(ws) >= 8
+), bench AS (
+    SELECT DISTINCT g8 FROM sh WHERE doc_id % 20 = 0
+), hits AS (
+    SELECT s.doc_id, count(DISTINCT s.g8) AS n_overlap
+    FROM sh s JOIN bench b ON s.g8 = b.g8
+    WHERE s.doc_id % 20 <> 0
+    GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_overlap, 0) AS INTEGER) AS n_overlap,
+       coalesce(h.n_overlap, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 20 <> 0
+""")
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: flag training documents sharing any
+    8-word shingle with the held-out benchmark set (docs with
+    doc_id % 20 == 0 stand in for the benchmark). This is the standard
+    LLM-corpus hygiene step -- exact n-gram collision against the eval
+    suites -- expressed as shingle explode + semi-join.
+
+    Scale shape: the benchmark side is tiny (eval suites are MBs, the
+    corpus is TBs), so its distinct shingle set is BROADCAST -- the
+    corpus-side shingles stream past it map-side with no shuffle of
+    corpus data at all; only the per-doc overlap count aggregates.
+    Joining the raw shingle strings keeps the count exact; at 100 TB
+    the join key would be xxhash64(shingle) with the string kept only
+    for collision re-check."""
+    pin_session_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    ws = F.split(F.lower("text"), " ")
+    sh = (docs.where(F.size(ws) >= 8)
+          .select("doc_id",
+                  F.explode(F.expr(
+                      "transform(sequence(1, size(split(lower(text), ' ')) - 7),"
+                      " i -> concat_ws(' ', slice(split(lower(text), ' '), i, 8)))"))
+                  .alias("g8")))
+    bench = (sh.where(F.col("doc_id") % 20 == 0).select("g8").distinct())
+    hits = (sh.where(F.col("doc_id") % 20 != 0)
+            .join(F.broadcast(bench), "g8")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("g8").alias("n_overlap")))
+    return (docs.where(F.col("doc_id") % 20 != 0).select("doc_id")
+            .join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_overlap", F.lit(0)).cast("int")
+                    .alias("n_overlap"),
+                    (F.coalesce("n_overlap", F.lit(0)) > 0)
+                    .alias("contaminated")))

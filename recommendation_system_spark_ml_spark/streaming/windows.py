@@ -27,10 +27,16 @@ from recommendation_system_spark_ml_spark.registry import register
 from recommendation_system_spark_ml_spark.session import pin_session_conf
 from recommendation_system_spark_ml_spark.sources.catalog import load
 
-# Parquet stores TIMESTAMP(NANOS); with nanosAsLong pinned (session.py)
-# it reads as bigint, converted to micros exactly like catalog.load().
+# Parquet stores TIMESTAMP(NANOS). readStream requires a user schema,
+# and what a bigint `ts` field yields depends on the runtime: builds
+# honoring nanosAsLong hand back epoch-NANOS, newer readers that map
+# TIMESTAMP(NANOS) natively hand back epoch-MICROS for a bigint field.
 EVENTS_SCHEMA = ("event_id bigint, ts bigint, user_id bigint, "
                  "event_type string, value double, props string")
+
+# Magnitude gate between the two: epoch-micros stays < 4e15 until year
+# 2096, epoch-nanos passed 1e18 in 2001 -- unambiguous for any sane ts.
+_NANOS_CUTOFF = 4_000_000_000_000_000
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -41,7 +47,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
            .option("maxFilesPerTrigger", 1)
            .option("pathGlobFilter", "events.parquet")
            .parquet(sf_dir))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    micros = F.when(F.abs(F.col("ts")) > F.lit(_NANOS_CUTOFF),
+                    F.expr("ts DIV 1000")).otherwise(F.col("ts"))
+    return raw.withColumn("ts", F.timestamp_micros(micros))
 
 
 # --- transforms (mode-agnostic) -------------------------------------------

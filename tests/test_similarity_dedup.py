@@ -74,3 +74,36 @@ def test_min_label_components_chain_worst_diameter(spark):
     # the iteration cap fails loudly instead of looping forever
     with pytest.raises(RuntimeError, match="did not converge"):
         min_label_components(docs, edges, max_rounds=3)
+
+
+def test_min_label_components_empty_edges_all_singletons(spark):
+    """No edges: the iteration loop must terminate immediately and
+    every doc must come back as its own singleton component (the
+    isolated-node join-back path, which the edge-node-restricted
+    iteration no longer produces from the loop itself)."""
+    from recommendation_system_spark_ml_spark.operators.dedup import (
+        min_label_components)
+
+    docs = spark.createDataFrame([(i,) for i in range(7)], "doc_id bigint")
+    edges = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    rows = {r.doc_id: r for r in min_label_components(docs, edges).collect()}
+    assert len(rows) == 7
+    assert all(rows[i].component == i and rows[i].component_size == 1
+               for i in range(7))
+
+
+def test_sq8_recall_and_quantization_error(spark):
+    """Int8 scalar quantization must not change the neighbor ranking
+    materially: top-5 overlap vs exact brute force >= 80%, and each
+    decoded cosine within 0.02 of the exact value for shared pairs."""
+    from recommendation_system_spark_ml_spark.operators.similarity import (
+        sim_topk, sim_sq8)
+
+    sf = "/root/testdata/sf0.001"
+    exact = {(r.query_id, r.neighbor_id): r.cosine
+             for r in sim_topk(spark, sf).collect()}
+    quant = {(r.query_id, r.neighbor_id): r.cosine
+             for r in sim_sq8(spark, sf).collect()}
+    shared = set(exact) & set(quant)
+    assert len(shared) >= 0.8 * len(exact)
+    assert all(abs(exact[k] - quant[k]) <= 0.02 for k in shared)
