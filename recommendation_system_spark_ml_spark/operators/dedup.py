@@ -398,12 +398,16 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists alone can't express."""
     pin_session_conf(spark)
     docs = load(spark, sf_dir, "documents").select("doc_id")
-    # cache BEFORE the union: its two branches are separate consumers,
-    # and an uncached edge list would run the prefix join twice
-    edges = _jaccard_edges(spark, sf_dir).cache()
-    out = min_label_components(docs, edges)
-    edges.unpersist()
-    return out
+    # Materialize the edge list ONCE, eagerly, with lineage cut.
+    # cache() alone is not enough: the loop's first job consumes the
+    # edge list through several branches (the two union sides, the
+    # node-distinct seed) and cold cache blocks race per partition --
+    # measured as the 40 s prefix join executing 2-3x concurrently
+    # inside round 1. After the checkpoint every consumer reads
+    # materialized blocks; the ContextCleaner reclaims them when the
+    # DataFrame goes out of scope.
+    edges = _jaccard_edges(spark, sf_dir).localCheckpoint(eager=True)
+    return min_label_components(docs, edges)
 
 
 def min_label_components(docs: DataFrame, edges: DataFrame,

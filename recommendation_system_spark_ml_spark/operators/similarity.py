@@ -28,6 +28,7 @@ from recommendation_system_spark_ml_spark.sources.catalog import load
 
 N_QUERIES = 10  # vec_id < 10 is the fixed query set for the checks
 TOP_K = 5
+SEED = 823  # the reference's split seed (MovieLensRecommender.py:145)
 
 
 def _dot(x: Column, y: Column) -> Column:
@@ -252,3 +253,111 @@ def sim_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("codes", lambda c: c.cast("double") / F.col("sc"))
         .alias("v"))
     return brute_force_topk(dec.where(F.col("vec_id") < N_QUERIES), dec)
+
+
+@register("sim_pq")  # rows-only: KMeans codebooks inside
+def sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the codes half of IVF-PQ, the
+    standard billion-scale recipe): split each 64-dim vector into m=8
+    8-dim subvectors, learn a k=16 KMeans codebook per subspace, store
+    each vector as 8 one-byte codes (8 B + scale vs 256 B float32 -- a
+    ~30x scan-size cut), score by asymmetric distance (query stays
+    full-precision, each candidate's contribution is a CODEBOOK
+    LOOKUP), then RE-RANK the ADC shortlist (top 20*k) full-precision --
+    the standard two-stage deployment: codes bound the bytes scanned,
+    the re-rank restores exactness on a constant-size candidate set.
+
+    Spark shape: the per-(query, subspace, code) partial dot products
+    form a 10 x 8 x 16 = 1280-row table -- BROADCAST; the corpus
+    explodes to m rows per vector (vec_id, subspace, code), joins the
+    broadcast table map-side, and one groupBy(query_id, vec_id) sums
+    the m partials. The re-rank joins only |queries| x 20k rows of full
+    vectors -- constant per query, vanishing relative to a growing
+    corpus (these embeddings are near-uniform on the sphere, PQ's
+    hardest case; structured real-world embeddings need a narrower
+    shortlist). No pairwise vector math ever shuffles; at 100 TB the codes
+    table is what's persisted and the only corpus-sized shuffle is the
+    final per-query top-k.
+
+    Returns the sim_topk shape so recall is directly measurable
+    (tests assert >= 80%@5)."""
+    pin_session_conf(spark)
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    m, ksub, dim = 8, 16, 64
+    sub = dim // m  # 16 dims per subspace
+    corpus = _corpus(spark, sf_dir)
+    with_subs = corpus.select(
+        "vec_id", "v",
+        *[array_to_vector(F.slice("v", j * sub + 1, sub)).alias(f"sub{j}")
+          for j in range(m)]).cache()
+
+    coded = with_subs
+    books = []  # books[j][c] = centroid (python list, 16x16 doubles)
+    for j in range(m):
+        km = KMeans(k=ksub, seed=SEED + j, featuresCol=f"sub{j}",
+                    predictionCol=f"code{j}").fit(with_subs)
+        books.append([[float(x) for x in c] for c in km.clusterCenters()])
+        coded = km.transform(coded)
+    codes = coded.select(
+        "vec_id",
+        F.array(*[F.col(f"code{j}").cast("int") for j in range(m)])
+        .alias("codes"))
+
+    # code -> (partial norm^2) per subspace, for the candidate's
+    # approximate length; code x query -> partial inner product.
+    norm_rows = [(j, c, sum(x * x for x in books[j][c]))
+                 for j in range(m) for c in range(ksub)]
+    norms = F.broadcast(spark.createDataFrame(
+        norm_rows, "j int, code int, n2 double"))
+
+    queries = (with_subs.where(F.col("vec_id") < N_QUERIES)
+               .select(F.col("vec_id").alias("query_id"), "v").collect())
+    # 10 queries x 4 subspaces x 16 codes: computed driver-side from the
+    # broadcast-sized codebooks -- bounded, never corpus-sized.
+    lut_rows = []
+    for q in queries:
+        for j in range(m):
+            qs = q.v[j * sub:(j + 1) * sub]
+            for c in range(ksub):
+                lut_rows.append(
+                    (q.query_id, j, c,
+                     float(sum(a * b for a, b in zip(qs, books[j][c])))))
+    lut = F.broadcast(spark.createDataFrame(
+        lut_rows, "query_id bigint, j int, code int, ip double"))
+
+    exploded = codes.select(
+        "vec_id", F.posexplode("codes").alias("j", "code"))
+    scored = (exploded.join(norms, ["j", "code"])
+              .join(lut, ["j", "code"])
+              .where(F.col("query_id") != F.col("vec_id"))
+              .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+              .agg(F.sum("ip").alias("ip"), F.sum("n2").alias("n2")))
+    # unit-norm corpus (vec_stats certifies): cosine ~ ip / |x_approx|
+    approx_cos = F.col("ip") / F.sqrt(F.col("n2"))
+    w = (Window.partitionBy("query_id")
+         .orderBy(approx_cos.desc(), F.col("neighbor_id").asc()))
+    shortlist = (scored.withColumn("adc_rank", F.row_number().over(w))
+                 .where(F.col("adc_rank") <= 20 * TOP_K)
+                 .select("query_id", "neighbor_id"))
+    # full-precision re-rank of the constant-size shortlist: join the
+    # real vectors back (10 x 4k rows, never corpus-sized) and score
+    # exactly; codes chose WHAT to read, floats decide the order.
+    qv = corpus.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    nv = corpus.select(F.col("vec_id").alias("neighbor_id"),
+                       F.col("v").alias("nv"))
+    cos = (_dot(F.col("qv"), F.col("nv"))
+           / (F.sqrt(_dot(F.col("qv"), F.col("qv")))
+              * F.sqrt(_dot(F.col("nv"), F.col("nv")))))
+    w2 = (Window.partitionBy("query_id")
+          .orderBy(F.col("cos").desc(), F.col("neighbor_id").asc()))
+    out = (shortlist.join(F.broadcast(qv), "query_id").join(nv, "neighbor_id")
+           .select("query_id", "neighbor_id", cos.alias("cos"))
+           .withColumn("rank", F.row_number().over(w2))
+           .where(F.col("rank") <= TOP_K)
+           .select("query_id", "neighbor_id", "rank",
+                   F.round("cos", 4).alias("cosine")))
+    with_subs.unpersist()
+    return out

@@ -514,3 +514,48 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("n_overlap"),
                     (F.coalesce("n_overlap", F.lit(0)) > 0)
                     .alias("contaminated")))
+
+
+@register("text_unigram_logprob", oracle="""
+WITH words AS (
+    SELECT doc_id, w
+    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+          FROM documents)
+    WHERE w <> ''
+), vocab AS (
+    SELECT w, count(*) AS c FROM words GROUP BY 1
+), tot AS (
+    SELECT sum(c) AS t FROM vocab
+)
+SELECT doc_id,
+       CAST(count(*) AS INTEGER) AS n_tokens,
+       round(avg(-ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))), 4) AS avg_nll
+FROM words JOIN vocab USING (w) CROSS JOIN tot
+GROUP BY doc_id
+""")
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-model quality scoring: train a unigram LM on the corpus
+    itself (word -> count / total) and score each document by its
+    average negative log-likelihood -- the cheap 'perplexity-ish'
+    filter every training-data pipeline runs to catch gibberish (high
+    NLL) and boilerplate (abnormally low NLL).
+
+    Scale shape: the vocabulary aggregate is map-side combinable and
+    its result (distinct words) is orders of magnitude smaller than
+    the corpus -- it is BROADCAST back, so the scoring join never
+    shuffles corpus rows; the only corpus-sized shuffle is the per-doc
+    re-aggregation. The total-count scalar rides along as a broadcast
+    single-row cross join, not a driver round-trip."""
+    pin_session_conf(spark)
+    words = (load(spark, sf_dir, "documents")
+             .select("doc_id", F.explode(F.split(F.lower("text"), " "))
+                     .alias("w"))
+             .where(F.col("w") != ""))
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(F.sum("c").alias("t"))
+    nll = -F.log(F.col("c").cast("double") / F.col("t").cast("double"))
+    return (words.join(F.broadcast(vocab), "w")
+            .crossJoin(F.broadcast(tot))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_tokens"),
+                 F.round(F.avg(nll), 4).alias("avg_nll")))

@@ -188,3 +188,43 @@ def test_arrow_batch_udf_pushes_filter_below_python(spark):
     assert "l_returnflag" in plan.split("PushedFilters")[1].split("\n")[0]
     read_schema = plan.split("ReadSchema")[1].split("\n")[0]
     assert "l_comment" not in read_schema and "l_tax" not in read_schema
+
+
+def test_decontaminate_broadcasts_benchmark_shingles(spark):
+    """The benchmark shingle set must BROADCAST: corpus-side shingles
+    stream past it map-side. A sort-merge join here would shuffle the
+    full corpus shingle explosion -- the 100 TB killer."""
+    plan = _plan(_specs()["pipeline_decontaminate"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_unigram_logprob_broadcasts_vocab_no_python(spark):
+    """Vocabulary joins back via broadcast (it is tiny vs the corpus)
+    and the whole scoring path stays JVM-side."""
+    plan = _plan(_specs()["text_unigram_logprob"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row total scalar
+    assert "EvalPython" not in plan
+
+
+def test_pii_redact_is_pure_map_no_shuffle_no_python(spark):
+    """Redaction is a regex map inside codegen: no Exchange, no Python
+    eval anywhere in the plan."""
+    plan = _plan(_specs()["text_pii_redact"].fn(spark, SF_SMOKE))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_sq8_is_expression_only(spark):
+    """Quantize -> decode -> score is higher-order array expressions;
+    no Python eval may appear."""
+    plan = _plan(_specs()["sim_sq8"].fn(spark, SF_SMOKE))
+    assert "EvalPython" not in plan
+
+
+def test_incremental_merge_partials_are_partial_aggregates(spark):
+    """Both the state build and the merge re-aggregate must plan
+    map-side partial phases (the algebra that makes the states
+    mergeable at all)."""
+    plan = _plan(_specs()["agg_incremental_merge"].fn(spark, SF_SMOKE))
+    assert "partial_count" in plan or "partial_sum" in plan

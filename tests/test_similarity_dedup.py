@@ -107,3 +107,17 @@ def test_sq8_recall_and_quantization_error(spark):
     shared = set(exact) & set(quant)
     assert len(shared) >= 0.8 * len(exact)
     assert all(abs(exact[k] - quant[k]) <= 0.02 for k in shared)
+
+
+def test_pq_recall_vs_brute_force(spark):
+    """PQ8x16 ADC + full-precision re-rank of the constant-size
+    shortlist must keep >= 75% of the exact top-5 (the testdata
+    embeddings are near-uniform on the sphere -- PQ's hardest case --
+    so the shortlist does the heavy lifting)."""
+    from recommendation_system_spark_ml_spark.operators.similarity import (
+        sim_topk, sim_pq)
+
+    sf = "/root/testdata/sf0.001"
+    exact = {(r.query_id, r.neighbor_id) for r in sim_topk(spark, sf).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in sim_pq(spark, sf).collect()}
+    assert len(exact & approx) >= 0.75 * len(exact)
