@@ -1079,3 +1079,95 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
             .groupBy("s_name")
             .agg(F.countDistinct("l_orderkey").alias("numwait")))
+
+
+@register("funnel_events", oracle="""
+WITH s1 AS (
+    SELECT user_id, min(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY 1
+), s2 AS (
+    SELECT e.user_id, min(e.ts) AS t2
+    FROM events e JOIN s1 ON e.user_id = s1.user_id
+    WHERE e.event_type = 'click' AND e.ts > s1.t1
+    GROUP BY 1
+), s3 AS (
+    SELECT e.user_id, min(e.ts) AS t3
+    FROM events e JOIN s2 ON e.user_id = s2.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    GROUP BY 1
+)
+SELECT stage, users FROM (
+    SELECT 1 AS stage, count(*) AS users FROM s1
+    UNION ALL SELECT 2, count(*) FROM s2
+    UNION ALL SELECT 3, count(*) FROM s3
+)
+""")
+def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step behavioral funnel (view -> click -> purchase, each
+    step strictly after the previous): per-stage user counts, the
+    product-analytics staple. Expressed as ordered min-timestamp
+    cascades -- each stage is one aggregation over the events joined to
+    the previous stage's per-user frontier.
+
+    Scale shape: each stage shuffles on user_id once, and all three
+    stages reuse the SAME hash partitioning, so AQE plans the later
+    joins shuffle-free on the co-partitioned side. Per-user state is
+    one timestamp per stage, never an event list -- memory is O(users),
+    not O(events)."""
+    pin_session_conf(spark)
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (ev.where(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    s2 = (ev.where(F.col("event_type") == "click")
+          .join(s1, "user_id")
+          .where(F.col("ts") > F.col("t1"))
+          .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    s3 = (ev.where(F.col("event_type") == "purchase")
+          .join(s2, "user_id")
+          .where(F.col("ts") > F.col("t2"))
+          .groupBy("user_id").agg(F.min("ts").alias("t3")))
+    counts = [df.agg(F.count(F.lit(1)).alias("users"))
+              .select(F.lit(i + 1).alias("stage"), "users")
+              for i, df in enumerate((s1, s2, s3))]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+@register("retention_cohorts", oracle="""
+WITH weekly AS (
+    SELECT user_id,
+           CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk
+    FROM events
+), firsts AS (
+    SELECT user_id, min(wk) AS cohort_wk FROM weekly GROUP BY 1
+)
+SELECT f.cohort_wk,
+       CAST(w.wk - f.cohort_wk AS BIGINT) AS week_offset,
+       count(DISTINCT w.user_id) AS active_users
+FROM weekly w JOIN firsts f ON w.user_id = f.user_id
+GROUP BY 1, 2
+""")
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-activity
+    week, activity counted per week offset -- THE engagement report.
+    Weeks are epoch-seconds DIV 604800 (engine-portable, timezone- and
+    week-start-free), so both engines bucket identically.
+
+    Scale shape: one groupBy(user) for cohorts, one join back on
+    user_id (co-partitioned with the groupBy's shuffle, AQE reuses the
+    exchange), one final aggregate whose cardinality is
+    cohorts x offsets -- tiny. The distinct inside the final aggregate
+    is per (cohort, offset, user), map-side combinable."""
+    pin_session_conf(spark)
+    weekly = (load(spark, sf_dir, "events")
+              .select("user_id",
+                      F.floor(F.unix_timestamp("ts") / 604800)
+                      .cast("long").alias("wk")))
+    firsts = weekly.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (weekly.join(firsts, "user_id")
+            .groupBy("cohort_wk",
+                     (F.col("wk") - F.col("cohort_wk")).cast("long")
+                     .alias("week_offset"))
+            .agg(F.countDistinct("user_id").alias("active_users")))

@@ -87,14 +87,29 @@ _DRIVER_EVIDENCED_R01 = frozenset({
 })
 
 
+# Deliberately-expensive queries (exhaustive correctness twins, ML fits,
+# the Python datasource): yielded AFTER the cheap entries of their class
+# so a time-budgeted prefix-sampling correctness run banks the largest
+# number of hash-checked rows before spending seconds on any one query.
+_EXPENSIVE = frozenset({
+    "dedup_jaccard", "dedup_embedding", "dedup_components",
+    "dedup_minhash", "dedup_simhash", "dedup_jaccard_prefix",
+    "text_winnow_fingerprint", "scan_python_datasource", "sim_pq",
+    "ml_als_cv", "ml_als_cv_full", "ml_movielens_report",
+    "ml_kmeans_elbow", "ml_cluster_predictor", "ml_als_rmse",
+})
+
+
 def all_specs() -> dict[str, QuerySpec]:
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
     # Stable priority order: (1) oracle-checked queries with no driver
-    # evidence yet, (2) rows-only queries with no evidence, (3) already
-    # driver-evidenced. Within each class, registration order.
+    # evidence yet (cheap before expensive), (2) rows-only queries with
+    # no evidence, (3) already driver-evidenced. Within each class,
+    # registration order. Ordering only -- every query still runs.
     ordered = sorted(
         _REGISTRY,
         key=lambda n: (n in _DRIVER_EVIDENCED_R01,
-                       _REGISTRY[n].oracle is None))
+                       _REGISTRY[n].oracle is None,
+                       n in _EXPENSIVE))
     return {name: _REGISTRY[name] for name in ordered}

@@ -63,7 +63,16 @@ def generate_movielens_twin(spark: SparkSession, out_dir: str,
                             ratings_per_user: int = 20) -> tuple[str, str]:
     """Write movies.dat / ratings.dat twins (FIXTURES.md §1) and return
     their paths. Idempotent per out_dir; deterministic via xxhash64 --
-    scale the row counts and this generator runs distributed as-is."""
+    scale the row counts and this generator runs distributed as-is.
+
+    Safe under CONCURRENT PROCESSES sharing out_dir (e.g. a test run
+    and a driver-mimic at the same scale factor): generation happens in
+    a per-PID staging dir and is COMMITTED by an atomic os.rename; a
+    loser whose rename fails uses the winner's committed copy (or its
+    own staging copy if the target is a crashed partial). Without this,
+    two writers interleaving mode=overwrite on the same path served
+    readers a half-written twin -- observed as a flaky golden-fixture
+    mismatch."""
     movies_path = os.path.join(out_dir, "movies.dat")
     ratings_path = os.path.join(out_dir, "ratings.dat")
     # a crashed writer leaves a partial dir that os.path.exists would
@@ -71,6 +80,11 @@ def generate_movielens_twin(spark: SparkSession, out_dir: str,
     if all(os.path.exists(os.path.join(p, "_SUCCESS"))
            for p in (movies_path, ratings_path)):
         return movies_path, ratings_path
+    stage = f"{out_dir.rstrip('/')}.stage-{os.getpid()}"
+    out_dir = stage  # the writes below land in the staging dir
+    final_movies, final_ratings = movies_path, ratings_path
+    movies_path = os.path.join(stage, "movies.dat")
+    ratings_path = os.path.join(stage, "ratings.dat")
 
     def h(*cols):
         return F.abs(F.xxhash64(*cols, F.lit(42)))
@@ -119,7 +133,31 @@ def generate_movielens_twin(spark: SparkSession, out_dir: str,
         "::", "userId", movie_id,
         rating.cast("decimal(2,1)"), ts).alias("value"))
      .coalesce(1).write.mode("overwrite").text(ratings_path))
-    return movies_path, ratings_path
+
+    # atomic commit: rename each staged dataset into place; on a lost
+    # race keep the winner's committed copy, on a crashed partial
+    # replace it, and if the target still isn't committed fall back to
+    # this process's staging copy.
+    import shutil
+    final_root = os.path.dirname(final_movies)
+    os.makedirs(final_root, exist_ok=True)
+    out_paths = []
+    for src, dst in ((movies_path, final_movies),
+                     (ratings_path, final_ratings)):
+        try:
+            os.rename(src, dst)
+        except OSError:
+            if not os.path.exists(os.path.join(dst, "_SUCCESS")):
+                shutil.rmtree(dst, ignore_errors=True)
+                try:
+                    os.rename(src, dst)
+                except OSError:
+                    pass
+        out_paths.append(
+            dst if os.path.exists(os.path.join(dst, "_SUCCESS")) else src)
+    if all(not p.startswith(stage) for p in out_paths):
+        shutil.rmtree(stage, ignore_errors=True)
+    return out_paths[0], out_paths[1]
 
 
 def load_movielens(spark: SparkSession, scratch_dir: str
