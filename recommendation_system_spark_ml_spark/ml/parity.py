@@ -344,8 +344,20 @@ def ml_movielens_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratings = parse_ratings(spark.read.text(ratings_path))
     onehot = genre_onehot(movies)
     genre_cols = [c for c in onehot.columns if c != "movieId"]
+    # Hash-repartition on the key BEFORE the fits: KMeans||'s seeded
+    # initialization samples per partition, so results depend on the
+    # partition LAYOUT, not just the seed -- a local[8] run and a
+    # local[32] run would produce different (all valid) clusterings and
+    # the golden-fixture regression test would see phantom drift. A
+    # fixed hash layout makes the report a function of (data, seed)
+    # only, on any cluster width -- the same property a real cluster
+    # job needs for reproducible sign-off runs.
+    # ...and sort WITHIN partitions: hash layout fixes which rows land
+    # where, but shuffle fetch order still varies with the upstream
+    # task count, and KMeans|| samples rows positionally.
     feats = (VectorAssembler(inputCols=genre_cols, outputCol="features")
-             .transform(onehot).cache())
+             .transform(onehot).repartition(8, "movieId")
+             .sortWithinPartitions("movieId").cache())
 
     sse = dict(kmeans_sweep(feats))
     best_k = elbow_best_k(sse)
@@ -372,7 +384,10 @@ def ml_movielens_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     als = ALS(rank=10, maxIter=10, regParam=0.05,
               userCol="userId", itemCol="movieId", ratingCol="rating",
               coldStartStrategy="drop", seed=SEED)
-    als_model = als.fit(train.select("userId", "movieId", "rating"))
+    # same layout-pinning rationale as feats above: ALS's block
+    # assignment follows the input partitioning
+    als_model = als.fit(train.select("userId", "movieId", "rating")
+                        .repartition(8, "userId"))
     evaluator = RegressionEvaluator(metricName="rmse", labelCol="rating",
                                     predictionCol="prediction")
     als_rmse = float(evaluator.evaluate(

@@ -195,7 +195,7 @@ def vec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.array_min("embedding").cast("double"), 5).alias("min_val")))
 
 
-@register("sim_sq8", oracle=f"""
+@register("sim_sq8", bench=True, oracle=f"""
 WITH v AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
 ), s AS (

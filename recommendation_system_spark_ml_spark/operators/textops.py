@@ -459,7 +459,7 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(redacted).alias("redacted_md5")))
 
 
-@register("pipeline_decontaminate", oracle="""
+@register("pipeline_decontaminate", bench=True, oracle="""
 WITH w AS (
     SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
 ), sh AS (

@@ -74,17 +74,19 @@ def test_ratings_analog_is_a_matrix(spark):
 # Golden regression fixture: ml_movielens_report at the smoke twin
 # (200 movies x 150 users x 20 ratings/user, seed 823) is fully
 # deterministic -- twin generation is xxhash-based, the split is the
-# Knuth hash, KMeans/ALS are seeded -- and was verified identical
-# across local[16] and local[32]. A drift here means an ML refactor
-# changed semantics, not noise. (The reference's published numbers,
-# README.md:45-55, are from real MovieLens-1M which is not in this
-# sandbox; this pins OUR pipeline's numbers the same way theirs pins
-# theirs.)
+# Knuth hash, KMeans/ALS are seeded, AND the fit inputs are pinned to
+# a fixed hash layout + within-partition sort (KMeans|| samples rows
+# positionally per partition, so without the pin the report varied
+# with local[N]) -- verified bit-identical across local[8]/[16]/[32].
+# A drift here means an ML refactor changed semantics, not noise.
+# (The reference's published numbers, README.md:45-55, are from real
+# MovieLens-1M which is not in this sandbox; this pins OUR pipeline's
+# numbers the same way theirs pins theirs.)
 _REPORT_GOLD = {
-    "kmeans_best_k": 3.0,
-    "kmeans_sse_best_k": 249.0397,
-    "kmeans_train_rmse": 0.6101,
-    "kmeans_test_rmse": 0.759,
+    "kmeans_best_k": 5.0,
+    "kmeans_sse_best_k": 221.6469,
+    "kmeans_train_rmse": 0.5601,
+    "kmeans_test_rmse": 0.7709,
     "als_test_rmse": 0.5756,
 }
 
