@@ -187,3 +187,43 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         pass  # already registered in this session
     return spark.read.format("synthetic_telemetry").load()
+
+
+@register("scan_merge_schema", oracle="""
+SELECT n_nationkey, n_name, n_regionkey, region_name
+FROM (
+    SELECT n_nationkey, n_name, n_regionkey, NULL AS region_name
+    FROM nation WHERE n_regionkey < 2
+    UNION ALL
+    SELECT n.n_nationkey, n.n_name, n.n_regionkey, r.r_name AS region_name
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE n.n_regionkey >= 2
+)
+""")
+def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the lake: an old batch written WITHOUT a
+    column and a new batch written WITH it, read back as one dataset
+    via mergeSchema -- the reader unions the footers' schemas and
+    back-fills NULL for the column the old files lack. This is how a
+    100 TB table grows a column without rewriting history; the oracle
+    reproduces the same semantics with a UNION.
+
+    Scale note: mergeSchema reconciles FOOTERS (one small read per
+    file), not data; for tables with millions of files the production
+    variant pins the merged schema from the catalog instead of
+    re-deriving it per scan."""
+    pin_session_conf(spark)
+    path = _scratch(sf_dir, "nation_evolved")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    old = nation.where(F.col("n_regionkey") < 2)
+    new = (nation.where(F.col("n_regionkey") >= 2)
+           .join(F.broadcast(region),
+                 nation.n_regionkey == region.r_regionkey)
+           .select("n_nationkey", "n_name", "n_regionkey",
+                   F.col("r_name").alias("region_name")))
+    old.write.mode("overwrite").parquet(f"{path}/batch=old")
+    new.write.mode("overwrite").parquet(f"{path}/batch=new")
+    return (spark.read.option("mergeSchema", True)
+            .option("recursiveFileLookup", True).parquet(path)
+            .select("n_nationkey", "n_name", "n_regionkey", "region_name"))

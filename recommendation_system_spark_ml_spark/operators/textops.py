@@ -565,3 +565,43 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).cast("int").alias("n_tokens"),
                  F.round(F.avg(nll), 4).alias("avg_nll")))
+
+
+@register("pipeline_chunk_documents", oracle="""
+WITH w AS (
+    SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), chunks AS (
+    SELECT doc_id,
+           CAST((g - 1) / 24 AS INTEGER) AS chunk_idx,
+           array_to_string(list_slice(ws, g, g + 31), ' ') AS chunk_text,
+           CAST(least(len(ws) - g + 1, 32) AS INTEGER) AS n_tokens
+    FROM w, LATERAL (SELECT unnest(generate_series(
+        1, CAST(len(ws) AS BIGINT), 24)) AS g) gs
+)
+SELECT doc_id, chunk_idx, chunk_text, n_tokens FROM chunks
+""")
+def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking for embedding pipelines: 32
+    whitespace tokens per chunk with an 8-token overlap (stride 24),
+    each chunk carrying (doc_id, chunk_idx, token count) so downstream
+    similarity hits map back to their source span. The trailing chunk
+    is kept even when short -- dropping it would silently lose up to a
+    stride of every document's tail.
+
+    Scale shape: pure per-document map fan-out inside codegen (the
+    word array is projected ONCE before the window lambda); no
+    shuffle at all -- chunking 100 TB is embarrassingly parallel and
+    the output lands partition-aligned with its input for the
+    embedding stage that follows."""
+    pin_session_conf(spark)
+    stride, width = 24, 32
+    with_ws = (load(spark, sf_dir, "documents")
+               .select("doc_id", F.split("text", " ").alias("ws")))
+    chunk = F.explode(F.expr(
+        f"transform(sequence(1, size(ws), {stride}),"
+        f" g -> struct(cast((g - 1) div {stride} as int) as chunk_idx,"
+        f"            concat_ws(' ', slice(ws, g, {width})) as chunk_text,"
+        f"            cast(least(size(ws) - g + 1, {width}) as int)"
+        f"                as n_tokens))"))
+    return (with_ws.select("doc_id", chunk.alias("c"))
+            .select("doc_id", "c.chunk_idx", "c.chunk_text", "c.n_tokens"))
