@@ -293,12 +293,22 @@ def sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[array_to_vector(F.slice("v", j * sub + 1, sub)).alias(f"sub{j}")
           for j in range(m)]).cache()
 
+    # the m codebook fits are independent -- overlap them on the
+    # cluster exactly like kmeans_sweep does (each fit is seeded and
+    # layout-free on its own subvector column, so parallel scheduling
+    # cannot change the result)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def fit_subspace(j: int):
+        return KMeans(k=ksub, seed=SEED + j, featuresCol=f"sub{j}",
+                      predictionCol=f"code{j}").fit(with_subs)
+
+    with ThreadPoolExecutor(max_workers=m) as pool:
+        models = list(pool.map(fit_subspace, range(m)))
+    books = [[[float(x) for x in c] for c in km.clusterCenters()]
+             for km in models]
     coded = with_subs
-    books = []  # books[j][c] = centroid (python list, 16x16 doubles)
-    for j in range(m):
-        km = KMeans(k=ksub, seed=SEED + j, featuresCol=f"sub{j}",
-                    predictionCol=f"code{j}").fit(with_subs)
-        books.append([[float(x) for x in c] for c in km.clusterCenters()])
+    for km in models:
         coded = km.transform(coded)
     codes = coded.select(
         "vec_id",

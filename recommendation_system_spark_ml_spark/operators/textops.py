@@ -605,3 +605,56 @@ def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"                as n_tokens))"))
     return (with_ws.select("doc_id", chunk.alias("c"))
             .select("doc_id", "c.chunk_idx", "c.chunk_text", "c.n_tokens"))
+
+
+@register("pipeline_end_to_end", oracle="""
+WITH scored AS (
+    SELECT doc_id, text,
+           len(string_split(lower(text), ' ')) AS n_q,
+           length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
+               AS n_punct,
+           length(text) AS n_chars
+    FROM documents
+), kept AS (
+    SELECT doc_id, text FROM scored
+    WHERE n_q BETWEEN 10 AND 1000
+      AND CAST(n_punct AS DOUBLE) / n_chars < 0.1
+), uniq AS (
+    SELECT min(doc_id) AS doc_id, max(text) AS text
+    FROM kept GROUP BY md5(text)
+)
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+       CAST(1 + (len(string_split(text, ' ')) - 1) // 24 AS INTEGER)
+           AS n_chunks
+FROM uniq
+""")
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data pipeline composed end to end: C4-style quality
+    gate -> exact dedup (min doc_id per content hash) -> 32/24
+    sliding-window chunk plan, reported as (survivor doc, token count,
+    chunk count). One registered query certifying the STAGES COMPOSE --
+    each stage is also oracle-checked alone (text_quality, dedup_exact,
+    pipeline_chunk_documents).
+
+    Scale shape: the gate is a map filter (pushed to the scan for
+    stored columns), dedup shuffles a 16-byte digest + doc_id (never
+    the text -- max(text) rides the same combiner), and the chunk
+    count is arithmetic on the token count, so the composition adds
+    exactly ONE shuffle to the scan."""
+    pin_session_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    q_ws = F.split(F.lower("text"), " ")
+    n_chars = F.length("text")
+    n_punct = n_chars - F.length(F.regexp_replace("text", "[^a-z0-9 ]", ""))
+    kept = docs.where(F.size(q_ws).between(10, 1000)
+                      & (n_punct.cast("double") / n_chars < 0.1))
+    uniq = (kept.groupBy(F.md5("text").alias("h"))
+            .agg(F.min("doc_id").alias("doc_id"),
+                 F.max("text").alias("text")))
+    n_tokens = F.size(F.split("text", " "))
+    return uniq.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        (F.lit(1) + F.floor((n_tokens - 1) / 24)).cast("int")
+        .alias("n_chunks"))
