@@ -620,13 +620,13 @@ WITH scored AS (
     WHERE n_q BETWEEN 10 AND 1000
       AND CAST(n_punct AS DOUBLE) / n_chars < 0.1
 ), uniq AS (
-    SELECT min(doc_id) AS doc_id, max(text) AS text
+    SELECT min(doc_id) AS doc_id,
+           max(len(string_split(text, ' '))) AS n_tokens
     FROM kept GROUP BY md5(text)
 )
 SELECT doc_id,
-       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
-       CAST(1 + (len(string_split(text, ' ')) - 1) // 24 AS INTEGER)
-           AS n_chunks
+       CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST(1 + (n_tokens - 1) // 24 AS INTEGER) AS n_chunks
 FROM uniq
 """)
 def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -638,10 +638,10 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline_chunk_documents).
 
     Scale shape: the gate is a map filter (pushed to the scan for
-    stored columns), dedup shuffles a 16-byte digest + doc_id (never
-    the text -- max(text) rides the same combiner), and the chunk
-    count is arithmetic on the token count, so the composition adds
-    exactly ONE shuffle to the scan."""
+    stored columns), dedup shuffles a 16-byte digest + doc_id + one
+    int (the token count, computed BEFORE the shuffle -- the text
+    itself never moves), and the chunk count is arithmetic on that
+    count, so the composition adds exactly ONE shuffle to the scan."""
     pin_session_conf(spark)
     docs = load(spark, sf_dir, "documents")
     q_ws = F.split(F.lower("text"), " ")
@@ -649,12 +649,13 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_punct = n_chars - F.length(F.regexp_replace("text", "[^a-z0-9 ]", ""))
     kept = docs.where(F.size(q_ws).between(10, 1000)
                       & (n_punct.cast("double") / n_chars < 0.1))
-    uniq = (kept.groupBy(F.md5("text").alias("h"))
+    uniq = (kept.select(F.md5("text").alias("h"), "doc_id",
+                        F.size(F.split("text", " ")).alias("n_tokens"))
+            .groupBy("h")
             .agg(F.min("doc_id").alias("doc_id"),
-                 F.max("text").alias("text")))
-    n_tokens = F.size(F.split("text", " "))
+                 F.max("n_tokens").alias("n_tokens")))
     return uniq.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
-        (F.lit(1) + F.floor((n_tokens - 1) / 24)).cast("int")
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        (F.lit(1) + F.floor((F.col("n_tokens") - 1) / 24)).cast("int")
         .alias("n_chunks"))
