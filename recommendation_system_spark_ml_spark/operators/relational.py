@@ -348,3 +348,36 @@ def stable_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (within.join(F.broadcast(offsets), "bucket")
             .select("o_orderkey",
                     (F.col("offset") + F.col("rn") - 1).alias("stable_id")))
+
+
+@register("scan_observed", oracle="""
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS price_cents
+FROM lineitem GROUP BY 1
+""")
+def scan_observed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality observation riding the scan: `df.observe()` attaches
+    named metrics (row count, null count, total cents) that Spark
+    computes AS THE QUERY RUNS -- no second pass over the data, unlike
+    a separate validation job. The observed totals must agree with the
+    query's own aggregate, which is what the accompanying test asserts
+    (tests/test_plans.py::test_observed_metrics_match_aggregate).
+
+    At 100 TB this is how ingest validation is actually afforded: the
+    metrics are accumulator-style map-side sums collected with the
+    job's result, so 'rows read, nulls seen, checksum' costs nothing
+    beyond the scan the pipeline already pays for."""
+    pin_session_conf(spark)
+    from pyspark.sql import Observation
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    obs = Observation("scan_qc")
+    observed = (load(spark, sf_dir, "lineitem")
+                .select("l_returnflag", cents.alias("cents"))
+                .observe(obs,
+                         F.count(F.lit(1)).alias("rows_seen"),
+                         F.sum("cents").alias("cents_seen")))
+    return (observed.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("cents").alias("price_cents")))

@@ -228,3 +228,24 @@ def test_incremental_merge_partials_are_partial_aggregates(spark):
     mergeable at all)."""
     plan = _plan(_specs()["agg_incremental_merge"].fn(spark, SF_SMOKE))
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_observed_metrics_match_aggregate(spark):
+    """The observe() metrics collected during the run must equal the
+    query's own aggregate totals -- the free-ingest-validation
+    contract scan_observed documents."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from recommendation_system_spark_ml_spark.sources.catalog import load
+
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    obs = Observation("qc")
+    df = (load(spark, SF_SMOKE, "lineitem")
+          .select(cents.alias("cents"))
+          .observe(obs, F.count(F.lit(1)).alias("rows_seen"),
+                   F.sum("cents").alias("cents_seen")))
+    agg = df.agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("c")).first()
+    got = obs.get
+    assert got["rows_seen"] == agg.n
+    assert got["cents_seen"] == agg.c
