@@ -198,3 +198,38 @@ def asof_join_pandas(left: DataFrame, right: DataFrame, key: str, right_key: str
     rhs = right.withColumnRenamed(right_key, key).withColumn("_side", F.lit(1))
     unioned = lhs.unionByName(rhs, allowMissingColumns=True)
     return unioned.groupBy(key).applyInPandas(merge, schema=out_schema)
+
+
+@register("join_null_safe", oracle="""
+WITH c AS (
+    SELECT c_custkey, nullif(c_nationkey % 5, 0) AS seg FROM customer
+), s AS (
+    SELECT s_suppkey, nullif(s_nationkey % 5, 0) AS seg FROM supplier
+)
+SELECT c.c_custkey, s.s_suppkey, coalesce(CAST(c.seg AS VARCHAR), 'NULL') AS seg
+FROM c JOIN s ON c.seg IS NOT DISTINCT FROM s.seg
+""")
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    MATCH EACH OTHER instead of silently dropping, the semantics
+    entity-resolution pipelines need when 'unknown segment' rows must
+    still pair up. A plain equi-join on the same keys loses every
+    NULL row on both sides -- the classic silent-data-loss bug.
+
+    Derived nullable key: nationkey % 5 with 0 mapped to NULL, the
+    same on both sides, so the NULL-matching path carries real rows at
+    every scale factor. Plan note: `<=>` still hash-partitions both
+    sides (NULL hashes to a single key) -- at 100 TB a hot NULL
+    segment is a skew key like any other and takes the same salting
+    treatment (join_salted)."""
+    pin_session_conf(spark)
+    seg_c = F.nullif((F.col("c_nationkey") % 5).cast("int"), F.lit(0))
+    seg_s = F.nullif((F.col("s_nationkey") % 5).cast("int"), F.lit(0))
+    c = (load(spark, sf_dir, "customer")
+         .select("c_custkey", seg_c.alias("seg")))
+    s = (load(spark, sf_dir, "supplier")
+         .select("s_suppkey", seg_s.alias("seg")))
+    return (c.join(F.broadcast(s), c["seg"].eqNullSafe(s["seg"]))
+            .select("c_custkey", "s_suppkey",
+                    F.coalesce(c["seg"].cast("string"), F.lit("NULL"))
+                    .alias("seg")))
