@@ -458,3 +458,22 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("o_orderpriority")
             .agg(F.sum("n").alias("n_orders"),
                  F.sum("c").alias("total_cents")))
+
+
+@register("agg_approx_percentile")  # rows-only: sketch values are engine-specific
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (digest sketch) next to the exact percentile,
+    per return flag: the swap a 100 TB pipeline makes because the exact
+    form buffers every group's values while the sketch is fixed-memory
+    and MERGEABLE across partitions. accuracy=10000 bounds the rank
+    error at 1/10000; tests assert the approx value lands within the
+    exact p49-p51 band (rank-error contract, not value equality --
+    sketch internals are engine-specific, hence rows-only)."""
+    pin_session_conf(spark)
+    return (load(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+                 .alias("p50_approx"),
+                 F.expr("percentile(l_extendedprice, 0.5)").alias("p50_exact"),
+                 F.expr("approx_percentile(l_extendedprice,"
+                        " array(0.25, 0.75), 10000)").alias("p25_p75_approx")))

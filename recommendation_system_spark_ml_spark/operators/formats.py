@@ -227,3 +227,47 @@ def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (spark.read.option("mergeSchema", True)
             .option("recursiveFileLookup", True).parquet(path)
             .select("n_nationkey", "n_name", "n_regionkey", "region_name"))
+
+
+@register("scan_csv_malformed", oracle="""
+SELECT CAST(count(*) FILTER (WHERE n_nationkey % 7 <> 0) AS BIGINT)
+           AS n_good,
+       CAST(count(*) FILTER (WHERE n_nationkey % 7 = 0) AS BIGINT)
+           AS n_corrupt
+FROM nation
+""")
+def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record handling on ingest: a CSV where every 7th row
+    carries garbage in an integer column, read in PERMISSIVE mode with
+    a `_corrupt_record` column -- bad rows become NULL-typed rows WITH
+    their raw line captured, instead of killing the job (FAILFAST) or
+    vanishing silently (DROPMALFORMED). Returns the good/corrupt
+    counts; the corruption is doc_id-deterministic so the oracle knows
+    the split exactly.
+
+    At 100 TB this is the landing-zone contract: quarantine counts per
+    batch come from the same single pass as the load, and the captured
+    raw lines route to a dead-letter sink for replay."""
+    pin_session_conf(spark)
+    path = _scratch(sf_dir, "nation_malformed")
+    nation = load(spark, sf_dir, "nation")
+    line = F.concat_ws(
+        ",",
+        F.when(F.col("n_nationkey") % 7 == 0, F.lit("garbage"))
+        .otherwise(F.col("n_nationkey").cast("string")),
+        "n_name", F.col("n_regionkey").cast("string"))
+    nation.select(line.alias("value")).write.mode("overwrite").text(path)
+    schema = ("n_nationkey INT, n_name STRING, n_regionkey INT, "
+              "_corrupt_record STRING")
+    parsed = (spark.read.schema(schema)
+              .option("mode", "PERMISSIVE")
+              .option("columnNameOfCorruptRecord", "_corrupt_record")
+              .csv(path)
+              # Spark requires caching (or a checkpoint) before
+              # filtering on the corrupt-record column alone
+              .cache())
+    return parsed.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1))
+        .alias("n_good"),
+        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1))
+        .alias("n_corrupt"))

@@ -78,3 +78,26 @@ def test_count_min_sketch_one_sided_bound(spark):
     for r in rows:
         assert r.cms_n >= r.exact_n
         assert r.cms_n - r.exact_n <= max(5, 0.01 * r.exact_n), r
+
+
+def test_approx_percentile_within_rank_error(spark):
+    """approx_percentile's rank-error contract: with accuracy=10000 the
+    reported median must lie between the exact p49 and p51 of its
+    group."""
+    from pyspark.sql import functions as F
+
+    from recommendation_system_spark_ml_spark.operators.aggregates import (
+        agg_approx_percentile)
+    from recommendation_system_spark_ml_spark.sources.catalog import load
+    from tests.conftest import SF_SMOKE
+
+    got = {r.l_returnflag: r.p50_approx
+           for r in agg_approx_percentile(spark, SF_SMOKE).collect()}
+    bands = (load(spark, SF_SMOKE, "lineitem")
+             .groupBy("l_returnflag")
+             .agg(F.expr("percentile(l_extendedprice, 0.49)").alias("lo"),
+                  F.expr("percentile(l_extendedprice, 0.51)").alias("hi"))
+             .collect())
+    for r in bands:
+        assert r.lo <= got[r.l_returnflag] <= r.hi, \
+            f"{r.l_returnflag}: {got[r.l_returnflag]} outside [{r.lo}, {r.hi}]"
