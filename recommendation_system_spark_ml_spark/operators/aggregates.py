@@ -477,3 +477,30 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.expr("percentile(l_extendedprice, 0.5)").alias("p50_exact"),
                  F.expr("approx_percentile(l_extendedprice,"
                         " array(0.25, 0.75), 10000)").alias("p25_p75_approx")))
+
+
+@register("agg_regression", oracle="""
+SELECT l_returnflag,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+       regr_count(l_extendedprice, l_quantity) AS n
+FROM lineitem GROUP BY 1
+""")
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL linear-regression aggregates (regr_slope / intercept / r2 /
+    count): ordinary least squares of price on quantity per return
+    flag, in ONE streaming aggregate pass -- the moments
+    (sums, sums of squares, cross products) are map-side combinable,
+    so a 100 TB regression costs the same shuffle as a sum. The
+    MLlib LinearRegression path is for multi-feature models; for a
+    single regressor the SQL aggregate form avoids the ML pipeline
+    entirely."""
+    pin_session_conf(spark)
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (load(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.round(F.regr_slope(y, x), 4).alias("slope"),
+                 F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+                 F.round(F.regr_r2(y, x), 6).alias("r2"),
+                 F.regr_count(y, x).alias("n")))

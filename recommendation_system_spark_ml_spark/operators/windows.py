@@ -219,3 +219,46 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id",
         F.sum("is_new_session").over(wrun).cast("int").alias("session_seq"),
         F.col("is_new_session").cast("int")))
+
+
+@register("pattern_adjacent_conversion", oracle="""
+WITH seq AS (
+    SELECT user_id, event_type, ts,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS next_ts
+    FROM events
+)
+SELECT user_id,
+       count(*) AS n_conversions,
+       min(epoch_us(next_ts) - epoch_us(ts)) AS fastest_us
+FROM seq
+WHERE event_type = 'view' AND next_type = 'purchase'
+GROUP BY 1
+""")
+def pattern_adjacent_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern detection (the MATCH_RECOGNIZE shape Spark
+    lacks natively): per user, count view events IMMEDIATELY followed
+    by a purchase -- adjacency in the user's event sequence, not just
+    'eventually after' (that is funnel_events). lead() over the
+    per-user order turns pattern matching into a window + filter; ties
+    broken by event_id so both engines see the same sequence.
+
+    One shuffle on user_id, O(1) window state; patterns of length k
+    are k-1 chained leads -- still one window pass."""
+    pin_session_conf(spark)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (load(spark, sf_dir, "events")
+           .select("user_id", "event_type", "ts", "event_id")
+           .withColumn("next_type", F.lead("event_type").over(w))
+           .withColumn("next_ts", F.lead("ts").over(w)))
+    conv = seq.where((F.col("event_type") == "view")
+                     & (F.col("next_type") == "purchase"))
+    # microsecond integers on both sides -- second-truncation vs
+    # rounding of fractional seconds would differ by one otherwise
+    gap = (F.unix_micros(F.col("next_ts").cast("timestamp"))
+           - F.unix_micros(F.col("ts").cast("timestamp")))
+    return (conv.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_conversions"),
+                 F.min(gap).cast("long").alias("fastest_us")))
