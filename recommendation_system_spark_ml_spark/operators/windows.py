@@ -262,3 +262,44 @@ def pattern_adjacent_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (conv.groupBy("user_id")
             .agg(F.count(F.lit(1)).alias("n_conversions"),
                  F.min(gap).cast("long").alias("fastest_us")))
+
+
+@register("window_gaps_islands", oracle="""
+WITH days AS (
+    SELECT DISTINCT user_id,
+           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+    FROM events
+), isl AS (
+    SELECT user_id, d,
+           d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+    FROM days
+), runs AS (
+    SELECT user_id, grp, count(*) AS len FROM isl GROUP BY 1, 2
+)
+SELECT user_id,
+       count(*) AS n_streaks,
+       CAST(max(len) AS BIGINT) AS longest_streak
+FROM runs GROUP BY 1
+""")
+def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: collapse each user's active DAYS into runs of
+    consecutive days (the engagement-streak report). The classic trick
+    -- day minus its per-user row_number is constant within a
+    consecutive run -- turns island detection into a window + two
+    aggregates; no self-join, no iteration. Days are floor(epoch /
+    86400) -- an explicit floor() in the oracle, because DuckDB's //
+    on doubles is plain division and its BIGINT cast ROUNDS.
+
+    One shuffle on user_id for the window, then map-side-combinable
+    aggregates; contrast with sessionize_events, which cuts on TIME
+    GAPS inside a day rather than calendar-day adjacency."""
+    pin_session_conf(spark)
+    day = F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 86400)
+    days = (load(spark, sf_dir, "events")
+            .select("user_id", day.cast("long").alias("d")).distinct())
+    w = W.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn("grp", F.col("d") - F.row_number().over(w))
+    runs = isl.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return (runs.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_streaks"),
+                 F.max("len").cast("long").alias("longest_streak")))
