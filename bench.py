@@ -8,6 +8,12 @@ Each query is forced through the noop sink (df.write.format("noop")):
 full distributed materialization of every row, no driver collect --
 the timing measures the Spark plan, not Py4J transfer.
 
+`--repeat N` (or $SPARK_GRAFT_BENCH_REPEAT) runs every query N times
+and reports the per-query MEDIAN -- this VM throttles unpredictably
+(identical runs measured 3x apart), so medians make round-over-round
+deltas attributable to code instead of noise. Default N=3; the JSON
+line gains "repeat": N. N=1 preserves the old single-shot behavior.
+
 Baseline context (BASELINE.md): the reference's relational phase fits
 in ~8 min on a single 2015 laptop core for ~1M rows; per-query targets
 at sf0.1 (~600k lineitem) are therefore single-digit seconds.
@@ -34,8 +40,21 @@ def _sf_of(sf_dir: str) -> float:
         return -1.0
 
 
+def _repeat_arg() -> int:
+    if "--repeat" in sys.argv:
+        return max(1, int(sys.argv[sys.argv.index("--repeat") + 1]))
+    return max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3")))
+
+
+def _median(xs: list[float]) -> float:
+    xs = sorted(xs)
+    mid = len(xs) // 2
+    return xs[mid] if len(xs) % 2 else (xs[mid - 1] + xs[mid]) / 2
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repeat = _repeat_arg()
     spark = get_spark(app_name="bench")
     # ML-backed queries run LAST: MLlib's iterative fits are dominated
     # by C2 JIT compilation on a cold JVM (measured 37 s cold vs 13.5 s
@@ -50,11 +69,16 @@ def main() -> None:
     first.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     _warm_mllib(spark)
 
-    times: dict[str, float] = {}
-    for name, spec in specs.items():
-        t0 = time.perf_counter()
-        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+    # Round-robin repeats (full sweep x N, not N back-to-back runs of
+    # one query) so a throttling window hits each query at most once
+    # per round instead of eating all of one query's samples.
+    samples: dict[str, list[float]] = {name: [] for name in specs}
+    for _ in range(repeat):
+        for name, spec in specs.items():
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples[name].append(time.perf_counter() - t0)
+    times = {name: round(_median(ts), 3) for name, ts in samples.items()}
 
     print(json.dumps({
         "metric": "bench_total",
@@ -62,6 +86,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": _sf_of(sf_dir),
+        "repeat": repeat,
     }))
 
 

@@ -264,8 +264,11 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
               .option("columnNameOfCorruptRecord", "_corrupt_record")
               .csv(path)
               # Spark requires caching (or a checkpoint) before
-              # filtering on the corrupt-record column alone
-              .cache())
+              # filtering on the corrupt-record column alone; an eager
+              # localCheckpoint lets the ContextCleaner reclaim the
+              # blocks once the returned plan is dereferenced, where a
+              # bare .cache() would pin them for the session's lifetime.
+              .localCheckpoint(eager=True))
     return parsed.agg(
         F.count(F.when(F.col("_corrupt_record").isNull(), 1))
         .alias("n_good"),

@@ -5,9 +5,11 @@ Three tiers, exactness decreasing as scale increases:
 - sim_topk: exact brute-force cosine top-k, the correctness baseline.
   Query set x corpus join; dot products via zip_with + aggregate stay
   inside whole-stage codegen (no Python).
-- sim_lsh: BucketedRandomProjectionLSH over L2-normalized vectors
-  (euclidean LSH on the unit sphere ~ cosine) -- candidate pairs come
-  from hash-bucket joins, not a cross product.
+- sim_lsh: sign-random-projection LSH, expression-native (192 seeded
+  hyperplane sign bits -> 32 banded bucket keys + packed-bit Hamming
+  pre-filter -> exact re-rank) -- candidate pairs come from hash-bucket
+  joins that shuffle ~40 B/row, never a cross product, never MLlib's
+  approxSimilarityJoin (SCALE.md measured pitfall #1).
 - sim_ivf: IVF-style two-stage search -- KMeans coarse quantizer
   (nlist cells), each query probes its nprobe nearest centroids and
   scans only those cells. This is the 100 TB path: the corpus is
@@ -40,6 +42,14 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (load(spark, sf_dir, "embeddings")
             .select("vec_id", F.col("embedding").cast("array<double>").alias("v"),
                     "label"))
+
+
+def _pack_bits(bit_cols: list[Column]) -> Column:
+    """Pack 0/1 long columns into one long, bit i = bit_cols[i] << i."""
+    packed = bit_cols[0]
+    for i, c in enumerate(bit_cols[1:], start=1):
+        packed = packed.bitwiseXOR(F.shiftleft(c, i))
+    return packed
 
 
 def brute_force_topk(queries: DataFrame, corpus: DataFrame,
@@ -90,30 +100,98 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("sim_lsh")  # rows-only: LSH bucketing isn't SQL-expressible
 def sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate neighbor pairs via random-projection LSH on unit
-    vectors. Bucket joins replace the cross product; the recall/cost
-    trade is (bucketLength, numHashTables)."""
-    pin_session_conf(spark)
-    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
-    from pyspark.ml.functions import array_to_vector
+    """Approximate neighbor pairs (cosine >= 0.4) via sign-random-
+    projection LSH, expression-native end to end.
 
-    emb = (_corpus(spark, sf_dir)
-           .select("vec_id", array_to_vector("v").alias("raw")))
-    unit = Normalizer(inputCol="raw", outputCol="features", p=2.0).transform(emb)
-    lsh = BucketedRandomProjectionLSH(inputCol="features", outputCol="hashes",
-                                      bucketLength=1.0, numHashTables=6,
-                                      seed=823).fit(unit)
-    # euclidean distance d on unit vectors <-> cosine = 1 - d^2/2;
-    # d <= 1.095 ~ cosine >= 0.4. The testdata's vectors top out near
-    # 0.5 pairwise cosine, so a high-cosine cutoff would return the
-    # empty set at every SF -- and a smoke check can't tell an empty
-    # result from a broken join. tests assert non-empty + threshold.
-    pairs = lsh.approxSimilarityJoin(unit, unit, 1.095, distCol="dist")
-    cos = 1 - F.col("dist") * F.col("dist") / 2
-    return (pairs.where(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
-            .select(F.col("datasetA.vec_id").alias("vec_a"),
-                    F.col("datasetB.vec_id").alias("vec_b"),
-                    F.round(cos, 4).alias("cosine")))
+    Why not MLlib approxSimilarityJoin: its self-join explodes the
+    hash tables inside a plan AQE mis-sizes -- at sf0.1 candidate
+    generation collapsed to ONE task (SCALE.md, measured pitfall #1;
+    the same reason dedup_minhash is expression-native). Here every
+    stage is a plain shuffle the planner sizes correctly:
+
+    1. 192 seeded Gaussian hyperplanes live in a BROADCAST 192-row
+       table; each vector meets every plane map-side via the
+       broadcast join, ONE reused zip_with/aggregate dot expression
+       computes the sign bit, and a partial-aggregating groupBy packs
+       bits into bucket keys and signature longs -- map-side combine
+       means only one packed row per vector ever shuffles. (Two
+       rejected shapes, both measured: literal-array expressions per
+       plane hand the optimizer a ~25k-node tree that never finishes;
+       nesting the dot inside transform() over a planes array drops
+       to interpreted lambda-in-lambda evaluation, ~40x slower than
+       the join.);
+    2. bits pack into L=32 tables x b=6-bit bucket keys; candidates
+       join on (table, key) -- the shuffle carries (table, key,
+       vec_id, 3 packed sign longs) = ~40 B/row, never the vectors;
+    3. Hamming pre-filter ON THE PACKED BITS (xor + bit_count):
+       agreement >= 115/192 ~ estimated cosine >= 0.3 -- kills ~99.7%
+       of random-pair candidates before anything row-sized joins;
+    4. exact cosine re-rank: only the surviving pairs join the real
+       vectors back; the returned `cosine` is exact, not estimated.
+
+    These near-uniform test vectors (max pairwise cos ~0.5) are
+    sign-LSH's worst case; tests assert recall >= 0.6 vs the exact
+    pair set plus the 0.4 floor on every returned row."""
+    pin_session_conf(spark)
+    import math
+
+    import numpy as np
+
+    dim, b, n_tables = 64, 6, 32
+    n_bits = b * n_tables  # 192 = 3 packed longs
+    rng = np.random.default_rng(SEED)
+    planes_df = F.broadcast(spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(dim)])
+         for i in range(n_bits)],
+        "bit_idx int, h array<double>"))
+    corpus = _corpus(spark, sf_dir)
+
+    bit = (_dot(F.col("v"), F.col("h")) > 0).cast("long")
+    per_plane = (corpus.crossJoin(planes_df)
+                 .select("vec_id", "bit_idx", bit.alias("bit")))
+
+    def packed(width: int, group_val: int) -> Column:
+        """Sum of bit << (bit_idx % width) over bit_idx div width ==
+        group_val -- distinct powers of two, so the sum IS the packed
+        word (two's-complement exact even at bit 63), and it combines
+        map-side like any other sum."""
+        return F.sum(F.when(F.floor(F.col("bit_idx") / width) == group_val,
+                            F.expr(f"shiftleft(bit, bit_idx % {width})"))
+                     .otherwise(F.lit(0)))
+
+    key_cols = [packed(b, t).alias(f"key{t}") for t in range(n_tables)]
+    sig_cols = [packed(64, k).alias(f"sig{k}")
+                for k in range(n_bits // 64)]
+    sigs = per_plane.groupBy("vec_id").agg(*key_cols, *sig_cols)
+    keys = F.array(*[
+        F.struct(F.lit(t).alias("table"), F.col(f"key{t}").alias("key"))
+        for t in range(n_tables)])
+    buckets = (sigs.select("vec_id", "sig0", "sig1", "sig2",
+                           F.explode(keys).alias("tk"))
+               .select("vec_id", "sig0", "sig1", "sig2",
+                       F.col("tk.table").alias("table"),
+                       F.col("tk.key").alias("key")))
+    a, c = buckets.alias("a"), buckets.alias("c")
+    hamming = sum(
+        F.bit_count(F.col(f"a.sig{k}").bitwiseXOR(F.col(f"c.sig{k}")))
+        for k in range(3))
+    # agreement >= ceil(n_bits * (1 - acos(0.3)/pi)) <=> est cos >= 0.3
+    min_agree = math.ceil(n_bits * (1 - math.acos(0.3) / math.pi))
+    cand = (a.join(c, (F.col("a.table") == F.col("c.table"))
+                   & (F.col("a.key") == F.col("c.key"))
+                   & (F.col("a.vec_id") < F.col("c.vec_id")))
+            .where(n_bits - hamming >= min_agree)
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("c.vec_id").alias("vec_b"))
+            .dropDuplicates(["vec_a", "vec_b"]))
+    va = corpus.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("xa"))
+    vb = corpus.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("xb"))
+    cos = (_dot(F.col("xa"), F.col("xb"))
+           / (F.sqrt(_dot(F.col("xa"), F.col("xa")))
+              * F.sqrt(_dot(F.col("xb"), F.col("xb")))))
+    return (cand.join(va, "vec_a").join(vb, "vec_b")
+            .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine"))
+            .where(F.col("cosine") >= 0.4))
 
 
 @register("sim_ivf")  # rows-only: KMeans quantizer inside
@@ -286,7 +364,7 @@ def sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector
 
     m, ksub, dim = 8, 16, 64
-    sub = dim // m  # 16 dims per subspace
+    sub = dim // m  # 8 dims per subspace
     corpus = _corpus(spark, sf_dir)
     with_subs = corpus.select(
         "vec_id", "v",
@@ -310,10 +388,15 @@ def sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     coded = with_subs
     for km in models:
         coded = km.transform(coded)
+    # Materialize the codes (vec_id + m one-byte codes -- the compact
+    # artifact a real deployment persists) and cut lineage BEFORE
+    # releasing the subvector cache: without this, the returned plan
+    # would recompute the projection at action time and the cache would
+    # only ever serve the KMeans fits.
     codes = coded.select(
         "vec_id",
         F.array(*[F.col(f"code{j}").cast("int") for j in range(m)])
-        .alias("codes"))
+        .alias("codes")).localCheckpoint(eager=True)
 
     # code -> (partial norm^2) per subspace, for the candidate's
     # approximate length; code x query -> partial inner product.
@@ -324,8 +407,9 @@ def sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     queries = (with_subs.where(F.col("vec_id") < N_QUERIES)
                .select(F.col("vec_id").alias("query_id"), "v").collect())
-    # 10 queries x 4 subspaces x 16 codes: computed driver-side from the
-    # broadcast-sized codebooks -- bounded, never corpus-sized.
+    # 10 queries x 8 subspaces x 16 codes = 1280 rows: computed
+    # driver-side from the broadcast-sized codebooks -- bounded, never
+    # corpus-sized.
     lut_rows = []
     for q in queries:
         for j in range(m):

@@ -121,14 +121,44 @@ SELECT c_custkey,
 FROM customer
 """)
 def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global quantile bucketing. NOTE: a single unpartitioned window is
-    a deliberate single-reducer pattern -- fine for dimension-sized
-    inputs; for fact tables use approx percentiles (see fn_math) or
-    repartitionByRange."""
+    """Global quantile bucketing WITHOUT the single-reducer window that
+    a bare `ntile(4) OVER (ORDER BY ...)` plans. Two-level, the same
+    recipe as stable_row_ids (relational.py): range-bucket the sort key
+    (monotone in c_acctbal, so bucket order == global order), rank
+    within each bucket in parallel, then lift per-bucket ranks to
+    global row numbers via a broadcast offset table (a window over
+    n_buckets rows, not n rows). ntile's exact fill rule -- the first
+    n mod k tiles take one extra row -- is then a closed-form expression
+    over (global rn, total n).
+
+    At 100 TB the only global structure is the bucket-count table;
+    every row-sized sort stays inside its hash partition."""
     pin_session_conf(spark)
-    w = W.orderBy("c_acctbal", "c_custkey")
-    return (load(spark, sf_dir, "customer")
-            .select("c_custkey", F.ntile(4).over(w).alias("balance_quartile")))
+    k = 4
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    # c_acctbal spans [-999.99, 9999.99]: ~22 buckets of width 500.
+    bucketed = cust.withColumn(
+        "bucket", F.floor(F.col("c_acctbal") / 500).cast("long"))
+    wb = W.partitionBy("bucket").orderBy("c_acctbal", "c_custkey")
+    within = bucketed.withColumn("rn_in_bucket", F.row_number().over(wb))
+    counts = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    woff = (W.orderBy("bucket")
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wtot = W.rowsBetween(W.unboundedPreceding,
+                              W.unboundedFollowing)
+    offsets = (counts
+               .withColumn("offset", F.sum("n").over(woff) - F.col("n"))
+               .withColumn("total", F.sum("n").over(wtot))
+               .select("bucket", "offset", "total"))
+    rn = F.col("offset") + F.col("rn_in_bucket")  # global 1-based rank
+    q = F.floor(F.col("total") / k)       # base tile size
+    r = F.col("total") % k                # first r tiles take q+1 rows
+    big_span = r * (q + 1)                # rows covered by the fat tiles
+    tile = (F.when(rn <= big_span,
+                   F.floor((rn - 1) / (q + 1)) + 1)
+            .otherwise(r + F.floor((rn - big_span - 1) / q) + 1))
+    return (within.join(F.broadcast(offsets), "bucket")
+            .select("c_custkey", tile.cast("int").alias("balance_quartile")))
 
 
 @register("window_first_last", oracle="""

@@ -148,11 +148,20 @@ def generate_movielens_twin(spark: SparkSession, out_dir: str,
             os.rename(src, dst)
         except OSError:
             if not os.path.exists(os.path.join(dst, "_SUCCESS")):
-                shutil.rmtree(dst, ignore_errors=True)
+                # crashed partial at dst: move it ASIDE first (atomic),
+                # then rename the staged copy in -- dst is never
+                # absent-then-present, so a concurrent reader sees
+                # either the old partial or the new committed dataset.
+                aside = f"{dst}.bad-{os.getpid()}"
+                try:
+                    os.rename(dst, aside)
+                except OSError:
+                    pass
                 try:
                     os.rename(src, dst)
                 except OSError:
                     pass
+                shutil.rmtree(aside, ignore_errors=True)
         out_paths.append(
             dst if os.path.exists(os.path.join(dst, "_SUCCESS")) else src)
     if all(not p.startswith(stage) for p in out_paths):

@@ -14,12 +14,14 @@ spills to disk instead of capping at executor heap), partitioned by
 the groupBy key; Arrow batches flow per key-partition.
 
 ENVIRONMENT GATE: the transformWithState protocol needs
-google.protobuf, which this container does not ship, so the query is
-NOT registered in the driver registry (it would raise, not return
-rows). The code path is complete and the test suite runs it whenever
-protobuf is importable (tests/test_streaming.py::test_tws_totals_*);
-stream_stateful_totals covers the same semantics on the always-
-available applyInPandasWithState API."""
+google.protobuf. The query registers itself ONLY when protobuf is
+importable (see the capability check at the bottom of this module), so
+on a container that ships it the driver exercises the query like any
+other; where protobuf is absent the registry simply omits it instead
+of raising. The test suite runs it whenever protobuf is importable
+(tests/test_streaming.py::test_tws_totals_*); stream_stateful_totals
+covers the same semantics on the always-available
+applyInPandasWithState API."""
 
 from __future__ import annotations
 
@@ -104,3 +106,15 @@ def stream_tws_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (spark.table(name).groupBy("user_id")
             .agg(F.max("n_events").alias("n_events"),
                  F.max_by("sum_cents", "n_events").alias("sum_cents")))
+
+
+# Capability-gated registration: same batch oracle as
+# stream_stateful_totals (the two APIs must agree on the final state).
+if _protobuf_available():
+    from recommendation_system_spark_ml_spark.registry import register
+
+    register("stream_tws_totals", oracle="""
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY 1
+""")(stream_tws_totals)

@@ -10,7 +10,8 @@ import sys
 def test_bench_contract_smoke():
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
-               SPARK_GRAFT_CPUS="8")
+               SPARK_GRAFT_CPUS="8",
+               SPARK_GRAFT_BENCH_REPEAT="1")
     out = subprocess.run(
         [sys.executable, "bench.py"], env=env, capture_output=True,
         text=True, timeout=600,
@@ -19,8 +20,16 @@ def test_bench_contract_smoke():
     lines = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
     assert len(lines) == 1, out.stdout
     rec = json.loads(lines[0])
-    assert set(rec) == {"metric", "value", "unit", "queries", "sf"}
+    assert set(rec) == {"metric", "value", "unit", "queries", "sf", "repeat"}
     assert rec["unit"] == "sec"
     assert rec["value"] > 0
     assert rec["sf"] == 0.001
+    assert rec["repeat"] == 1
     assert all(v >= 0 for v in rec["queries"].values())
+
+
+def test_bench_median_helper():
+    from bench import _median
+    assert _median([3.0, 1.0, 2.0]) == 2.0
+    assert _median([4.0, 1.0]) == 2.5
+    assert _median([7.0]) == 7.0

@@ -140,6 +140,13 @@ def test_pack_sequences_no_global_token_window(spark):
     gen_pos = plan.find("Generate")
     assert gen_pos != -1
     assert "partial_count" in plan
+    # two-level offsets: the only SinglePartition exchange is the
+    # shard-total table -- neither token rows (pos/token) nor doc rows
+    # (doc_id) may funnel through one reducer
+    for block in plan.split("\n\n"):
+        if "SinglePartition" in block:
+            for col in ("doc_id", "token", "pos"):
+                assert col not in block, (col, block)
 
 
 def test_grouped_pandas_plans_as_flatmap_groups(spark):
@@ -171,6 +178,20 @@ def test_stable_row_ids_broadcasts_offsets_no_global_sort(spark):
             # global sort of the data rows would list o_orderkey ASC
             # with the full row schema; offsets sort on bucket only
             assert "bucket" in line and "o_orderkey ASC" not in line
+
+
+def test_window_ntile_no_global_row_window(spark):
+    """window_ntile: the row-sized side must rank inside hash
+    partitions (bucket) and get its global rank via a broadcast
+    offset join; the only SinglePartition exchange allowed is the
+    n_buckets-row count table (no row columns in its input)."""
+    plan = _plan(_specs()["window_ntile"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    for block in plan.split("\n\n"):
+        if "SinglePartition" in block:
+            assert "c_custkey" not in block and "c_acctbal" not in block
+    # no rangepartitioning global sort of the customer rows either
+    assert "Exchange rangepartitioning" not in plan
 
 
 def test_scd2_history_single_window_shuffle(spark):
