@@ -161,6 +161,48 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register("dedup_ngram_spans", oracle="""
+WITH t AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+), sh AS (
+    SELECT doc_id,
+           array_to_string(list_slice(ws, g, g + 7), ' ') AS shingle
+    FROM t, LATERAL (SELECT unnest(generate_series(
+        1, CAST(len(ws) - 7 AS BIGINT))) AS g) gs
+    WHERE len(ws) >= 8
+)
+SELECT shingle,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       count(*) AS n_occurrences
+FROM sh GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+""")
+def dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated 8-gram spans -- the substring-level
+    view of duplication that document-hash dedup misses (boilerplate
+    headers, license blocks, quoted passages, benchmark contamination
+    all surface here while the containing documents stay distinct).
+
+    Each doc emits its 8-token shingles (a guarded per-row array
+    expression -- descending-sequence footgun avoided), one groupBy
+    counts docs and occurrences per shingle, and only spans seen in
+    more than one document survive. At 100 TB the shuffle key becomes
+    xxhash64(shingle) with the string joined back for survivors only
+    (the same digest-not-payload discipline as dedup_exact); the
+    aggregate is map-side combinable either way."""
+    pin_session_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    shingles = F.expr(
+        "CASE WHEN size(ws) < 8 THEN array()"
+        " ELSE transform(sequence(1, size(ws) - 7),"
+        "      g -> array_join(slice(ws, g, 8), ' ')) END")
+    return (docs.select("doc_id", _words().alias("ws"))
+            .select("doc_id", F.explode(shingles).alias("shingle"))
+            .groupBy("shingle")
+            .agg(F.countDistinct("doc_id").alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_occurrences"))
+            .where(F.col("n_docs") > 1))
+
+
 @register("dedup_minhash", bench=True)  # rows-only: hash-seeded LSH candidates
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH near-dup pairs, expression-native: word set -> 16

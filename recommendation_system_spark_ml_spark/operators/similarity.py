@@ -98,6 +98,45 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(corpus.where(F.col("vec_id") < N_QUERIES), corpus)
 
 
+RANGE_T = 0.35  # cosine floor for range search (data max ~0.5)
+
+
+@register("sim_range_search", oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < {N_QUERIES})
+SELECT q.query_id, c.vec_id AS neighbor_id,
+       round(list_cosine_similarity(q.qv, CAST(c.embedding AS DOUBLE[])), 4)
+           AS cosine
+FROM q JOIN embeddings c ON q.query_id <> c.vec_id
+WHERE list_cosine_similarity(q.qv, CAST(c.embedding AS DOUBLE[]))
+      >= {RANGE_T}
+""")
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range search: ALL neighbors within a cosine radius for each
+    query, not a fixed top-k -- the retrieval shape dedup and
+    recall-sensitive RAG filtering want (k is unknowable when
+    neighborhood sizes vary by orders of magnitude).
+
+    This is the exact twin: query set x corpus with codegen dot
+    products, queries broadcast, no per-query state. The scale path
+    for a data-sized query set is sim_lsh's banding (threshold maps to
+    a Hamming radius on the packed signatures); for corpus-sized
+    range-joins, IVF cells bound what each query scans (sim_ivf)."""
+    pin_session_conf(spark)
+    corpus = _corpus(spark, sf_dir)
+    q = (corpus.where(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")))
+    c = corpus.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("v").alias("cv"))
+    cos = (_dot(F.col("qv"), F.col("cv"))
+           / (F.sqrt(_dot(F.col("qv"), F.col("qv")))
+              * F.sqrt(_dot(F.col("cv"), F.col("cv")))))
+    return (F.broadcast(q).crossJoin(c)
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", cos.alias("cos"))
+            .where(F.col("cos") >= RANGE_T)
+            .select("query_id", "neighbor_id",
+                    F.round("cos", 4).alias("cosine")))
 @register("sim_lsh")  # rows-only: LSH bucketing isn't SQL-expressible
 def sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate neighbor pairs (cosine >= 0.4) via sign-random-

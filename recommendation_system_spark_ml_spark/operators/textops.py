@@ -381,6 +381,115 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("token").alias("min_token")))
 
 
+@register("text_repetition", oracle="""
+WITH t AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+), m AS (
+    SELECT doc_id, len(ws) AS n,
+           list_max(list_transform(list_distinct(ws),
+                                   w -> len(list_filter(ws, x -> x = w))))
+               AS mx,
+           len(list_distinct(ws)) AS n_types,
+           CASE WHEN len(ws) < 2 THEN []
+                ELSE list_transform(generate_series(1, len(ws) - 1),
+                                    i -> ws[i] || ' ' || ws[i + 1]) END AS big
+    FROM t
+)
+SELECT doc_id,
+       round(CAST(mx AS DOUBLE) / n, 4) AS top_unigram_frac,
+       round(CAST(n_types AS DOUBLE) / n, 4) AS type_token_ratio,
+       CASE WHEN len(big) = 0 THEN 0.0
+            ELSE round(CAST(len(big) - len(list_distinct(big)) AS DOUBLE)
+                       / len(big), 4) END AS dup_bigram_frac
+FROM m
+""")
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/MassiveText rule
+    family): fraction of tokens taken by the single most frequent
+    token, type-token ratio, and the fraction of duplicated bigrams.
+    Looping/boilerplate/SEO-spam documents light these up long before
+    any LM sees them.
+
+    All three are PER-ROW array expressions -- distinct/filter/
+    zip-free counting inside the row, zero shuffles, embarrassingly
+    parallel at any corpus size. The nested-lambda occurrence count is
+    O(types x tokens) per document, bounded by document length -- the
+    per-row constant a scan pipeline amortizes, not a join."""
+    pin_session_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    ws = F.split(F.lower("text"), " ")
+    m = docs.select(
+        "doc_id", ws.alias("ws"),
+        F.expr("array_max(transform(array_distinct(ws)"
+               ", w -> size(filter(ws, x -> x = w))))").alias("mx"),
+        F.size(F.array_distinct(ws)).alias("n_types"),
+        F.size(ws).alias("n"),
+        F.expr("CASE WHEN size(ws) < 2 THEN array()"
+               " ELSE transform(sequence(1, size(ws) - 1),"
+               "      i -> concat(element_at(ws, i), ' ',"
+               "                  element_at(ws, i + 1))) END").alias("big"))
+    n_big = F.size("big")
+    return m.select(
+        "doc_id",
+        F.round(F.col("mx").cast("double") / F.col("n"), 4)
+        .alias("top_unigram_frac"),
+        F.round(F.col("n_types").cast("double") / F.col("n"), 4)
+        .alias("type_token_ratio"),
+        F.when(n_big == 0, F.lit(0.0))
+        .otherwise(F.round((n_big - F.size(F.array_distinct("big")))
+                           .cast("double") / n_big, 4))
+        .alias("dup_bigram_frac"))
+
+
+# Training-mix weights: per-source keep rates out of 1000. Sources not
+# listed fall back to the default. Mirrored literally in the oracle.
+_MIX_RATES = {"src0": 1000, "src1": 600, "src2": 300, "src3": 150}
+_MIX_DEFAULT = 50
+_MIX_KNUTH = 2654435761  # Knuth multiplicative hash (public constant)
+
+
+@register("pipeline_interleave", oracle=f"""
+WITH gated AS (
+    SELECT doc_id, source, lang,
+           (doc_id * {_MIX_KNUTH}) % 4294967296 % 1000 AS bucket,
+           CASE source
+                WHEN 'src0' THEN {_MIX_RATES['src0']}
+                WHEN 'src1' THEN {_MIX_RATES['src1']}
+                WHEN 'src2' THEN {_MIX_RATES['src2']}
+                WHEN 'src3' THEN {_MIX_RATES['src3']}
+                ELSE {_MIX_DEFAULT} END AS rate
+    FROM documents
+)
+SELECT doc_id, source, lang,
+       CAST((doc_id * {_MIX_KNUTH}) % 4294967296 % 8 AS BIGINT) AS mix_shard
+FROM gated WHERE bucket < rate
+""")
+def pipeline_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted source mixture -- the training-mix
+    construction step: each source keeps a configured fraction of its
+    documents (src0 100%, src1 60%, src2 30%, src3 15%, long tail 5%)
+    and survivors get a stable mix_shard for round-robin interleaved
+    reading downstream.
+
+    The gate is the Knuth multiplicative hash on doc_id: per-row, no
+    shuffle, no RNG state -- so the mix is restart-stable (a re-run of
+    a failed stage keeps the same sample), oracle-checkable, and
+    adjusting one source's weight leaves every other source's kept set
+    untouched (unlike global random sampling). At 100 TB this runs as
+    pure scan-side filtering; the mix_shard keeps downstream readers
+    balanced without a repartition."""
+    pin_session_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    hashed = (F.col("doc_id") * F.lit(_MIX_KNUTH)) % F.lit(4294967296)
+    rate = F.when(F.col("source") == "src0", _MIX_RATES["src0"])
+    for s in ("src1", "src2", "src3"):
+        rate = rate.when(F.col("source") == s, _MIX_RATES[s])
+    rate = rate.otherwise(_MIX_DEFAULT)
+    return (docs.filter(hashed % 1000 < rate)
+            .select("doc_id", "source", "lang",
+                    (hashed % 8).alias("mix_shard")))
+
+
 @register("text_winnow_fingerprint", oracle="""
 WITH t AS (
     SELECT doc_id, substr(text, 1, 2048) AS s FROM documents

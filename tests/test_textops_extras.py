@@ -1,0 +1,57 @@
+"""Semantic checks for the round-3 training-pipeline additions beyond
+the DuckDB oracle parity (which tests/test_oracle_parity.py covers):
+the repetition signals must actually rank a looping document worst,
+and the interleave mix must be partition-layout-invariant (the
+restart-stability claim)."""
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from recommendation_system_spark_ml_spark.operators.textops import (
+    pipeline_interleave, text_repetition)
+
+
+def test_repetition_flags_looping_doc(spark, tmp_path):
+    """A document that is one token repeated must score top_unigram
+    frac 1.0 / ttr ~0 / dup_bigram 1.0; a all-distinct document the
+    opposite. Uses a scratch documents table through the same code."""
+    docs = spark.createDataFrame(
+        [(1, "spam " * 49 + "spam", "en", "srcX", 5),
+         (2, " ".join(f"w{i}" for i in range(50)), "en", "srcX", 5)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint")
+    path = str(tmp_path / "documents.parquet")
+    docs.write.parquet(path)
+    out = {r.doc_id: r for r in text_repetition(spark, str(tmp_path)).collect()}
+    assert out[1].top_unigram_frac == 1.0
+    assert out[1].dup_bigram_frac >= 0.97  # 48/49 dup ("spam spam" x49)
+    assert out[1].type_token_ratio <= 0.05
+    assert out[2].top_unigram_frac <= 0.05
+    assert out[2].dup_bigram_frac == 0.0
+    assert out[2].type_token_ratio == 1.0
+
+
+def test_interleave_deterministic_and_weighted(spark, tmp_path):
+    """The kept set must be a pure function of (doc_id, source) --
+    identical across runs AND across input partition layouts (the
+    restart-stability rand()/sample() cannot give). Weights must bind:
+    src0 keeps everything."""
+    from pyspark.sql import functions as F
+    from recommendation_system_spark_ml_spark.sources.catalog import load
+
+    rows1 = {r.doc_id for r in pipeline_interleave(spark, SF_SMOKE).collect()}
+    rows2 = {r.doc_id for r in pipeline_interleave(spark, SF_SMOKE).collect()}
+    assert rows1 == rows2
+    # rewrite the same documents in a scrambled 13-partition layout:
+    # the gate must keep the exact same ids
+    (load(spark, SF_SMOKE, "documents")
+     .repartition(13, F.col("text"))
+     .write.parquet(str(tmp_path / "documents.parquet")))
+    rows3 = {r.doc_id
+             for r in pipeline_interleave(spark, str(tmp_path)).collect()}
+    assert rows1 == rows3
+    # src0 keeps 100%: every src0 doc must be present
+    n_src0_all = (load(spark, SF_SMOKE, "documents")
+                  .where(F.col("source") == "src0").count())
+    n_src0_kept = (pipeline_interleave(spark, SF_SMOKE)
+                   .where(F.col("source") == "src0").count())
+    assert n_src0_all == n_src0_kept > 0
