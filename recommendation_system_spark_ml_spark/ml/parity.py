@@ -71,7 +71,10 @@ def kmeans_sweep(feats: DataFrame, ks=range(2, 11)) -> list[tuple[int, float]]:
         return sorted(pool.map(fit, ks))
 
 
-_RATINGS_MEMO: dict[tuple[str, str], DataFrame] = {}
+from collections import OrderedDict
+
+_RATINGS_MEMO: OrderedDict[tuple[str, str], DataFrame] = OrderedDict()
+_RATINGS_MEMO_CAP = 4  # (session, sf_dir) entries; LRU-evicted + unpersisted
 
 
 def ratings_analog(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -82,15 +85,17 @@ def ratings_analog(spark: SparkSession, sf_dir: str) -> DataFrame:
     this join+aggregate, and a correctness sweep runs them back to back
     in one session -- the memo turns three recomputations of the
     fact-table join into cache hits. The cached table is one row per
-    (customer, part) pair that traded, far smaller than lineitem, and
-    is kept for the session's lifetime by design (same data every
-    query; an unpersist would just force the next query to rebuild it)."""
+    (customer, part) pair that traded, far smaller than lineitem. The
+    memo is a small LRU: a long-lived session touching many sf_dirs
+    (or many restarted sessions under one driver) evicts + unpersists
+    the oldest entry instead of pinning blocks forever."""
     import os
 
     key = (spark.sparkContext.applicationId,
            os.path.normpath(sf_dir))
     memo = _RATINGS_MEMO.get(key)
     if memo is not None:
+        _RATINGS_MEMO.move_to_end(key)
         return memo
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -100,6 +105,12 @@ def ratings_analog(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.avg("l_quantity").cast("float").alias("rating"))
            .cache())
     _RATINGS_MEMO[key] = out
+    while len(_RATINGS_MEMO) > _RATINGS_MEMO_CAP:
+        _, evicted = _RATINGS_MEMO.popitem(last=False)
+        try:
+            evicted.unpersist()
+        except Exception:
+            pass  # dead session's DataFrame: nothing to release
     return out
 
 

@@ -137,6 +137,8 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("cos") >= RANGE_T)
             .select("query_id", "neighbor_id",
                     F.round("cos", 4).alias("cosine")))
+
+
 @register("sim_lsh")  # rows-only: LSH bucketing isn't SQL-expressible
 def sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate neighbor pairs (cosine >= 0.4) via sign-random-

@@ -224,3 +224,70 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
                coalesce(m.n, 0) AS n_orders
         FROM spine s
         LEFT JOIN monthly m ON CAST(s.ym_start AS DATE) = m.m_start""")
+
+
+@register("sql_pipe_syntax", oracle="""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+FROM orders
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+""")
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4): the same filter->aggregate->project
+    expressed as a |> chain. Purely front-end sugar -- Catalyst plans
+    the identical partial-agg + exchange as the GROUP BY form, which is
+    exactly what the oracle (written as classic ANSI SQL) certifies."""
+    pin_session_conf(spark)
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        FROM orders
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE count(*) AS n_orders,
+                     CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                          AS BIGINT) AS cents
+           GROUP BY o_orderpriority
+        |> SELECT o_orderpriority, n_orders, cents""")
+
+
+@register("sql_scripting_loop", oracle="""
+WITH totals AS (
+    SELECT o_custkey, sum(o_totalprice) AS s FROM orders GROUP BY 1
+), cand AS (
+    SELECT CAST(64 * power(2, g) AS BIGINT) AS t
+    FROM generate_series(1, 40) gs(g)
+), counts AS (
+    SELECT t, (SELECT count(*) FROM totals WHERE s > t) AS n FROM cand
+)
+SELECT CAST(t AS BIGINT) AS threshold, CAST(n AS BIGINT) AS n_above
+FROM counts WHERE n < 10 ORDER BY t LIMIT 1
+""")
+def sql_scripting_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 BEGIN/DECLARE/REPEAT): double a spend
+    threshold until fewer than 10 customers exceed it -- driver-side
+    control flow around ordinary distributed queries, the procedural
+    surface migrations from stored-procedure warehouses expect.
+
+    Each REPEAT iteration is one small aggregate job over the
+    pre-grouped totals; the loop count is O(log(max spend)), ~20
+    iterations, independent of data size. The oracle replays the same
+    search declaratively (powers-of-two candidates, min satisfying
+    threshold) -- count monotonicity makes the two formulations
+    provably equivalent."""
+    pin_session_conf(spark)
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        BEGIN
+          DECLARE t BIGINT DEFAULT 64;
+          DECLARE n BIGINT DEFAULT 0;
+          REPEAT
+            SET t = t * 2;
+            SET n = (SELECT count(*)
+                     FROM (SELECT o_custkey, sum(o_totalprice) AS s
+                           FROM orders GROUP BY o_custkey)
+                     WHERE s > t);
+          UNTIL n < 10 END REPEAT;
+          SELECT t AS threshold, n AS n_above;
+        END""")
