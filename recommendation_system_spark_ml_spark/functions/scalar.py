@@ -511,3 +511,44 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (mixed.groupBy(F.expr("collate(seg, 'UTF8_LCASE')").alias("seg_ci"))
             .agg(F.count(F.lit(1)).alias("n"))
             .select(F.lower(F.col("seg_ci").cast("string")).alias("segment"), "n"))
+
+
+@register("fn_url", oracle="""
+WITH u AS (
+    SELECT c_custkey,
+           'https://shop.example.com/' || lower(c_mktsegment) || '/item'
+               || CAST(c_custkey % 100 AS VARCHAR)
+               || '?cust=' || CAST(c_custkey AS VARCHAR)
+               || '&nation=' || CAST(c_nationkey AS VARCHAR) AS url
+    FROM customer
+)
+SELECT c_custkey,
+       regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+       regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+       regexp_extract(url, '\\?([^#]*)', 1) AS query,
+       regexp_extract(url, '[?&]cust=([^&#]*)', 1) AS cust_param
+FROM u
+""")
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing: host/path/query plus one named query parameter via
+    Spark's parse_url -- the web-log/crawl-ingest staple. The oracle
+    re-derives every component with plain regexes (DuckDB has no URL
+    parser), so the check certifies parse_url against an INDEPENDENT
+    implementation rather than mirroring it. Synthetic deterministic
+    URLs from customer rows keep it reproducible at every SF; all
+    expressions run inside codegen, zero shuffles."""
+    pin_session_conf(spark)
+    url = F.concat(
+        F.lit("https://shop.example.com/"), F.lower("c_mktsegment"),
+        F.lit("/item"), (F.col("c_custkey") % 100).cast("string"),
+        F.lit("?cust="), F.col("c_custkey").cast("string"),
+        F.lit("&nation="), F.col("c_nationkey").cast("string"))
+    return (load(spark, sf_dir, "customer")
+            .select("c_custkey", url.alias("url"))
+            .select(
+                "c_custkey",
+                F.parse_url("url", F.lit("HOST")).alias("host"),
+                F.parse_url("url", F.lit("PATH")).alias("path"),
+                F.parse_url("url", F.lit("QUERY")).alias("query"),
+                F.parse_url("url", F.lit("QUERY"), F.lit("cust"))
+                .alias("cust_param")))

@@ -180,6 +180,16 @@ def test_stable_row_ids_broadcasts_offsets_no_global_sort(spark):
             assert "bucket" in line and "o_orderkey ASC" not in line
 
 
+def test_pipeline_docs_text_never_shuffles(spark):
+    """pipeline_docs dedups via keeper-ids + join-back: every Exchange
+    in the plan must carry digests/ids only -- the text column riding
+    a shuffle is the regression this guards against."""
+    plan = _plan(_specs()["pipeline_docs"].fn(spark, SF_SMOKE))
+    for block in plan.split("\n\n"):
+        if ") Exchange" in block or ") BroadcastExchange" in block:
+            assert "text#" not in block, block
+
+
 def test_window_ntile_no_global_row_window(spark):
     """window_ntile: the row-sized side must rank inside hash
     partitions (bucket) and get its global rank via a broadcast
