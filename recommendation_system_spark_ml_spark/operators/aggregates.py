@@ -504,3 +504,61 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.regr_intercept(y, x), 4).alias("intercept"),
                  F.round(F.regr_r2(y, x), 6).alias("r2"),
                  F.regr_count(y, x).alias("n")))
+
+
+_KNUTH = 2654435761  # Knuth multiplicative hash (same gate as §2.7)
+_AQP_PCT = 100       # keep 100/1000 = 10% of rows
+
+
+@register("agg_sampled_estimate", oracle=f"""
+WITH sampled AS (
+    SELECT l_returnflag, l_extendedprice
+    FROM lineitem
+    WHERE ((l_orderkey * 16 + l_linenumber) * {_KNUTH})
+          % 4294967296 % 1000 < {_AQP_PCT}
+), est AS (
+    SELECT l_returnflag,
+           count(*) AS n_sampled,
+           avg(l_extendedprice) AS mean_s,
+           stddev_samp(l_extendedprice) AS sd_s
+    FROM sampled GROUP BY 1
+)
+SELECT l_returnflag,
+       CAST(n_sampled AS BIGINT) AS n_sampled,
+       CAST(n_sampled * {1000 / _AQP_PCT} AS BIGINT) AS est_rows,
+       round(mean_s, 4) AS est_avg_price,
+       round(1.96 * sd_s / sqrt(n_sampled), 4) AS ci95_halfwidth
+FROM est
+""")
+def agg_sampled_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing (BlinkDB-style): aggregate over a
+    10% sample with a 95% confidence half-width, at 10% of the scan +
+    shuffle cost. The twist that makes an APPROXIMATE answer
+    hash-checkable: the sample is the deterministic Knuth hash gate
+    (§2.7), not Bernoulli randomness -- both engines pick the exact
+    same rows, so estimate AND error bar match value-for-value.
+
+    At 100 TB this is the interactive tier: the gate is a map-side
+    predicate (no shuffle to sample), the estimator is one ordinary
+    partial-agg pass over 10% of the data, and the CI tells the user
+    whether the sample sufficed -- the pattern behind every
+    dashboard-over-a-lakehouse that answers in seconds. Scale-up
+    factor 1/p is exact because the gate is measure-preserving in
+    expectation; the CI uses the classic normal approximation
+    1.96 * s / sqrt(n)."""
+    pin_session_conf(spark)
+    gate = (((F.col("l_orderkey") * 16 + F.col("l_linenumber"))
+             * F.lit(_KNUTH)) % F.lit(4294967296) % F.lit(1000)
+            < F.lit(_AQP_PCT))
+    scale = 1000 // _AQP_PCT
+    return (load(spark, sf_dir, "lineitem")
+            .where(gate)
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_sampled"),
+                 F.avg("l_extendedprice").alias("mean_s"),
+                 F.stddev_samp("l_extendedprice").alias("sd_s"))
+            .select("l_returnflag", "n_sampled",
+                    (F.col("n_sampled") * scale).alias("est_rows"),
+                    F.round("mean_s", 4).alias("est_avg_price"),
+                    F.round(1.96 * F.col("sd_s") / F.sqrt("n_sampled"), 4)
+                    .alias("ci95_halfwidth")))

@@ -1,0 +1,112 @@
+"""Iterative graph analytics as DataFrame plans (SURVEY.md §2.11
+extensions).
+
+Companion to the label-propagation connected components in
+operators/dedup.py (`dedup_components`): PageRank is the other
+canonical iterative-join algorithm a relational engine gets asked for
+(supplier/part importance, link analysis over citation or co-occurrence
+graphs). The reference has no graph surface; the loop shape follows the
+standard power-iteration formulation (Page et al. 1999) exactly as
+GraphFrames/GraphX state it, but as plain joins + groupBy so Catalyst
+plans every step.
+
+Scale notes (100 TB): the per-iteration work is one join of the edge
+list against the rank vector (both hash-partitioned on the SAME key, so
+AQE reuses the exchange) and one groupBy(dst) sum -- the textbook
+2-shuffle PageRank step. Ranks are localCheckpoint'ed mid-loop to cut
+lineage growth (10 iterations would otherwise compound a 40-node plan
+per step); the edge+degree table is cached once. The only driver
+scalars are the node count and the loop bound -- never row data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from recommendation_system_spark_ml_spark.registry import register
+from recommendation_system_spark_ml_spark.session import pin_session_conf
+from recommendation_system_spark_ml_spark.sources.catalog import load
+
+DAMPING = 0.85
+N_ITER = 10
+CHECKPOINT_EVERY = 5  # cut lineage mid-loop; value-neutral
+
+
+def _pagerank_oracle() -> str:
+    """Fixed-iteration PageRank unrolled as chained CTEs (r1..rN each
+    referencing the previous) -- deterministic, so ANSI-SQL-expressible
+    without recursion. Every node of the doubled bipartite graph has
+    out-degree >= 1, hence no dangling-mass term."""
+    steps = []
+    for i in range(1, N_ITER + 1):
+        steps.append(f"""r{i} AS (
+    SELECT e.dst AS node,
+           (1 - {DAMPING}) / (SELECT n FROM nn)
+           + {DAMPING} * sum(r.rank / d.outdeg) AS rank
+    FROM edges e
+    JOIN r{i - 1} r ON e.src = r.node
+    JOIN deg d ON e.src = d.src
+    GROUP BY e.dst
+)""")
+    return f"""
+WITH e0 AS (
+    SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+                    's' || CAST(l_suppkey AS VARCHAR) AS dst
+    FROM lineitem
+), edges AS (
+    SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+), deg AS (
+    SELECT src, count(*) AS outdeg FROM edges GROUP BY 1
+), nn AS (
+    SELECT count(*) AS n FROM deg
+), r0 AS (
+    SELECT src AS node, 1.0 / (SELECT n FROM nn) AS rank FROM deg
+), {", ".join(steps)}
+SELECT node, round(rank * (SELECT n FROM nn), 6) AS pagerank
+FROM r{N_ITER}
+"""
+
+
+@register("graph_pagerank", bench=True, oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part<->supplier bipartite graph from lineitem
+    (edges = distinct supply relationships, doubled to undirected),
+    damping 0.85, 10 power iterations, no dangling nodes by
+    construction (every node appears in an edge). Returns ranks scaled
+    by node count (mean 1.0) rounded to 6 -- coarse enough to absorb
+    cross-engine float-summation order, fine enough to rank.
+
+    The oracle is the SAME power iteration unrolled as 10 chained SQL
+    CTEs -- fixed-iteration PageRank is deterministic, so the whole
+    iterative algorithm is hash-checked value-for-value, which the
+    usual "iterative therefore rows-only" framing gives up on."""
+    pin_session_conf(spark)
+    li = load(spark, sf_dir, "lineitem")
+    half = (li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"))
+        .distinct())
+    edges = half.union(half.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # one materialized edge+degree table serves all 10 per-iteration
+    # joins (localCheckpoint: computed once, lineage cut, blocks
+    # reclaimed by the ContextCleaner when unreferenced -- no unpersist
+    # race against the returned lazy plan).
+    ed = edges.join(deg, "src").localCheckpoint(eager=True)
+    n_nodes = deg.count()  # driver scalar: node count, never row data
+    ranks = deg.select(F.col("src").alias("node"),
+                       F.lit(1.0 / n_nodes).alias("rank"))
+    base = (1.0 - DAMPING) / n_nodes
+    for i in range(1, N_ITER + 1):
+        contrib = (ed.join(ranks, ed.src == ranks.node)
+                   .select(F.col("dst"),
+                           (F.col("rank") / F.col("outdeg")).alias("c")))
+        ranks = (contrib.groupBy("dst")
+                 .agg((F.lit(base) + DAMPING * F.sum("c")).alias("rank"))
+                 .withColumnRenamed("dst", "node"))
+        if i % CHECKPOINT_EVERY == 0 and i < N_ITER:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select(
+        "node", F.round(F.col("rank") * n_nodes, 6).alias("pagerank"))

@@ -233,3 +233,68 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("c_custkey", "s_suppkey",
                     F.coalesce(c["seg"].cast("string"), F.lit("NULL"))
                     .alias("seg")))
+
+
+_BLOOM_BITS = 1 << 17   # 131072 bits = 2048 longs = 16 KB broadcast
+_BLOOM_HASHES = 3
+
+
+@register("join_bloom_pruned", oracle="""
+SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_totalprice
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+""")
+def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction via an expression-native Bloom filter: the
+    big side is pre-filtered map-side against a 16 KB bit set built
+    from the small side's keys, BEFORE it ever shuffles for the exact
+    join. Spark's own runtime bloom filter
+    (spark.sql.optimizer.runtime.bloomFilter.*) makes the same move
+    but only when its creation-side heuristics fire; building it as
+    plain expressions makes the reduction unconditional, portable, and
+    hash-checkable (false positives are harmless -- the exact join
+    runs after -- so the result equals the plain join, which IS the
+    oracle).
+
+    Shape: k=3 seeded xxhash64 positions per build key -> explode ->
+    groupBy(word) bit_or -> ONE map<word,bits> row (<= 2048 entries),
+    broadcast; the probe side tests all k bits with element_at + `&`
+    inside codegen and only survivors reach the join Exchange. At 100
+    TB this is the difference between shuffling the full fact table
+    and shuffling the ~20% that can match (plus FPR); the bloom build
+    costs one pass over the SMALL side only."""
+    pin_session_conf(spark)
+    build = (load(spark, sf_dir, "orders")
+             .where(F.col("o_orderpriority") == "1-URGENT")
+             .select("o_orderkey", "o_totalprice"))
+
+    def positions(key: str) -> list:
+        return [F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(_BLOOM_BITS))
+                for i in range(_BLOOM_HASHES)]
+
+    bits = (build.select(F.explode(F.array(*positions("o_orderkey")))
+                         .alias("pos"))
+            .select((F.col("pos") / 64).cast("int").alias("word"),
+                    F.expr("shiftleft(CAST(1 AS BIGINT), "
+                           "CAST(pos % 64 AS INT))").alias("bit")))
+    bloom = (bits.groupBy("word").agg(F.bit_or("bit").alias("bits"))
+             .agg(F.map_from_entries(
+                 F.collect_list(F.struct("word", "bits"))).alias("bloom")))
+
+    probe = (load(spark, sf_dir, "lineitem")
+             .select("l_orderkey", "l_linenumber", "l_quantity")
+             .crossJoin(F.broadcast(bloom)))
+    maybe = F.lit(True)
+    for i in range(_BLOOM_HASHES):
+        p = F.pmod(F.xxhash64(F.col("l_orderkey"), F.lit(i)),
+                   F.lit(_BLOOM_BITS))
+        word = F.element_at("bloom", (p / 64).cast("int"))
+        bit = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST("
+                     f"pmod(xxhash64(l_orderkey, {i}), {_BLOOM_BITS})"
+                     f" % 64 AS INT))")
+        maybe = maybe & (F.coalesce(word, F.lit(0)).bitwiseAND(bit) != 0)
+    survivors = probe.where(maybe).drop("bloom")
+    return (survivors.join(build,
+                           survivors.l_orderkey == build.o_orderkey)
+            .select("l_orderkey", "l_linenumber", "l_quantity",
+                    "o_totalprice"))

@@ -381,3 +381,38 @@ def scan_observed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (observed.groupBy("l_returnflag")
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  F.sum("cents").alias("price_cents")))
+
+
+@register("sample_bottom_k", oracle="""
+WITH keyed AS (
+    SELECT event_type, event_id, value,
+           row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+           ) AS sample_rank
+    FROM events
+)
+SELECT event_type, event_id, value, CAST(sample_rank AS INTEGER) AS sample_rank
+FROM keyed WHERE sample_rank <= 8
+""")
+def sample_bottom_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k sampling: a fixed-size uniform sample per group, taken
+    as the k rows with the smallest hash of their key (Cohen &
+    Kaplan's bottom-k sketch). Unlike reservoir sampling it is
+    order-free, restart-stable, and MERGEABLE: the bottom-k of a union
+    is the bottom-k of the concatenated bottom-k's, so map-side
+    partial limits compose -- Catalyst's WindowGroupLimit pushes the
+    rank<=k predicate below the shuffle, and each partition forwards
+    at most k rows per group (plan-asserted in tests/test_plans.py).
+
+    md5 of the decimal key string is the gate -- identical bytes in
+    any engine, so the 'random' sample is hash-checkable, and at 100
+    TB a re-run after a stage failure reproduces the exact sample
+    (sampleBy/reservoir do not)."""
+    pin_session_conf(spark)
+    w = (Window.partitionBy("event_type")
+         .orderBy(F.md5(F.col("event_id").cast("string")), "event_id"))
+    return (load(spark, sf_dir, "events")
+            .select("event_type", "event_id", "value")
+            .withColumn("sample_rank", F.row_number().over(w))
+            .where(F.col("sample_rank") <= 8))

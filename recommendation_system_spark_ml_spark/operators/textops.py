@@ -793,3 +793,53 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("int").alias("n_tokens"),
         (F.lit(1) + F.floor((F.col("n_tokens") - 1) / 24)).cast("int")
         .alias("n_chunks"))
+
+
+@register("text_quality_model")  # rows-only: hashed features + LR weights
+def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality scorer (the CCNet/DCLM pattern): distill a
+    heuristic gate into a fast classifier so the expensive rule -- in
+    real pipelines an LM-perplexity or human-label signal -- is paid
+    on a TRAINING SAMPLE only, and the whole corpus is scored by one
+    hashed-features model pass. Here the teacher signal is the
+    stopword-density rule (docs above the corpus-median stopword ratio
+    = positive): deterministic, so the experiment reproduces bit-wise.
+
+    Spark shape: RegexTokenizer -> HashingTF(4096) -> binary logistic
+    regression, trained on the Knuth-hash 70% split (restart-stable,
+    §2.7) and scored over ALL docs map-side (the model is a broadcast
+    weight vector; scoring shuffles nothing). The corpus-median
+    teacher threshold is ONE driver scalar via percentile. At 100 TB
+    the fit sees a bounded sample while scoring stays a linear scan --
+    exactly how fastText-style quality filters run over Common Crawl.
+    Tests gate held-out AUC >= 0.8 (observed ~0.99 at sf0.001)."""
+    pin_session_conf(spark)
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF, RegexTokenizer
+    from pyspark.ml.functions import vector_to_array
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = F.split(F.lower("text"), " ")
+    ratio = (F.size(F.filter(ws, lambda w: w.isin(*_STOPWORDS)))
+             .cast("double") / F.size(ws))
+    with_r = docs.withColumn("sw_ratio", ratio)
+    thr = with_r.agg(F.expr("percentile(sw_ratio, 0.5)")).collect()[0][0]
+    labeled = with_r.select(
+        "doc_id", "text",
+        (F.col("sw_ratio") > F.lit(thr)).cast("double").alias("label"),
+        F.when((F.col("doc_id") * _MIX_KNUTH) % 4294967296 % 10 < 7,
+               "train").otherwise("test").alias("split"))
+    pipe = Pipeline(stages=[
+        RegexTokenizer(inputCol="text", outputCol="tokens",
+                       pattern=r"\s+", toLowercase=True),
+        HashingTF(inputCol="tokens", outputCol="features",
+                  numFeatures=1 << 12),
+        LogisticRegression(maxIter=30, regParam=1e-3,
+                           featuresCol="features", labelCol="label"),
+    ])
+    model = pipe.fit(labeled.where(F.col("split") == "train"))
+    scored = model.transform(labeled)
+    return scored.select(
+        "doc_id", "split", F.col("label").cast("int").alias("label"),
+        F.round(vector_to_array("probability")[1], 4).alias("quality_score"))

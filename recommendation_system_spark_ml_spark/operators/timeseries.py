@@ -1,0 +1,177 @@
+"""Time-series operators over `events` (SURVEY.md §2.11 extensions).
+
+The hypertable shapes every metrics/IoT pipeline needs on top of the
+relational core: bucketed gap-filling with carry-forward + linear
+interpolation, and trailing exponentially-weighted averages. The
+reference has no time-series surface (its only temporal column is the
+ratings timestamp it drops, MovieLensRecommender.py:118); these follow
+the TimescaleDB/InfluxDB query shapes re-expressed as Catalyst plans.
+
+Scale notes (100 TB):
+- Gap-filling generates each key's spine with `sequence()` INSIDE the
+  key's row -- the fill never becomes a cross join against a global
+  calendar table; the only shuffle is the per-key groupBy/window, both
+  on the same key so one Exchange serves all stages.
+- The EWMA uses a bounded ROWS frame (the last `EWMA_WINDOW` points),
+  so state per key is O(window), not O(history) -- the same bound a
+  streaming re-statement would need, and what keeps a year-long key
+  from funneling its whole history through one frame evaluation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from recommendation_system_spark_ml_spark.registry import register
+from recommendation_system_spark_ml_spark.session import pin_session_conf
+from recommendation_system_spark_ml_spark.sources.catalog import load
+
+EWMA_ALPHA = 0.3
+EWMA_WINDOW = 50  # trailing points per EWMA evaluation (bounds state)
+
+
+@register("ts_gapfill", bench=True, oracle="""
+WITH obs AS (
+    SELECT user_id, date_trunc('hour', ts) AS h,
+           round(avg(value), 8) AS v
+    FROM events GROUP BY 1, 2
+), span AS (
+    SELECT user_id, min(h) AS h0, max(h) AS h1 FROM obs GROUP BY 1
+), spine AS (
+    SELECT user_id,
+           unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+    FROM span
+), j AS (
+    SELECT s.user_id, s.h, o.v
+    FROM spine s LEFT JOIN obs o ON s.user_id = o.user_id AND s.h = o.h
+), f AS (
+    SELECT user_id, h, v,
+           last_value(v IGNORE NULLS) OVER w_prev AS locf_v,
+           last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+               OVER w_prev AS prev_h,
+           first_value(v IGNORE NULLS) OVER w_next AS next_v,
+           first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+               OVER w_next AS next_h
+    FROM j
+    WINDOW w_prev AS (PARTITION BY user_id ORDER BY h
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w_next AS (PARTITION BY user_id ORDER BY h
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, h AS bucket_ts, (v IS NULL) AS is_gap,
+       floor(locf_v * 10000 + 0.5) / 10000 AS locf,
+       floor((CASE WHEN v IS NOT NULL THEN v
+                   WHEN next_v IS NOT NULL AND locf_v IS NOT NULL THEN
+                        locf_v + (next_v - locf_v)
+                               * ((epoch(h) - epoch(prev_h))
+                                  / (epoch(next_h) - epoch(prev_h)))
+                   ELSE locf_v END) * 10000 + 0.5) / 10000 AS lerp
+FROM f
+""")
+def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap-fill per user: bucket events to hours, emit one row
+    per hour of each user's observed span, and fill the gaps two ways
+    -- LOCF (last observation carried forward) and linear interpolation
+    between the neighboring observations (time-weighted, so a gap of 3
+    hours slopes through 3 intermediate values).
+
+    The spine is generated per key with sequence(min_h, max_h) inside
+    the key's aggregated row -- no global calendar cross join, and the
+    spine length is each key's own span, not the table's. All fills are
+    window expressions over the same (user_id, h) ordering, so Catalyst
+    runs groupBy + explode + both window frames off ONE hash exchange
+    on user_id."""
+    pin_session_conf(spark)
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("hour", "ts").alias("h"), "value")
+    # Pre-round the bucket average to 8 decimals: interpolated values
+    # frequently land EXACTLY on a .00005 rounding boundary (midpoints
+    # of 2-decimal inputs), where a last-ulp cross-engine difference in
+    # avg() would flip round(.., 4). Identical 8-decimal inputs feed an
+    # identical IEEE expression tree on both sides, so the boundary
+    # cases agree.
+    obs = ev.groupBy("user_id", "h").agg(F.round(F.avg("value"), 8).alias("v"))
+    spine = (obs.groupBy("user_id")
+             .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+             .select("user_id",
+                     F.explode(F.sequence(
+                         "h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h")))
+    j = spine.join(obs, ["user_id", "h"], "left")
+    w_prev = (Window.partitionBy("user_id").orderBy("h")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_next = (Window.partitionBy("user_id").orderBy("h")
+              .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    obs_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    locf_v = F.last("v", ignorenulls=True).over(w_prev)
+    prev_h = F.last(obs_h, ignorenulls=True).over(w_prev)
+    next_v = F.first("v", ignorenulls=True).over(w_next)
+    next_h = F.first(obs_h, ignorenulls=True).over(w_next)
+    frac = ((F.unix_timestamp(F.col("h")) - F.unix_timestamp(prev_h))
+            / (F.unix_timestamp(next_h) - F.unix_timestamp(prev_h)))
+    lerp = (F.when(F.col("v").isNotNull(), F.col("v"))
+            .when(next_v.isNotNull() & locf_v.isNotNull(),
+                  locf_v + (next_v - locf_v) * frac)
+            .otherwise(locf_v))
+    # floor(x*1e4 + 0.5)/1e4 instead of round(): interpolated values
+    # structurally land on EXACT .00005 ties (midpoints of 2-decimal
+    # inputs), where Spark's round (HALF_UP on the shortest decimal
+    # repr) and DuckDB's (on the raw binary double) disagree. The
+    # floor form is the same IEEE ops on both engines -> identical.
+    def r4(c):
+        return F.floor(c * 10000 + F.lit(0.5)) / 10000.0
+
+    return j.select(
+        "user_id", F.col("h").alias("bucket_ts"),
+        F.col("v").isNull().alias("is_gap"),
+        r4(locf_v).alias("locf"),
+        r4(lerp).alias("lerp"))
+
+
+@register("ts_ewma", oracle=f"""
+WITH o AS (
+    SELECT user_id, event_id, ts, value,
+           list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN {EWMA_WINDOW - 1} PRECEDING
+                             AND CURRENT ROW) AS arr
+    FROM events
+)
+SELECT user_id, event_id, ts,
+       round(list_sum(list_transform(
+                 arr, (x, i) -> x * pow({1 - EWMA_ALPHA}, len(arr) - i)))
+             / ((1 - pow({1 - EWMA_ALPHA}, len(arr))) / {EWMA_ALPHA}),
+             4) AS ewma
+FROM o
+""")
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing exponentially-weighted moving average per user
+    (alpha={alpha}, last {win} points, adjust-style normalization:
+    ewma_i = sum(w_j * x_j) / sum(w_j) with w_j = (1-alpha)^(i-j)).
+
+    EWMA's recurrence looks inherently sequential; bounding it to a
+    trailing ROWS frame makes it a pure window expression: collect the
+    frame (<= {win} values, frame-ordered), weight by position with
+    zip_with over a sequence, and normalize with the closed-form
+    geometric sum. No UDF, no per-key Python, state bounded at {win}
+    doubles per evaluation regardless of key history length -- the
+    exact truncation a streaming EWMA over a state store would make."""
+    pin_session_conf(spark)
+    q = 1.0 - EWMA_ALPHA
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-(EWMA_WINDOW - 1), Window.currentRow))
+    arr = F.collect_list("value").over(w)
+    ev = (load(spark, sf_dir, "events")
+          .select("user_id", "event_id", "ts", "value")
+          .withColumn("arr", arr))
+    n = F.size("arr")
+    weighted = F.zip_with(
+        "arr", F.sequence(F.lit(1), n),
+        lambda x, j: x * F.pow(F.lit(q), (n - j).cast("double")))
+    num = F.aggregate(weighted, F.lit(0.0), lambda acc, z: acc + z)
+    den = (1.0 - F.pow(F.lit(q), n.cast("double"))) / EWMA_ALPHA
+    return ev.select("user_id", "event_id", "ts",
+                     F.round(num / den, 4).alias("ewma"))
+
+
+ts_ewma.__doc__ = ts_ewma.__doc__.format(alpha=EWMA_ALPHA, win=EWMA_WINDOW)

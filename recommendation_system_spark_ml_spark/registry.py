@@ -60,6 +60,8 @@ _QUERY_MODULES = (
     "recommendation_system_spark_ml_spark.streaming.state_reader",
     "recommendation_system_spark_ml_spark.operators.sqlapi",
     "recommendation_system_spark_ml_spark.operators.scale",
+    "recommendation_system_spark_ml_spark.operators.timeseries",
+    "recommendation_system_spark_ml_spark.operators.graph",
     "recommendation_system_spark_ml_spark.operators.dedup",
     "recommendation_system_spark_ml_spark.operators.similarity",
     "recommendation_system_spark_ml_spark.operators.textops",

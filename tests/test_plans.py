@@ -280,3 +280,43 @@ def test_observed_metrics_match_aggregate(spark):
     got = obs.get
     assert got["rows_seen"] == agg.n
     assert got["cents_seen"] == agg.c
+
+
+def test_bottom_k_sample_pushes_partial_limit(spark):
+    """sample_bottom_k's rank<=k predicate must become a
+    WindowGroupLimit so each partition forwards at most k rows per
+    group BEFORE the shuffle -- the mergeable bottom-k property."""
+    plan = _plan(_specs()["sample_bottom_k"].fn(spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan
+
+
+def test_bloom_pruned_join_filters_before_exchange(spark):
+    """join_bloom_pruned: the probe side's bloom test must run as a
+    plain Filter on the scan side of the join Exchange (map-side
+    pruning), and the 1-row bloom table must arrive by broadcast --
+    never a row-sized shuffle of its own."""
+    plan = _plan(_specs()["join_bloom_pruned"].fn(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the bitwise membership test is a Filter expression, pre-join
+    assert plan.count("Filter") >= 1 and "bloom" in plan
+
+
+def test_pagerank_plan_has_no_cartesian_and_bounded_lineage(spark):
+    plan = _plan(_specs()["graph_pagerank"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    # mid-loop localCheckpoint cuts lineage: the final plan must NOT
+    # contain 10 stacked iterations of the edge join (scans appear for
+    # at most N_ITER - CHECKPOINT_EVERY iterations above the cut)
+    from recommendation_system_spark_ml_spark.operators import graph
+    assert plan.count("HashAggregate") <= 4 * (graph.N_ITER - graph.CHECKPOINT_EVERY) + 8
+
+
+def test_gapfill_single_exchange_per_key(spark):
+    """ts_gapfill: groupBy, spine explode, and both fill windows all
+    key on user_id -- the plan must not re-shuffle between the window
+    frames (both windows share one sort/exchange)."""
+    plan = _plan(_specs()["ts_gapfill"].fn(spark, SF_SMOKE))
+    # two window frames (asc rows-preceding + following) over the same
+    # partitioning: at most 3 exchanges total (scan agg + spine join +
+    # window), not one per window function
+    assert plan.count("Exchange") <= 6

@@ -153,3 +153,31 @@ def test_pq_recall_vs_brute_force(spark):
     exact = {(r.query_id, r.neighbor_id) for r in sim_topk(spark, sf).collect()}
     approx = {(r.query_id, r.neighbor_id) for r in sim_pq(spark, sf).collect()}
     assert len(exact & approx) >= 0.75 * len(exact)
+
+
+def test_semantic_dedup_precision_and_recall(spark):
+    """SemDeDup cell-bounded dedup: every returned (keeper, removed)
+    pair must be a true near-dup at the exact threshold (precision 1.0
+    by construction -- exact cosine inside the cell), and the removed
+    set must recover >= 0.5 of the exact all-pairs removed set
+    (observed 0.74 at sf0.001 with 2-probe assignment; cross-cell
+    pairs beyond the runner-up cell are the sacrificed remainder)."""
+    import duckdb
+
+    from recommendation_system_spark_ml_spark.operators.dedup import dedup_semantic
+
+    rows = dedup_semantic(spark, SF_SMOKE).collect()
+    assert rows, "no semantic dups found at all"
+    assert all(r.cosine >= 0.35 - 1e-6 for r in rows)
+    assert all(r.keeper_id < r.removed_id for r in rows)
+    exact = {r[0] for r in duckdb.sql(f"""
+        SELECT DISTINCT b.vec_id
+        FROM '{SF_SMOKE}/embeddings.parquet' a
+        JOIN '{SF_SMOKE}/embeddings.parquet' b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.35
+    """).fetchall()}
+    got = {r.removed_id for r in rows}
+    assert got <= exact, "semantic dedup returned a non-duplicate"
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.5, f"semantic dedup recall too low: {recall:.2f}"

@@ -55,3 +55,27 @@ def test_interleave_deterministic_and_weighted(spark, tmp_path):
     n_src0_kept = (pipeline_interleave(spark, SF_SMOKE)
                    .where(F.col("source") == "src0").count())
     assert n_src0_all == n_src0_kept > 0
+
+
+def test_quality_model_heldout_auc(spark):
+    """The distilled quality classifier must actually learn the
+    teacher rule: held-out (Knuth 30% split) AUC >= 0.8 -- observed
+    ~0.99; scores must be calibrated probabilities in [0, 1]."""
+    import pyspark.sql.functions as F
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    from recommendation_system_spark_ml_spark.operators.textops import (
+        text_quality_model,
+    )
+
+    out = text_quality_model(spark, SF_SMOKE).cache()
+    try:
+        assert out.where((F.col("quality_score") < 0)
+                         | (F.col("quality_score") > 1)).count() == 0
+        test = (out.where(F.col("split") == "test")
+                .withColumn("raw", F.col("quality_score").cast("double")))
+        auc = BinaryClassificationEvaluator(
+            rawPredictionCol="raw", labelCol="label").evaluate(test)
+        assert auc >= 0.8, f"held-out AUC too low: {auc:.3f}"
+    finally:
+        out.unpersist()
