@@ -562,3 +562,35 @@ def agg_sampled_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("mean_s", 4).alias("est_avg_price"),
                     F.round(1.96 * F.col("sd_s") / F.sqrt("n_sampled"), 4)
                     .alias("ci95_halfwidth")))
+
+
+@register("agg_bitmap_distinct", oracle="""
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+""")
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via two-level bitmaps (the roaring-
+    bitmap trick in pure expressions): chunk the id space into 64-id
+    words, bit_or the membership bits per (group, chunk), then sum
+    bit_count per group. Both levels are ordinary partial-aggregating
+    hash aggregates -- map-side combine folds duplicate ids BEFORE the
+    shuffle, so the exchange carries at most one 8-byte word per
+    (group, chunk) instead of one row per distinct id.
+
+    Against the alternatives: count(DISTINCT) plans an expand +
+    two-phase agg whose shuffle carries every distinct id;
+    approx_count_distinct (agg_approx) trades exactness for a sketch.
+    The bitmap is both exact AND mergeable -- dense id spaces cost
+    |ids|/8 bytes per group ceiling, and the same two-level shape
+    serves incremental maintenance (OR the word tables) like
+    agg_incremental_merge does for sums. Skewed groups split across
+    chunks by construction (chunk rides the grouping key)."""
+    pin_session_conf(spark)
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    words = (ev.groupBy(
+        "event_type", (F.col("user_id") / 64).cast("long").alias("chunk"))
+        .agg(F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), "
+                   "CAST(pmod(user_id, 64) AS INT))")).alias("word")))
+    return (words.groupBy("event_type")
+            .agg(F.sum(F.bit_count("word")).alias("n_users")))

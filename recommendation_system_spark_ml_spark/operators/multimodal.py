@@ -196,3 +196,76 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("resized").alias("out_dim"),
         F.round(F.aggregate("resized", F.lit(0.0), lambda a, x: a + x)
                 / RESIZE_DIM, 4).alias("pooled_mean"))
+
+
+PHASH_BITS = 64
+PHASH_BANDS = 4          # 4 x 16-bit bands -> candidates within r<=? guaranteed
+PHASH_RADIUS = 6         # max Hamming distance for a near-dup verdict
+
+
+@register("multimodal_dedup_phash")  # rows-only: Python pooling inside
+def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup detection for media payloads (the
+    image-dedup stage of a multimodal training pipeline): dHash over
+    the decoded signal -- pool the payload to PHASH_BITS+1 buckets,
+    take the gradient sign between adjacent buckets as one bit each --
+    then find all pairs within Hamming distance PHASH_RADIUS via
+    banded bucket joins, never all-pairs.
+
+    Division of labor is the module's production contract: DECODE +
+    pooling is Python (Arrow mapInPandas, one pass per payload; a real
+    deployment swaps in PIL grayscale-resize without touching the
+    plan), while DEDUP is pure JVM -- the 64-bit hash splits into 4
+    16-bit bands (pigeonhole: any pair within radius 6 shares at least
+    one exact band... unless all differing bits spread 2-2-1-1, so
+    radius <= PHASH_BANDS-1 is guaranteed and beyond that is
+    high-probability, same contract as dedup_simhash), candidates come
+    from equi-joins on (band, key) carrying 20 B/row, and the exact
+    bit_count(xor) check runs on candidates only. Identical payloads
+    always collide at distance 0 (tests assert against the exact-dup
+    set; also shuffle-invariance of the whole result)."""
+    pin_session_conf(spark)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_buckets = PHASH_BITS + 1
+        for pdf in it:
+            hashes = []
+            for p in pdf["payload"]:
+                n = len(p)
+                step = max(n // n_buckets, 1)
+                pooled = [sum(p[i * step:(i + 1) * step])
+                          / max(len(p[i * step:(i + 1) * step]), 1)
+                          for i in range(n_buckets)]
+                h = 0
+                for i in range(PHASH_BITS):
+                    if pooled[i + 1] > pooled[i]:
+                        h |= 1 << i
+                # two's-complement into a signed 64-bit long
+                hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": hashes})
+
+    media = media_table(spark, sf_dir).select("doc_id", "payload")
+    sigs = media.mapInPandas(batches, schema="doc_id bigint, phash bigint")
+
+    band_width = PHASH_BITS // PHASH_BANDS
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned("phash", b * band_width)
+            .bitwiseAND(F.lit((1 << band_width) - 1)).alias("key"))
+        for b in range(PHASH_BANDS)])
+    buckets = (sigs.select("doc_id", "phash", F.explode(bands).alias("bk"))
+               .select("doc_id", "phash",
+                       F.col("bk.band").alias("band"),
+                       F.col("bk.key").alias("key")))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    hamming = F.bit_count(
+        F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .where(hamming <= PHASH_RADIUS)
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    hamming.cast("int").alias("hamming"))
+            .dropDuplicates(["doc_a", "doc_b"]))

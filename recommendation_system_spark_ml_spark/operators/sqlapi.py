@@ -291,3 +291,44 @@ def sql_scripting_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
           UNTIL n < 10 END REPEAT;
           SELECT t AS threshold, n AS n_above;
         END""")
+
+
+@register("sql_udf_declarative", oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice >= 250000 THEN 'high'
+            WHEN o_totalprice >= 100000 THEN 'mid'
+            ELSE 'low' END AS tier,
+       CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN upper(o_orderstatus) ELSE lower(o_orderstatus) END
+           AS status_marked
+FROM orders
+""")
+def sql_udf_declarative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-declared scalar UDFs (Spark 4 `CREATE FUNCTION ... RETURN
+    expr`): business logic registered once in the catalog as a SQL
+    expression, reused across queries -- and, critically, INLINED by
+    Catalyst into the calling plan, so unlike Python UDFs a SQL UDF
+    costs nothing: the oracle (the expanded expression) certifies the
+    inlining is semantics-preserving, and the plan stays whole-stage
+    codegen with pushdown-eligible predicates. This is the 100 TB
+    answer for shared business vocabulary: a function catalog, not a
+    UDF jar."""
+    pin_session_conf(spark)
+    register_views(spark, sf_dir)
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION price_tier(p DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN p >= 250000 THEN 'high'
+                    WHEN p >= 100000 THEN 'mid'
+                    ELSE 'low' END""")
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION mark_status(
+            prio STRING, status STRING)
+        RETURNS STRING
+        RETURN CASE WHEN prio IN ('1-URGENT', '2-HIGH')
+                    THEN upper(status) ELSE lower(status) END""")
+    return spark.sql("""
+        SELECT o_orderkey,
+               price_tier(o_totalprice) AS tier,
+               mark_status(o_orderpriority, o_orderstatus) AS status_marked
+        FROM orders""")

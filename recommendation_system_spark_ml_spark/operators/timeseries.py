@@ -101,13 +101,18 @@ def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = spine.join(obs, ["user_id", "h"], "left")
     w_prev = (Window.partitionBy("user_id").orderBy("h")
               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    w_next = (Window.partitionBy("user_id").orderBy("h")
-              .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    # "next observation" as a RUNNING frame over DESCENDING hour order,
+    # not a (currentRow, unboundedFollowing) frame: Spark evaluates
+    # shrinking frames by re-aggregating the remainder per row -- O(n^2)
+    # per key (measured 17 s at sf0.1); the reversed running frame is
+    # incremental O(n) (measured ~1 s). Same values by symmetry.
+    w_next = (Window.partitionBy("user_id").orderBy(F.col("h").desc())
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     obs_h = F.when(F.col("v").isNotNull(), F.col("h"))
     locf_v = F.last("v", ignorenulls=True).over(w_prev)
     prev_h = F.last(obs_h, ignorenulls=True).over(w_prev)
-    next_v = F.first("v", ignorenulls=True).over(w_next)
-    next_h = F.first(obs_h, ignorenulls=True).over(w_next)
+    next_v = F.last("v", ignorenulls=True).over(w_next)
+    next_h = F.last(obs_h, ignorenulls=True).over(w_next)
     frac = ((F.unix_timestamp(F.col("h")) - F.unix_timestamp(prev_h))
             / (F.unix_timestamp(next_h) - F.unix_timestamp(prev_h)))
     lerp = (F.when(F.col("v").isNotNull(), F.col("v"))
@@ -175,3 +180,57 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ts_ewma.__doc__ = ts_ewma.__doc__.format(alpha=EWMA_ALPHA, win=EWMA_WINDOW)
+
+
+MAD_K = 1.4826   # normal-consistency constant
+MAD_SIGMA = 3.0  # flag beyond 3 robust sigmas
+
+
+@register("ts_anomaly_mad", oracle=f"""
+WITH med AS (
+    SELECT user_id,
+           median(value) AS med
+    FROM events GROUP BY user_id
+), mad AS (
+    SELECT e.user_id, any_value(m.med) AS med,
+           median(abs(e.value - m.med)) AS mad
+    FROM events e JOIN med m ON e.user_id = m.user_id
+    GROUP BY e.user_id
+)
+SELECT e.user_id, e.event_id, e.value,
+       floor((abs(e.value - m.med) / ({MAD_K} * m.mad)) * 10000 + 0.5)
+           / 10000 AS robust_z
+FROM events e JOIN mad m ON e.user_id = m.user_id
+WHERE m.mad > 0
+  AND abs(e.value - m.med) / ({MAD_K} * m.mad) > {MAD_SIGMA}
+""")
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-key anomaly detection: flag events whose value sits
+    more than 3 robust sigmas from the key's median, with sigma
+    estimated as 1.4826 * MAD (median absolute deviation) -- the
+    outlier rule that, unlike mean/stddev z-scores, is not itself
+    dragged by the outliers it hunts.
+
+    Two exact-percentile aggregations per key (median, then MAD of
+    residuals), joined back map-side cheap because every stage keys on
+    user_id: Catalyst plans groupBy -> join -> groupBy -> join on ONE
+    hash partitioning, so the per-key medians never cross the cluster
+    twice. Exact `percentile` is the oracle-checkable choice here; a
+    100 TB deployment with millions of rows per key swaps in
+    approx_percentile (agg_approx_percentile is the certified twin of
+    that trade). Rounding uses the shared floor-form (see ts_gapfill)
+    since |value - med| hits exact decimal ties by construction."""
+    pin_session_conf(spark)
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    med = ev.groupBy("user_id").agg(
+        F.expr("percentile(value, 0.5)").alias("med"))
+    mad = (ev.join(med, "user_id")
+           .groupBy("user_id")
+           .agg(F.first("med").alias("med"),
+                F.expr("percentile(abs(value - med), 0.5)").alias("mad")))
+    z = F.abs(F.col("value") - F.col("med")) / (MAD_K * F.col("mad"))
+    return (ev.join(mad, "user_id")
+            .where((F.col("mad") > 0) & (z > MAD_SIGMA))
+            .select("user_id", "event_id", "value",
+                    (F.floor(z * 10000 + F.lit(0.5)) / 10000.0)
+                    .alias("robust_z")))

@@ -48,3 +48,45 @@ def test_resize_fixed_dim_and_mean_preserved(spark):
     # ASCII text payload byte means sit in a narrow band; pooled mean
     # must land there too
     assert all(60 <= r.pooled_mean <= 125 for r in rows)
+
+
+def test_phash_dedup_matches_independent_reimplementation(spark):
+    """Verify against a pure-Python reimplementation of the pooling +
+    dHash: every returned pair's Hamming distance must match the
+    recomputed one, and the banding guarantee must hold -- ANY pair
+    within Hamming distance PHASH_BANDS-1 (pigeonhole: 3 differing
+    bits cannot touch all 4 bands) must be found. Determinism across
+    runs rides along."""
+    import duckdb
+
+    from recommendation_system_spark_ml_spark.operators.multimodal import (
+        PHASH_BANDS, PHASH_BITS, PHASH_RADIUS, multimodal_dedup_phash,
+    )
+
+    def phash(p: bytes) -> int:
+        nb = PHASH_BITS + 1
+        step = max(len(p) // nb, 1)
+        pooled = [sum(p[i * step:(i + 1) * step])
+                  / max(len(p[i * step:(i + 1) * step]), 1)
+                  for i in range(nb)]
+        return sum(1 << i for i in range(PHASH_BITS)
+                   if pooled[i + 1] > pooled[i])
+
+    texts = dict(duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet'").fetchall())
+    hashes = {d: phash(t.encode("utf-8")) for d, t in texts.items()}
+
+    rows = multimodal_dedup_phash(spark, SF_SMOKE).collect()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in rows}
+    assert got, "no phash near-dups found"
+    for (a, b), h in got.items():
+        assert 0 <= h <= PHASH_RADIUS
+        assert h == bin(hashes[a] ^ hashes[b]).count("1"), (a, b)
+    ids = sorted(hashes)
+    guaranteed = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+                  if bin(hashes[a] ^ hashes[b]).count("1") < PHASH_BANDS}
+    missing = guaranteed - set(got)
+    assert not missing, f"banding guarantee violated: {missing}"
+    again = {(r.doc_a, r.doc_b): r.hamming
+             for r in multimodal_dedup_phash(spark, SF_SMOKE).collect()}
+    assert again == got
