@@ -693,3 +693,57 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pairs.groupBy(F.col("vec_b").alias("removed_id"))
             .agg(F.min_by("vec_a", "vec_a").alias("keeper_id"),
                  F.round(F.min_by("cos", "vec_a"), 4).alias("cosine")))
+
+
+_INC_KNUTH = 2654435761
+
+
+@register("dedup_incremental", oracle=f"""
+WITH fp AS (
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+               string_split(lower(text), ' '))), ' ')) AS fingerprint,
+           (doc_id * {_INC_KNUTH}) % 4294967296 % 10 < 9 AS in_corpus
+    FROM documents
+), idx AS (
+    SELECT fingerprint, min(doc_id) AS corpus_doc_id
+    FROM fp WHERE in_corpus GROUP BY 1
+)
+SELECT b.doc_id AS batch_doc_id, i.corpus_doc_id, b.fingerprint
+FROM fp b JOIN idx i ON b.fingerprint = i.fingerprint
+WHERE NOT b.in_corpus
+""")
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup -- the shape production actually runs: a NEW
+    batch (the Knuth-gated 10%) is checked against a PERSISTED
+    fingerprint index of the existing corpus (the other 90%), instead
+    of re-deduplicating the whole corpus per arrival. The index is
+    written to parquet once (fingerprint, keeper id -- 16 B + 8 B per
+    distinct doc, not the text) and the batch equi-joins it; at 100 TB
+    the per-batch cost is O(batch + index-probe), the corpus text is
+    never re-read, and the same parquet artifact serves every future
+    batch (append new batch keepers to it and the loop closes).
+
+    The oracle recomputes both sides from scratch in SQL -- certifying
+    that the incremental answer equals the from-scratch answer, which
+    is the invariant that makes incremental maintenance trustworthy."""
+    pin_session_conf(spark)
+    from recommendation_system_spark_ml_spark.session import scratch_path
+
+    docs = load(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        F.md5(F.array_join(F.array_sort(F.array_distinct(
+            F.split(F.lower("text"), " "))), " ")).alias("fingerprint"),
+        ((F.col("doc_id") * _INC_KNUTH) % 4294967296 % 10 < 9)
+        .alias("in_corpus"))
+    index_path = scratch_path(sf_dir, "dedup_fp_index")
+    (fp.where("in_corpus")
+     .groupBy("fingerprint")
+     .agg(F.min("doc_id").alias("corpus_doc_id"))
+     .write.mode("overwrite").parquet(index_path))
+    idx = spark.read.parquet(index_path)
+    batch = fp.where(~F.col("in_corpus")).select("doc_id", "fingerprint")
+    return (batch.join(idx, "fingerprint")
+            .select(F.col("doc_id").alias("batch_doc_id"),
+                    "corpus_doc_id", "fingerprint"))

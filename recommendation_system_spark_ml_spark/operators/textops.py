@@ -838,7 +838,19 @@ def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         LogisticRegression(maxIter=30, regParam=1e-3,
                            featuresCol="features", labelCol="label"),
     ])
-    model = pipe.fit(labeled.where(F.col("split") == "train"))
+    fitted = pipe.fit(labeled.where(F.col("split") == "train"))
+    # Persist + reload before scoring (the production shape: models are
+    # artifacts, not driver objects). Also load-bearing here: a fitted
+    # LogisticRegressionModel carries a trainingSummary that references
+    # the live SparkSession (whose ObservationManager is not Java-
+    # serializable once observe() queries have registered), so scoring
+    # with the in-memory model can fail task serialization in a shared
+    # session; the reloaded model has no summary and no session ref.
+    from recommendation_system_spark_ml_spark.session import scratch_path
+    model_path = scratch_path(sf_dir, "quality_model")
+    fitted.write().overwrite().save(model_path)
+    from pyspark.ml import PipelineModel
+    model = PipelineModel.load(model_path)
     scored = model.transform(labeled)
     return scored.select(
         "doc_id", "split", F.col("label").cast("int").alias("label"),

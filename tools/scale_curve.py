@@ -1,0 +1,130 @@
+"""Measured scaling curves: run scale-sensitive operators at 1x / 3x /
+10x synthetic data multipliers and fit the log-log slope, so the
+"would this hold at 1000x?" claims in SCALE.md rest on measurements,
+not plan-reading alone.
+
+Method: each multiplier M materializes a derived dataset under /tmp by
+unioning M key-shifted copies of the sf0.1 tables (doc_id/vec_id/
+event_id/orderkey offsets keep keys distinct; text/vector content is
+whats-there repeated, which preserves the operators' selectivity and
+collision structure rather than diluting it -- conservative for dedup,
+since duplicate groups grow M-fold). Queries run unmodified against
+the derived dir through the ordinary catalog; timing is a noop sink of
+the full result, warm session, median of REPEAT runs.
+
+slope ~ 1.0 -> linear scaling (shuffle-bound operators on fixed
+parallelism); slope >> 1 -> super-linear blow-up (a pair join whose
+candidate set grows quadratically, a single-reducer stage saturating).
+Sub-linear slopes mean fixed per-query overhead still dominates at
+this size. The tool exits non-zero if any operator exceeds SLOPE_GATE;
+the measured table lives in SCALE.md ("Measured scaling curves").
+
+Usage: python tools/scale_curve.py [--update-scale-md]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from recommendation_system_spark_ml_spark.registry import all_specs
+from recommendation_system_spark_ml_spark.session import get_spark
+from recommendation_system_spark_ml_spark.sources.catalog import TABLES
+
+BASE_SF = "/root/testdata/sf0.1"
+MULTS = (1, 3, 10)
+REPEAT = 3
+SLOPE_GATE = 1.35  # allow log overhead / constant-cost amortization
+
+# key column to shift per table so copies don't collide
+_SHIFT_KEYS = {
+    "documents": ("doc_id", 10_000_000),
+    "embeddings": ("vec_id", 10_000_000),
+    "events": ("event_id", 100_000_000),
+    "lineitem": ("l_orderkey", 100_000_000),
+    "orders": ("o_orderkey", 100_000_000),
+}
+
+CURVE_QUERIES = (
+    "dedup_minhash",          # banded LSH: candidates must not go quadratic
+    "dedup_fingerprint",      # hash-groupBy baseline
+    "agg_bitmap_distinct",    # two-level bitmap agg
+    "ts_gapfill",             # per-key spine + running-frame windows
+    "ts_ewma",                # bounded-frame window
+    "sample_bottom_k",        # WindowGroupLimit partial top-k
+    "text_tfidf",             # explode + join + agg
+    "pipeline_end_to_end",    # composed gate->dedup->chunk
+    "agg_avg_groupby",        # partial-agg floor
+    "window_rank",            # per-entity windows
+    "join_bloom_pruned",      # bloom build + pruned join
+)
+
+
+def build_derived(spark, mult: int) -> str:
+    out = f"/tmp/rsml_scale_curve/x{mult}"
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    from pyspark.sql import functions as F
+    for t in TABLES:
+        src = spark.read.parquet(os.path.join(BASE_SF, f"{t}.parquet"))
+        if t in _SHIFT_KEYS and mult > 1:
+            key, off = _SHIFT_KEYS[t]
+            parts = [src] + [
+                src.withColumn(key, F.col(key) + F.lit(i * off))
+                for i in range(1, mult)]
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+        else:
+            df = src  # dims stay fixed (their 100 TB behavior too)
+        df.write.mode("overwrite").parquet(os.path.join(out, f"{t}.parquet"))
+    open(marker, "w").write("ok")
+    return out
+
+
+def main() -> None:
+    spark = get_spark(app_name="scale-curve")
+    specs = all_specs()
+    dirs = {m: build_derived(spark, m) for m in MULTS}
+    results: dict[str, dict] = {}
+    for name in CURVE_QUERIES:
+        times = {}
+        for m in MULTS:
+            runs = []
+            for _ in range(REPEAT):
+                t0 = time.time()
+                (specs[name].fn(spark, dirs[m])
+                 .write.format("noop").mode("overwrite").save())
+                runs.append(time.time() - t0)
+            times[m] = sorted(runs)[len(runs) // 2]
+        # least-squares slope of log(t) vs log(m)
+        xs = [math.log(m) for m in MULTS]
+        ys = [math.log(times[m]) for m in MULTS]
+        mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+        slope = (sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+                 / sum((x - mx) ** 2 for x in xs))
+        results[name] = {"t1": round(times[1], 2), "t3": round(times[3], 2),
+                         "t10": round(times[10], 2),
+                         "slope": round(slope, 2)}
+        print(f"{name:24s} 1x={times[1]:6.2f}s 3x={times[3]:6.2f}s "
+              f"10x={times[10]:6.2f}s slope={slope:5.2f}", flush=True)
+    out_path = "/tmp/rsml_scale_curve/results.json"
+    json.dump(results, open(out_path, "w"), indent=1)
+    print(f"wrote {out_path}")
+    bad = {k: v for k, v in results.items() if v["slope"] > SLOPE_GATE}
+    if bad:
+        print("SUPER-LINEAR:", bad)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
