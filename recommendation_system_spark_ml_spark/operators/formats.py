@@ -274,3 +274,35 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_good"),
         F.count(F.when(F.col("_corrupt_record").isNotNull(), 1))
         .alias("n_corrupt"))
+
+
+@register("stream_python_datasource", oracle="""
+SELECT CASE g % 4 WHEN 0 THEN 'temp' WHEN 1 THEN 'hum'
+                  WHEN 2 THEN 'pres' ELSE 'volt' END AS sensor,
+       count(*) AS n_samples,
+       round(sum(CAST((g * g) % 97 AS DOUBLE)), 2) AS total_reading
+FROM (SELECT unnest(generate_series(0, 999)) AS g)
+GROUP BY 1
+""")
+def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Python DataSource (Spark 4 SimpleDataSourceStreamReader):
+    the same synthetic telemetry source exposed as a STREAM -- offset-
+    tracked micro-batches of 250 rows, exact replay via
+    readBetweenOffsets (the recovery contract). Registered here is the
+    mode-agnostic aggregate (per-sensor count + reading total) on the
+    batch read -- the oracle reproduces the generator formula; the REAL
+    readStream path runs in tests/test_streaming.py, where the memory-
+    sink result after processAllAvailable() must equal this batch
+    answer exactly (4 micro-batches, offsets 0->250->...->1000, then a
+    clean stall)."""
+    pin_session_conf(spark)
+    from recommendation_system_spark_ml_spark.sources.pysource import (
+        SyntheticTelemetrySource)
+    try:
+        spark.dataSource.register(SyntheticTelemetrySource)
+    except Exception:
+        pass  # already registered in this session
+    return (spark.read.format("synthetic_telemetry").load()
+            .groupBy("sensor")
+            .agg(F.count(F.lit(1)).alias("n_samples"),
+                 F.round(F.sum("reading"), 2).alias("total_reading")))

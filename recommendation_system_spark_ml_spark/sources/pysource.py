@@ -65,3 +65,38 @@ class SyntheticTelemetrySource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return SyntheticTelemetryReader()
+
+    def simpleStreamReader(self, schema):
+        return SyntheticTelemetryStreamReader()
+
+
+STREAM_STEP = 250  # rows emitted per micro-batch
+
+
+class SyntheticTelemetryStreamReader:
+    """Spark 4 SimpleDataSourceStreamReader: offset-tracked micro-batch
+    reads over the same deterministic generator. Offsets are row ids,
+    advancing STREAM_STEP per batch until N_ROWS, then stalling (empty
+    batches, same offset) -- so processAllAvailable() terminates and
+    replays are exact: readBetweenOffsets regenerates any range
+    bit-for-bit, which is the recovery contract a real connector
+    satisfies from its upstream log/cursor."""
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        lo = start["next"]
+        hi = min(lo + STREAM_STEP, N_ROWS)
+        return self._rows(lo, hi), {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(start["next"], end["next"])
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up: the generator is stateless
+
+    @staticmethod
+    def _rows(lo: int, hi: int):
+        for i in range(lo, hi):
+            yield (i, SENSORS[i % len(SENSORS)], float((i * i) % 97))

@@ -176,3 +176,38 @@ def test_tws_totals_matches_batch_aggregate(spark):
                   F.sum(F.round(F.col("value") * 100, 0).cast("long"))
                   .alias("sum_cents"))).collect()}
     assert got == want
+
+
+def test_streaming_python_datasource_matches_batch(spark):
+    """Real readStream over the custom Python streaming source: the
+    memory-sink aggregate after processAllAvailable() (micro-batches of
+    250 rows, offset-tracked, stalls cleanly at 1000) must equal the
+    batch-mode answer from the same generator."""
+    from pyspark.sql import functions as F
+
+    from recommendation_system_spark_ml_spark.operators.formats import (
+        stream_python_datasource,
+    )
+    from recommendation_system_spark_ml_spark.sources.pysource import (
+        SyntheticTelemetrySource,
+    )
+
+    try:
+        spark.dataSource.register(SyntheticTelemetrySource)
+    except Exception:
+        pass
+    stream = (spark.readStream.format("synthetic_telemetry").load()
+              .groupBy("sensor")
+              .agg(F.count(F.lit(1)).alias("n_samples"),
+                   F.round(F.sum("reading"), 2).alias("total_reading")))
+    q = (stream.writeStream.outputMode("complete")
+         .format("memory").queryName("t_pysrc").start())
+    try:
+        q.processAllAvailable()
+        n_batches = q.lastProgress["batchId"] + 1 if q.lastProgress else 0
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM t_pysrc")
+    want = stream_python_datasource(spark, SF_SMOKE).toPandas()
+    assert_df_matches(got, want)
+    assert n_batches >= 2, "expected multiple micro-batches, got one"
