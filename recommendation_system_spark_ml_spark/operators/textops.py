@@ -855,3 +855,68 @@ def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "doc_id", "split", F.col("label").cast("int").alias("label"),
         F.round(vector_to_array("probability")[1], 4).alias("quality_score"))
+
+
+N_CURRICULUM_SHARDS = 8
+
+
+@register("pipeline_curriculum", oracle=f"""
+WITH m AS (
+    SELECT doc_id,
+           len(list_filter(string_split(lower(text), ' '),
+                           w -> w IN ('{_SW_SQL}'))) * 1.0
+               / len(string_split(lower(text), ' ')) AS score
+    FROM documents
+), r AS (
+    SELECT doc_id, score,
+           row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+    FROM m
+)
+SELECT doc_id,
+       floor(score * 10000 + 0.5) / 10000 AS quality,
+       CAST(rn AS BIGINT) AS curriculum_rank,
+       CAST((rn - 1) % {N_CURRICULUM_SHARDS} AS BIGINT) AS shard
+FROM r
+""")
+def pipeline_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum sharding: the LAST stage of a training-data pipeline
+    -- order the corpus by a quality signal (here the deterministic
+    stopword-density score; a deployment plugs in text_quality_model's
+    learned score) and deal rows round-robin into training shards, so
+    (a) the global order IS the curriculum and (b) every shard gets
+    the same quality mixture -- the stratification data loaders want
+    when they read shards in parallel.
+
+    The global ORDER BY never runs as a single-reducer sort: the
+    two-level recipe (window_ntile / stable_row_ids) range-buckets the
+    score, ranks inside buckets in parallel, and lifts to global ranks
+    with a broadcast per-bucket offset table -- at 100 TB the only
+    global object is the ~30-row bucket table. The oracle is the
+    single-window definition, certifying the distributed rank is
+    IDENTICAL to the naive global sort's."""
+    pin_session_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    ws = F.split(F.lower("text"), " ")
+    score = (F.size(F.filter(ws, lambda w: w.isin(*_STOPWORDS)))
+             .cast("double") / F.size(ws))
+    scored = docs.select("doc_id", score.alias("score"))
+    # descending curriculum: bucket by -score so bucket ASC == global
+    # DESC order; ~35 buckets over the observed [0, 0.35] score range.
+    bucketed = scored.withColumn(
+        "bucket", F.floor(-F.col("score") * 100).cast("long"))
+    wb = Window.partitionBy("bucket").orderBy(F.col("score").desc(),
+                                              F.col("doc_id").asc())
+    within = bucketed.withColumn("rn_in_bucket", F.row_number().over(wb))
+    counts = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    woff = (Window.orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    offsets = (counts.withColumn("offset", F.sum("n").over(woff) - F.col("n"))
+               .select("bucket", "offset"))
+    rn = F.col("offset") + F.col("rn_in_bucket")
+    return (within.join(F.broadcast(offsets), "bucket")
+            .select("doc_id",
+                    (F.floor(F.col("score") * 10000 + F.lit(0.5)) / 10000.0)
+                    .alias("quality"),
+                    rn.cast("long").alias("curriculum_rank"),
+                    ((rn - 1) % N_CURRICULUM_SHARDS).cast("long")
+                    .alias("shard")))

@@ -320,3 +320,17 @@ def test_gapfill_single_exchange_per_key(spark):
     # partitioning: at most 3 exchanges total (scan agg + spine join +
     # window), not one per window function
     assert plan.count("Exchange") <= 6
+
+
+def test_curriculum_no_global_row_sort(spark):
+    """pipeline_curriculum: global curriculum ranks must come from
+    bucket-parallel windows + a broadcast offset join; the only
+    SinglePartition structure allowed is the bucket-count table (no
+    doc-sized columns through it), and no rangepartitioning sort of
+    the documents."""
+    plan = _plan(_specs()["pipeline_curriculum"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    for block in plan.split("\n\n"):
+        if "SinglePartition" in block:
+            assert "doc_id" not in block and "text" not in block
+    assert "Exchange rangepartitioning" not in plan
