@@ -100,3 +100,32 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (li.join(orders, (li.l_orderkey == orders.o_orderkey) &
                     (li.salt == orders.salt))
             .select("l_orderkey", "l_linenumber", "o_custkey", "o_orderstatus"))
+
+
+def two_level_global_rank(df: DataFrame, bucket, order_cols,
+                          out: str = "rn") -> DataFrame:
+    """Global row_number() over `order_cols` WITHOUT a single-reducer
+    sort: rank inside `bucket` partitions in parallel, then lift to
+    global ranks via a broadcast per-bucket offset table (a window
+    over n_buckets rows, not n rows). `bucket` must be monotone
+    NON-DECREASING along the global order -- ascending bucket order
+    must equal the global order of `order_cols` -- which the caller
+    guarantees by deriving the bucket from the leading sort key
+    (e.g. floor(key/1000) for ascending, floor(-score*100) for
+    descending). Used by pipeline_curriculum; same recipe as
+    stable_row_ids and window_ntile. Property-tested against the
+    naive global window in tests/test_fuzz_scalars.py."""
+    from pyspark.sql.window import Window as W
+
+    bucketed = df.withColumn("__bucket", bucket)
+    wb = W.partitionBy("__bucket").orderBy(*order_cols)
+    within = bucketed.withColumn("__rib", F.row_number().over(wb))
+    counts = bucketed.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__n"))
+    woff = (W.orderBy("__bucket")
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    offsets = (counts
+               .withColumn("__off", F.sum("__n").over(woff) - F.col("__n"))
+               .select("__bucket", "__off"))
+    return (within.join(F.broadcast(offsets), "__bucket")
+            .withColumn(out, (F.col("__off") + F.col("__rib")).cast("long"))
+            .drop("__bucket", "__rib", "__off", "__n"))

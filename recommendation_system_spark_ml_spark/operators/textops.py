@@ -902,21 +902,15 @@ def pipeline_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = docs.select("doc_id", score.alias("score"))
     # descending curriculum: bucket by -score so bucket ASC == global
     # DESC order; ~35 buckets over the observed [0, 0.35] score range.
-    bucketed = scored.withColumn(
-        "bucket", F.floor(-F.col("score") * 100).cast("long"))
-    wb = Window.partitionBy("bucket").orderBy(F.col("score").desc(),
-                                              F.col("doc_id").asc())
-    within = bucketed.withColumn("rn_in_bucket", F.row_number().over(wb))
-    counts = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
-    woff = (Window.orderBy("bucket")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    offsets = (counts.withColumn("offset", F.sum("n").over(woff) - F.col("n"))
-               .select("bucket", "offset"))
-    rn = F.col("offset") + F.col("rn_in_bucket")
-    return (within.join(F.broadcast(offsets), "bucket")
-            .select("doc_id",
-                    (F.floor(F.col("score") * 10000 + F.lit(0.5)) / 10000.0)
-                    .alias("quality"),
-                    rn.cast("long").alias("curriculum_rank"),
-                    ((rn - 1) % N_CURRICULUM_SHARDS).cast("long")
-                    .alias("shard")))
+    from recommendation_system_spark_ml_spark.operators.scale import (
+        two_level_global_rank)
+    ranked = two_level_global_rank(
+        scored, F.floor(-F.col("score") * 100).cast("long"),
+        [F.col("score").desc(), F.col("doc_id").asc()], out="rn")
+    rn = F.col("rn")
+    return ranked.select(
+        "doc_id",
+        (F.floor(F.col("score") * 10000 + F.lit(0.5)) / 10000.0)
+        .alias("quality"),
+        rn.alias("curriculum_rank"),
+        ((rn - 1) % N_CURRICULUM_SHARDS).cast("long").alias("shard"))

@@ -63,3 +63,38 @@ def test_random_scalar_exprs_match_duckdb(spark, expr):
         con.close()
     assert spark_row.n == duck_row[1], expr
     assert int(spark_row.s) == int(duck_row[0]), expr
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=10_000),
+              st.sampled_from([-2.5, -1.0, -0.3, 0.0, 0.0, 0.3, 0.3,
+                               0.30000001, 1.0, 7.25])),
+    min_size=1, max_size=120))
+def test_two_level_global_rank_equals_naive_window(spark, rows):
+    """Property: the distributed two-level global rank (bucket-parallel
+    row_number + broadcast offsets) must equal the naive single-window
+    row_number for ANY data -- heavy ties, negative scores, values
+    exactly on bucket boundaries, near-boundary floats, single rows.
+    This is the helper pipeline_curriculum / stable_row_ids /
+    window_ntile rest on."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from recommendation_system_spark_ml_spark.operators.scale import (
+        two_level_global_rank,
+    )
+
+    # distinct ids: rank ties broken by id must be unambiguous
+    data = [(i, s) for i, (_, s) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, score double")
+    order = [F.col("score").desc(), F.col("id").asc()]
+    got = two_level_global_rank(
+        df, F.floor(-F.col("score") * 100).cast("long"), order, out="rn")
+    naive = df.withColumn(
+        "rn_naive", F.row_number().over(Window.orderBy(*order)))
+    joined = got.join(naive, ["id", "score"]).collect()
+    assert len(joined) == len(data)
+    for r in joined:
+        assert r.rn == r.rn_naive, (r.id, r.score, r.rn, r.rn_naive)
