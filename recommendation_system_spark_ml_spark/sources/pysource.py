@@ -98,5 +98,11 @@ class SyntheticTelemetryStreamReader:
 
     @staticmethod
     def _rows(lo: int, hi: int):
-        for i in range(lo, hi):
-            yield (i, SENSORS[i % len(SENSORS)], float((i * i) % 97))
+        # a copyable LIST ITERATOR, not a generator: Spark's prefetch
+        # cache copy.copy()s the returned iterator when a later batch
+        # replays from cache (datasource_internal.getCache); generators
+        # can't be copied (planPartitions failure, replay path only),
+        # while the runner also insists on a true iterator (next()),
+        # not a bare sequence. iter(list) satisfies both.
+        return iter([(i, SENSORS[i % len(SENSORS)], float((i * i) % 97))
+                     for i in range(lo, hi)])
