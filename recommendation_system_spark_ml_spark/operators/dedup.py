@@ -651,10 +651,20 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    nlist, nassign, threshold = 16, 2, 0.35
+    nassign, threshold = 2, 0.35
     corpus = (load(spark, sf_dir, "embeddings")
               .select("vec_id",
                       F.col("embedding").cast("array<double>").alias("v")))
+    # k grows with the corpus (the paper's prescription): cells hold
+    # ~TARGET_CELL vectors regardless of n, so within-cell pair cost
+    # stays ~n * TARGET_CELL instead of n^2/k with fixed k -- the
+    # scale_curve harness measured the fixed-k version going
+    # super-linear (slope 1.5, 10 s -> 328 s at 10x corpus). The
+    # count() is one bounded driver scalar; KMeans reads the data
+    # anyway.
+    target_cell = 300
+    n = corpus.count()
+    nlist = max(16, min(4096, n // target_cell))
     feats = corpus.select("vec_id", array_to_vector("v").alias("features"))
     km = KMeans(k=nlist, seed=823).fit(feats)
     # soft assignment: each vector lands in its nassign=2 nearest cells

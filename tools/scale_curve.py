@@ -63,6 +63,11 @@ CURVE_QUERIES = (
     "agg_avg_groupby",        # partial-agg floor
     "window_rank",            # per-entity windows
     "join_bloom_pruned",      # bloom build + pruned join
+    "graph_pagerank",         # 10 iterations: per-round join must stay linear
+    "dedup_semantic",         # KMeans cells bound the pair join
+    "ts_anomaly_mad",         # two exact percentiles per key
+    "pipeline_curriculum",    # two-level global rank
+    "multimodal_dedup_phash", # Arrow pooling + banded Hamming join
 )
 
 
