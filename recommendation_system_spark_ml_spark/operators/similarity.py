@@ -237,8 +237,9 @@ def sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("sim_ivf")  # rows-only: KMeans quantizer inside
 def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-k: KMeans (nlist=16) partitions the corpus into cells;
-    each query scans its nprobe=4 closest cells only. Returns the same
+    """IVF top-k: a KMeans coarse quantizer partitions the corpus into
+    cells sized ~300 vectors (nlist scales with the corpus); each query
+    scans only its nprobe closest cells. Returns the same
     (query_id, neighbor_id, rank, cosine) shape as sim_topk so recall
     is directly measurable (tests assert >= 80%@5 on the clustered
     testdata)."""
@@ -246,8 +247,16 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    nlist, nprobe = 16, 8
     corpus = _corpus(spark, sf_dir).cache()
+    # cells scale with the corpus (same measured lesson as
+    # dedup_semantic's fixed-k blow-up, dedup.py): ~300 vectors per
+    # cell at any size, so a probe scans nprobe*300 vectors, not
+    # nprobe/16 of everything. nprobe tracks nlist/4 with the small-n
+    # floor at 8 of 16 (the recall-tested configuration); the
+    # nprobe:nlist ratio is the recall/cost knob.
+    n = corpus.count()
+    nlist = max(16, min(4096, n // 300))
+    nprobe = max(8, nlist // 4)
     feats = corpus.select("vec_id", array_to_vector("v").alias("features"))
     km = KMeans(k=nlist, seed=823).fit(feats)
     assigned = (km.transform(feats)
