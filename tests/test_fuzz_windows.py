@@ -66,3 +66,46 @@ def test_random_window_frames_match_duckdb(spark, q):
     assert len(got) == len(want)
     bad = [(k, got[k], want[k]) for k in want if got[k] != want[k]]
     assert not bad, f"{q}: first mismatches {bad[:5]}"
+
+
+@st.composite
+def range_frame_queries(draw):
+    """RANGE frames: value-defined windows over ONE numeric order key.
+    Unlike ROWS, RANGE frames are tie-safe by construction -- the frame
+    is a value interval, so duplicate order values yield the same
+    aggregate regardless of their physical order -- which makes them
+    fuzzable even on non-unique keys."""
+    part = draw(st.sampled_from(_PARTS))
+    val = draw(st.sampled_from(_VALS))
+    agg = draw(st.sampled_from(_AGGS))
+    key = draw(st.sampled_from(["o_custkey", "o_orderkey % 500",
+                                "CAST(round(o_totalprice, 0) AS BIGINT)"]))
+    lo = draw(st.sampled_from(["UNBOUNDED PRECEDING", "100 PRECEDING",
+                               "10 PRECEDING", "CURRENT ROW"]))
+    hi = draw(st.sampled_from(["CURRENT ROW", "10 FOLLOWING",
+                               "100 FOLLOWING", "UNBOUNDED FOLLOWING"]))
+    if lo == "CURRENT ROW" and hi == "CURRENT ROW":
+        hi = "10 FOLLOWING"
+    return (f"SELECT o_orderkey, "
+            f"{agg}({val}) OVER (PARTITION BY {part} ORDER BY {key} "
+            f"RANGE BETWEEN {lo} AND {hi}) AS w "
+            f"FROM orders")
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(q=range_frame_queries())
+def test_random_range_frames_match_duckdb(spark, q):
+    from recommendation_system_spark_ml_spark.sources.catalog import (
+        register_views,
+    )
+    register_views(spark, SF_SMOKE)
+    got = {r.o_orderkey: r.w for r in spark.sql(q).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{path_for(SF_SMOKE, 'orders')}')")
+    want = {a: w for a, w in con.execute(q).fetchall()}
+    con.close()
+    assert len(got) == len(want)
+    bad = [(k, got[k], want[k]) for k in want if got[k] != want[k]]
+    assert not bad, f"{q}: first mismatches {bad[:5]}"
