@@ -514,7 +514,7 @@ _AQP_PCT = 100       # keep 100/1000 = 10% of rows
 WITH sampled AS (
     SELECT l_returnflag, l_extendedprice
     FROM lineitem
-    WHERE ((l_orderkey * 16 + l_linenumber) * {_KNUTH})
+    WHERE (((l_orderkey * 16 + l_linenumber) % 2147483648) * {_KNUTH})
           % 4294967296 % 1000 < {_AQP_PCT}
 ), est AS (
     SELECT l_returnflag,
@@ -545,10 +545,17 @@ def agg_sampled_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     dashboard-over-a-lakehouse that answers in seconds. Scale-up
     factor 1/p is exact because the gate is measure-preserving in
     expectation; the CI uses the classic normal approximation
-    1.96 * s / sqrt(n)."""
+    1.96 * s / sqrt(n).
+
+    The mixing key is reduced mod 2^31 BEFORE the Knuth multiply so the
+    product stays below 2^62 for any orderkey: without the reduction,
+    (l_orderkey * 16 + l_linenumber) * 2654435761 overflows BIGINT once
+    l_orderkey exceeds ~2.2e8 (TPC-H sf >= ~40) -- a hard
+    ARITHMETIC_OVERFLOW under ANSI mode rather than a silent wrap."""
     pin_session_conf(spark)
-    gate = (((F.col("l_orderkey") * 16 + F.col("l_linenumber"))
-             * F.lit(_KNUTH)) % F.lit(4294967296) % F.lit(1000)
+    gate = ((((F.col("l_orderkey") * 16 + F.col("l_linenumber"))
+              % F.lit(2147483648)) * F.lit(_KNUTH))
+            % F.lit(4294967296) % F.lit(1000)
             < F.lit(_AQP_PCT))
     scale = 1000 // _AQP_PCT
     return (load(spark, sf_dir, "lineitem")
@@ -587,8 +594,13 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks by construction (chunk rides the grouping key)."""
     pin_session_conf(spark)
     ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    # Chunk via pure-integer FLOORED division consistent with pmod:
+    # (id - pmod(id, 64)) div 64 maps -1 -> chunk -1 / bit 63 (not a
+    # collision with id 63), and stays exact past 2^53 where the old
+    # (id / 64.0).cast('long') double divide loses integer precision.
     words = (ev.groupBy(
-        "event_type", (F.col("user_id") / 64).cast("long").alias("chunk"))
+        "event_type",
+        F.expr("(user_id - pmod(user_id, 64)) div 64").alias("chunk"))
         .agg(F.bit_or(
             F.expr("shiftleft(CAST(1 AS BIGINT), "
                    "CAST(pmod(user_id, 64) AS INT))")).alias("word")))

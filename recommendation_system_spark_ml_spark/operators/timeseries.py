@@ -141,6 +141,7 @@ WITH o AS (
                              ROWS BETWEEN {EWMA_WINDOW - 1} PRECEDING
                              AND CURRENT ROW) AS arr
     FROM events
+    WHERE value IS NOT NULL
 )
 SELECT user_id, event_id, ts,
        round(list_sum(list_transform(
@@ -160,7 +161,13 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     zip_with over a sequence, and normalize with the closed-form
     geometric sum. No UDF, no per-key Python, state bounded at {win}
     doubles per evaluation regardless of key history length -- the
-    exact truncation a streaming EWMA over a state store would make."""
+    exact truncation a streaming EWMA over a state store would make.
+
+    NULL values are filtered IDENTICALLY on both sides before the
+    window: Spark's collect_list silently drops NULLs from the frame
+    while DuckDB's list() keeps them, so without the shared filter the
+    arrays (and the len(arr)-derived weights) would diverge the moment
+    events.value ever contains a NULL."""
     pin_session_conf(spark)
     q = 1.0 - EWMA_ALPHA
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -168,6 +175,7 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = F.collect_list("value").over(w)
     ev = (load(spark, sf_dir, "events")
           .select("user_id", "event_id", "ts", "value")
+          .where(F.col("value").isNotNull())
           .withColumn("arr", arr))
     n = F.size("arr")
     weighted = F.zip_with(
@@ -189,20 +197,23 @@ MAD_SIGMA = 3.0  # flag beyond 3 robust sigmas
 @register("ts_anomaly_mad", oracle=f"""
 WITH med AS (
     SELECT user_id,
-           median(value) AS med
+           floor(median(value) * 100000000 + 0.5) / 100000000 AS med
     FROM events GROUP BY user_id
 ), mad AS (
     SELECT e.user_id, any_value(m.med) AS med,
-           median(abs(e.value - m.med)) AS mad
+           floor(median(abs(e.value - m.med)) * 100000000 + 0.5)
+               / 100000000 AS mad
     FROM events e JOIN med m ON e.user_id = m.user_id
     GROUP BY e.user_id
 )
-SELECT e.user_id, e.event_id, e.value,
-       floor((abs(e.value - m.med) / ({MAD_K} * m.mad)) * 10000 + 0.5)
-           / 10000 AS robust_z
-FROM events e JOIN mad m ON e.user_id = m.user_id
-WHERE m.mad > 0
-  AND abs(e.value - m.med) / ({MAD_K} * m.mad) > {MAD_SIGMA}
+SELECT user_id, event_id, value, robust_z
+FROM (
+    SELECT e.user_id, e.event_id, e.value, m.mad,
+           floor((abs(e.value - m.med) / ({MAD_K} * m.mad)) * 10000 + 0.5)
+               / 10000 AS robust_z
+    FROM events e JOIN mad m ON e.user_id = m.user_id
+)
+WHERE mad > 0 AND robust_z > {MAD_SIGMA}
 """)
 def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-key anomaly detection: flag events whose value sits
@@ -219,18 +230,31 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB deployment with millions of rows per key swaps in
     approx_percentile (agg_approx_percentile is the certified twin of
     that trade). Rounding uses the shared floor-form (see ts_gapfill)
-    since |value - med| hits exact decimal ties by construction."""
+    since |value - med| hits exact decimal ties by construction.
+
+    Cross-engine float discipline, two layers: (a) the medians are
+    floor-quantized to 8 decimals on BOTH sides before feeding the z
+    arithmetic -- Spark's percentile interpolates lo + 0.5*(hi - lo)
+    while DuckDB's median computes (a + b)/2, which differ by 1 ulp on
+    even-count groups; quantizing erases the ulp because true medians
+    of 2-decimal data carry <= 3 decimals; (b) the > 3-sigma filter
+    compares the floor-ROUNDED robust_z on both sides, so a boundary
+    row can never be flipped in/out by residual expression-tree
+    noise."""
     pin_session_conf(spark)
+
+    def r8(c):
+        return F.floor(c * 100000000 + F.lit(0.5)) / 100000000.0
+
     ev = load(spark, sf_dir, "events").select("user_id", "event_id", "value")
     med = ev.groupBy("user_id").agg(
-        F.expr("percentile(value, 0.5)").alias("med"))
+        r8(F.expr("percentile(value, 0.5)")).alias("med"))
     mad = (ev.join(med, "user_id")
            .groupBy("user_id")
            .agg(F.first("med").alias("med"),
-                F.expr("percentile(abs(value - med), 0.5)").alias("mad")))
+                r8(F.expr("percentile(abs(value - med), 0.5)")).alias("mad")))
     z = F.abs(F.col("value") - F.col("med")) / (MAD_K * F.col("mad"))
+    zq = F.floor(z * 10000 + F.lit(0.5)) / 10000.0
     return (ev.join(mad, "user_id")
-            .where((F.col("mad") > 0) & (z > MAD_SIGMA))
-            .select("user_id", "event_id", "value",
-                    (F.floor(z * 10000 + F.lit(0.5)) / 10000.0)
-                    .alias("robust_z")))
+            .where((F.col("mad") > 0) & (zq > MAD_SIGMA))
+            .select("user_id", "event_id", "value", zq.alias("robust_z")))

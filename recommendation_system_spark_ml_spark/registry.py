@@ -80,25 +80,41 @@ _QUERY_MODULES = (
 # manual set maintenance. Functionally inert: every query still runs
 # and passes the full local gate regardless of position, and a fresh
 # checkout (no artifacts) simply treats everything as un-evidenced.
+#
+# Resolved LAZILY (first all_specs() call), not at import time, so
+# importing the package never touches the filesystem for ordering; a
+# malformed artifact is logged rather than silently swallowed, making
+# ordering differences across checkouts observable in the logs.
+_DRIVER_EVIDENCED: frozenset | None = None
+
+
 def _driver_evidenced() -> frozenset:
+    global _DRIVER_EVIDENCED
+    if _DRIVER_EVIDENCED is not None:
+        return _DRIVER_EVIDENCED
     import glob
     import json
+    import logging
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     green: set[str] = set()
-    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             rows = json.load(open(path))
-        except (OSError, ValueError):
+        except (OSError, ValueError) as exc:
+            logging.getLogger(__name__).warning(
+                "skipping unreadable correctness artifact %s: %s", path, exc)
+            continue
+        if not isinstance(rows, dict):
+            logging.getLogger(__name__).warning(
+                "skipping non-dict correctness artifact %s", path)
             continue
         for name, row in rows.items():
             if (isinstance(row, dict) and row.get("rows_match")
                     and row.get("schema_match") and row.get("hash_match")):
                 green.add(name)
-    return frozenset(green)
-
-
-_DRIVER_EVIDENCED = _driver_evidenced()
+    _DRIVER_EVIDENCED = frozenset(green)
+    return _DRIVER_EVIDENCED
 
 
 # Deliberately-expensive queries (exhaustive correctness twins, ML fits,
@@ -121,9 +137,10 @@ def all_specs() -> dict[str, QuerySpec]:
     # evidence yet (cheap before expensive), (2) rows-only queries with
     # no evidence, (3) already driver-evidenced. Within each class,
     # registration order. Ordering only -- every query still runs.
+    evidenced = _driver_evidenced()
     ordered = sorted(
         _REGISTRY,
-        key=lambda n: (n in _DRIVER_EVIDENCED,
+        key=lambda n: (n in evidenced,
                        _REGISTRY[n].oracle is None,
                        n in _EXPENSIVE))
     return {name: _REGISTRY[name] for name in ordered}
