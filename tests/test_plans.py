@@ -334,3 +334,20 @@ def test_curriculum_no_global_row_sort(spark):
         if "SinglePartition" in block:
             assert "doc_id" not in block and "text" not in block
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_semantic_dedup_assignment_is_map_side(spark):
+    """dedup_semantic: the top-2 cell assignment must be MAP-SIDE
+    (Arrow-batched NumPy matmul against the broadcast centroid
+    matrix + explode), NOT the old crossJoin + row_number() window
+    that shuffled corpus x nlist rows with their vectors. No Window
+    node anywhere; the only per-vector hash partitioning allowed is
+    the within-cell pair join on `cell` (and the final group-by)."""
+    plan = _plan(_specs()["dedup_semantic"].fn(spark, SF_SMOKE))
+    assert "Window" not in plan
+    assert "hashpartitioning(vec_id" not in plan
+    # the assignment is Arrow-vectorized, never row-at-a-time Python
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    # the sliced assignment feeds the join through an explode
+    assert "Generate" in plan and "explode" in plan
