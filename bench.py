@@ -64,10 +64,18 @@ def main() -> None:
         ((n, s) for n, s in all_specs().items() if s.bench),
         key=lambda kv: kv[0].startswith("ml_")))
 
-    # Warm the JVM + parquet footer caches outside the timed region.
-    first = next(iter(specs.values()))
-    first.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Full UNTIMED warmup sweep: every query once before any timing.
+    # Each query's first execution pays one-off costs that are not the
+    # plan -- whole-stage codegen compilation of that query's unique
+    # generated class, parquet footer reads, and (for
+    # ml_movielens_report) generating its cached MovieLens-shaped twin
+    # dataset. With only the old single-query warmup those costs
+    # landed in sweep 1's samples, so one throttled sweep out of three
+    # could drag a query's median (r3 saw join_multi_key 1.58 -> 2.29
+    # with no code change; warm re-measurement reproduced 1.58).
     _warm_mllib(spark)
+    for spec in specs.values():
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     # Round-robin repeats (full sweep x N, not N back-to-back runs of
     # one query) so a throttling window hits each query at most once

