@@ -296,6 +296,103 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def build_ivf_index(spark: SparkSession, sf_dir: str,
+                    force: bool = False) -> tuple[str, str]:
+    """Build (once) the PERSISTED IVF index sim_ivf's in-line comment
+    promised: the corpus clustered, repartitioned by cell id, and
+    written to parquet `partitionBy("cell")`, plus the centroid table.
+    Subsequent queries read the artifact -- zero KMeans fits, zero
+    corpus shuffles on the query path (the one-time build carries the
+    single repartition). Returns (cells_path, centroids_path).
+
+    Idempotent per process: if both artifacts exist with _SUCCESS the
+    build is skipped entirely (the dedup_incremental pattern,
+    dedup.py). At 100 TB this split is the whole point of IVF -- the
+    index is built once per corpus version and amortized over every
+    query batch after it."""
+    import os
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from recommendation_system_spark_ml_spark.session import scratch_path
+
+    cells_path = scratch_path(sf_dir, "ivf_index/cells")
+    cent_path = scratch_path(sf_dir, "ivf_index/centroids")
+    done = all(os.path.exists(os.path.join(p, "_SUCCESS"))
+               for p in (cells_path, cent_path))
+    if done and not force:
+        return cells_path, cent_path
+    corpus = _corpus(spark, sf_dir).cache()
+    n = corpus.count()
+    nlist = max(16, min(4096, n // 300))
+    feats = corpus.select("vec_id", array_to_vector("v").alias("features"))
+    km = KMeans(k=nlist, seed=SEED).fit(feats)
+    assigned = (km.transform(feats)
+                .select("vec_id", F.col("prediction").alias("cell")))
+    (corpus.join(assigned, "vec_id")
+     .repartition("cell")
+     .write.mode("overwrite").partitionBy("cell").parquet(cells_path))
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c])
+         for i, c in enumerate(km.clusterCenters())],
+        "cell int, cv array<double>")
+    centroids.write.mode("overwrite").parquet(cent_path)
+    corpus.unpersist()
+    return cells_path, cent_path
+
+
+@register("sim_ivf_persisted")  # rows-only: KMeans inside the build
+def sim_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k answered FROM THE PERSISTED INDEX (build_ivf_index):
+    same (query_id, neighbor_id, rank, cosine) contract and recall
+    gate as sim_ivf, but the query path runs zero KMeans fits and
+    scans only the probed cells' parquet partitions -- the probe list
+    is a bounded driver scalar (<= |queries| * nprobe cell ids, here
+    <= 10 * nlist/4), pushed down as a STATIC partition filter so the
+    scan never opens the other cells' files (plan-asserted:
+    PartitionFilters on the cells scan, zero fits on the query path).
+
+    This is the deployment shape: build once per corpus version, then
+    every query batch pays O(queries x nprobe x cell_size) reads. The
+    bounded collect here is the same class as the fixed query-vector
+    collect below (provably <= 10 * 1024 ints at the nlist cap)."""
+    pin_session_conf(spark)
+    cells_path, cent_path = build_ivf_index(spark, sf_dir)
+    centroids = spark.read.parquet(cent_path)
+    nlist = centroids.count()  # bounded: <= 4096 centroid rows
+    nprobe = max(8, nlist // 4)
+    queries = (_corpus(spark, sf_dir).where(F.col("vec_id") < N_QUERIES)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("v").alias("qv")))
+    qc = (queries.crossJoin(F.broadcast(centroids))
+          .select("query_id", "cell",
+                  _dot(F.col("qv"), F.col("cv")).alias("score")))
+    wprobe = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                                    F.col("cell").asc())
+    probes = (qc.withColumn("pr", F.row_number().over(wprobe))
+              .where(F.col("pr") <= nprobe).select("query_id", "cell"))
+    probe_cells = sorted({r.cell for r in probes.select("cell")
+                          .distinct().collect()})
+    cells = (spark.read.parquet(cells_path)
+             .where(F.col("cell").isin(probe_cells)))
+    cand = (queries.join(probes, "query_id")
+            .join(cells.select(F.col("vec_id").alias("neighbor_id"),
+                               F.col("v").alias("nv"), "cell"),
+                  "cell")
+            .where(F.col("query_id") != F.col("neighbor_id")))
+    cos = (_dot(F.col("qv"), F.col("nv"))
+           / (F.sqrt(_dot(F.col("qv"), F.col("qv")))
+              * F.sqrt(_dot(F.col("nv"), F.col("nv")))))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("cos").desc(), F.col("neighbor_id").asc()))
+    return (cand.select("query_id", "neighbor_id", cos.alias("cos"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("cos", 4).alias("cosine")))
+
+
 @register("vec_stats", oracle="""
 SELECT vec_id,
        CAST(len(embedding) AS INTEGER) AS dim,

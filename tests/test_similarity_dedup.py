@@ -181,3 +181,36 @@ def test_semantic_dedup_precision_and_recall(spark):
     assert got <= exact, "semantic dedup returned a non-duplicate"
     recall = len(got & exact) / len(exact)
     assert recall >= 0.5, f"semantic dedup recall too low: {recall:.2f}"
+
+
+def test_ivf_persisted_zero_fits_and_recall(spark, monkeypatch):
+    """sim_ivf_persisted: after build_ivf_index the query path must run
+    ZERO KMeans fits (KMeans.fit is poisoned after the build), must
+    read only the probed cells' partitions (PartitionFilters on the
+    cells scan), and must hit the same >= 0.8 recall@5 gate as
+    sim_ivf."""
+    from pyspark.ml.clustering import KMeans
+
+    from recommendation_system_spark_ml_spark.operators.similarity import (
+        build_ivf_index, sim_ivf_persisted)
+
+    build_ivf_index(spark, SF_SMOKE)
+
+    def _no_fit(self, *a, **kw):
+        raise AssertionError("KMeans.fit ran on the query path")
+
+    monkeypatch.setattr(KMeans, "fit", _no_fit)
+    df = sim_ivf_persisted(spark, SF_SMOKE)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    scan_blocks = [b for b in plan.split("\n\n")
+                   if "Scan parquet" in b and "ivf_index/cells" in b]
+    assert scan_blocks, "cells index scan missing from plan"
+    assert any("PartitionFilters: [" in b and "cell" in b.split(
+        "PartitionFilters")[1].splitlines()[0] for b in scan_blocks), (
+        "probe cells not pushed as partition filters")
+    approx = {(r.query_id, r.neighbor_id) for r in df.collect()}
+    exact = {(r.query_id, r.neighbor_id)
+             for r in sim_topk(spark, SF_SMOKE).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"persisted-IVF recall@5 too low: {recall:.2f}"
