@@ -362,7 +362,11 @@ def ml_movielens_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the golden-fixture regression test would see phantom drift. A
     # fixed hash layout makes the report a function of (data, seed)
     # only, on any cluster width -- the same property a real cluster
-    # job needs for reproducible sign-off runs.
+    # job needs for reproducible sign-off runs. (Measured caveat,
+    # tests/test_ml_band.py: reproducible to ~1e-6 relative, not
+    # bit-for-bit -- concurrent treeAggregate varies float-summation
+    # order inside MLlib; the band test pins the promise at the
+    # granularity that actually holds.)
     # ...and sort WITHIN partitions: hash layout fixes which rows land
     # where, but shuffle fetch order still varies with the upstream
     # task count, and KMeans|| samples rows positionally.

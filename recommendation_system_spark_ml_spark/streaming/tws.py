@@ -21,7 +21,17 @@ other; where protobuf is absent the registry simply omits it instead
 of raising. The test suite runs it whenever protobuf is importable
 (tests/test_streaming.py::test_tws_totals_*); stream_stateful_totals
 covers the same semantics on the always-available
-applyInPandasWithState API."""
+applyInPandasWithState API.
+
+DECISION (r4, permanent for this sandbox): protobuf stays un-vendored.
+The sandbox forbids package installs, and Spark's transformWithState
+client imports generated _pb2 modules that need the full protobuf
+runtime (descriptor pools, not a shimmable subset) -- vendoring ~100
+files of third-party source into this repo is the wrong trade against
+a query whose semantics are already driver-hash-verified through
+stream_stateful_totals (green r3). The module is kept, gated, and
+correct wherever protobuf exists; in this environment it is
+documented-inactive rather than dropped."""
 
 from __future__ import annotations
 
