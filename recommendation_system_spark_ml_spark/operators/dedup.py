@@ -26,7 +26,6 @@ for the LSH path, not the scale path (see similarity.py's IVF).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -696,23 +695,11 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # within-cell join's hash partitioning on `cell`, carrying the
     # already-sliced nassign * n rows (plan-asserted: no Window node,
     # no Exchange on vec_id).
-    from pyspark.sql.types import ArrayType, IntegerType
+    from recommendation_system_spark_ml_spark.operators.similarity import (
+        topk_cells_udf)
 
     cmat = np.array([[float(x) for x in c] for c in km.clusterCenters()])
-    b_cmat = spark.sparkContext.broadcast(cmat)
-    b_cn2 = spark.sparkContext.broadcast((cmat * cmat).sum(axis=1))
-
-    @F.pandas_udf(ArrayType(IntegerType()))
-    def topk_cells(vs: pd.Series) -> pd.Series:
-        xmat = np.vstack(vs.to_numpy())
-        # |x - c|^2 = |x|^2 - 2 x.c + |c|^2; the |x|^2 term is
-        # constant per row and cannot change the per-row ordering
-        d2 = b_cn2.value[None, :] - 2.0 * (xmat @ b_cmat.value.T)
-        finalists = np.argpartition(d2, nassign, axis=1)[:, :nassign + 1]
-        return pd.Series([
-            [int(c) for c in sorted(cand, key=lambda c: (row[c], c))[:nassign]]
-            for row, cand in zip(d2, finalists)])
-
+    topk_cells = topk_cells_udf(spark, cmat, nassign)
     cells = (corpus
              .select("vec_id", "v",
                      F.explode(topk_cells("v")).alias("cell")))

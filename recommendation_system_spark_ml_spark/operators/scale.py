@@ -129,3 +129,30 @@ def two_level_global_rank(df: DataFrame, bucket, order_cols,
     return (within.join(F.broadcast(offsets), "__bucket")
             .withColumn(out, (F.col("__off") + F.col("__rib")).cast("long"))
             .drop("__bucket", "__rib", "__off", "__n"))
+
+
+def two_level_running_sum(df: DataFrame, bucket, order_cols, value,
+                          out: str = "cum") -> DataFrame:
+    """Global running SUM of `value` over `order_cols` without a
+    single-reducer sort -- the cumulative-sum sibling of
+    two_level_global_rank: running sum inside `bucket` partitions in
+    parallel, lifted to global cumulative totals via a broadcast
+    per-bucket offset table (prior buckets' value totals). Same
+    contract: ascending `bucket` must equal the global order of
+    `order_cols`. Used by pipeline_token_budget; property-tested
+    against the naive global window in tests/test_fuzz_scalars.py."""
+    from pyspark.sql.window import Window as W
+
+    bucketed = df.withColumn("__bucket", bucket).withColumn("__v", value)
+    wb = (W.partitionBy("__bucket").orderBy(*order_cols)
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    within = bucketed.withColumn("__rs", F.sum("__v").over(wb))
+    totals = bucketed.groupBy("__bucket").agg(F.sum("__v").alias("__t"))
+    woff = (W.orderBy("__bucket")
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    offsets = (totals
+               .withColumn("__off", F.sum("__t").over(woff) - F.col("__t"))
+               .select("__bucket", "__off"))
+    return (within.join(F.broadcast(offsets), "__bucket")
+            .withColumn(out, F.col("__off") + F.col("__rs"))
+            .drop("__bucket", "__v", "__rs", "__off", "__t"))

@@ -20,6 +20,8 @@ Three tiers, exactness decreasing as scale increases:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -296,6 +298,35 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def topk_cells_udf(spark: SparkSession, cmat: "np.ndarray", nassign: int):
+    """Arrow-batched soft cell assignment: a pandas_udf mapping a
+    vector column to its `nassign` nearest centroid ids (exact, with a
+    deterministic (d2, cell) tiebreak), via ONE NumPy matmul per batch
+    against the broadcast (nlist x dim) centroid matrix. Entirely
+    map-side; plans as ArrowEvalPython. Shared by dedup_semantic and
+    sim_knn_graph -- the measured basis for this shape over the
+    interpreted higher-order-function expression is in dedup.py
+    (75x at the nlist cap)."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    b_cmat = spark.sparkContext.broadcast(cmat)
+    b_cn2 = spark.sparkContext.broadcast((cmat * cmat).sum(axis=1))
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _topk_cells(vs: pd.Series) -> pd.Series:
+        xmat = np.vstack(vs.to_numpy())
+        # |x - c|^2 = |x|^2 - 2 x.c + |c|^2; the |x|^2 term is
+        # constant per row and cannot change the per-row ordering
+        d2 = b_cn2.value[None, :] - 2.0 * (xmat @ b_cmat.value.T)
+        finalists = np.argpartition(d2, nassign, axis=1)[:, :nassign + 1]
+        return pd.Series([
+            [int(c) for c in
+             sorted(cand, key=lambda c: (row[c], c))[:nassign]]
+            for row, cand in zip(d2, finalists)])
+
+    return _topk_cells
+
+
 def build_ivf_index(spark: SparkSession, sf_dir: str,
                     force: bool = False) -> tuple[str, str]:
     """Build (once) the PERSISTED IVF index sim_ivf's in-line comment
@@ -391,6 +422,65 @@ def sim_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rank") <= TOP_K)
             .select("query_id", "neighbor_id", "rank",
                     F.round("cos", 4).alias("cosine")))
+
+
+KNN_K = 3       # neighbors per vector in the corpus-wide graph
+KNN_NPROBE = 6  # probe cells per vector (measured recall curve below)
+
+
+@register("sim_knn_graph")  # rows-only: KMeans cells inside the build
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide k-NN GRAPH (top-{k} cosine neighbors for EVERY
+    vector, not just a fixed query set) -- the building block for
+    graph-based curation: SemDeDup-style semantic dedup, diversity
+    sampling, cluster-balanced mixtures all start from this edge list.
+
+    Built from the SAME persisted IVF index as sim_ivf_persisted:
+    every vector soft-assigns to its {p} nearest cells map-side (the
+    shared Arrow matmul UDF), joins the index on the cell id, and
+    keeps its top-{k} by exact cosine. Candidate generation is
+    n * {p} * ~300 -- LINEAR in the corpus (the probe count is fixed
+    while nlist grows with n, so the probed fraction vanishes at
+    scale), and the cell id is a plain join key AQE can split on
+    skew. Probe-count basis, measured at sf0.001 on the near-uniform
+    worst case (no cluster structure for the quantizer to exploit):
+    recall@3 = 0.46/0.66/0.81/0.88 at 2/4/6/8 probes; {p} is the
+    knee. Real embedding corpora are clustered, where fewer probes
+    recall more; the test gates at 0.6 (the sim_lsh worst-case
+    convention) with 0.81 observed.
+
+    Returns (vec_id, neighbor_id, rank, cosine), rank 1..{k}."""
+    pin_session_conf(spark)
+    cells_path, cent_path = build_ivf_index(spark, sf_dir)
+    cent = spark.read.parquet(cent_path).orderBy("cell").collect()
+    cmat = np.array([r.cv for r in cent])  # bounded: <= 4096 x dim
+    nprobe = min(KNN_NPROBE, len(cmat))
+    topk = topk_cells_udf(spark, cmat, nprobe)
+    corpus = _corpus(spark, sf_dir)
+    probes = corpus.select(F.col("vec_id").alias("query_id"),
+                           F.col("v").alias("qv"),
+                           F.explode(topk("v")).alias("cell"))
+    index = (spark.read.parquet(cells_path)
+             .select(F.col("vec_id").alias("neighbor_id"),
+                     F.col("v").alias("nv"), "cell"))
+    cand = (probes.join(index, "cell")
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .dropDuplicates(["query_id", "neighbor_id"]))
+    cos = (_dot(F.col("qv"), F.col("nv"))
+           / (F.sqrt(_dot(F.col("qv"), F.col("qv")))
+              * F.sqrt(_dot(F.col("nv"), F.col("nv")))))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("cos").desc(), F.col("neighbor_id").asc()))
+    return (cand.select("query_id", "neighbor_id", cos.alias("cos"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= KNN_K)
+            .select(F.col("query_id").alias("vec_id"), "neighbor_id",
+                    "rank", F.round("cos", 4).alias("cosine")))
+
+
+sim_knn_graph.__doc__ = (sim_knn_graph.__doc__
+                         .replace("{k}", str(KNN_K))
+                         .replace("{p}", str(KNN_NPROBE)))
 
 
 @register("vec_stats", oracle="""

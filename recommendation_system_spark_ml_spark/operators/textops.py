@@ -809,7 +809,8 @@ def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     regression, trained on the Knuth-hash 70% split (restart-stable,
     §2.7) and scored over ALL docs map-side (the model is a broadcast
     weight vector; scoring shuffles nothing). The corpus-median
-    teacher threshold is ONE driver scalar via percentile. At 100 TB
+    teacher threshold rides a broadcast 1-row cross join inside the
+    same lazy plan (no driver round-trip). At 100 TB
     the fit sees a bounded sample while scoring stays a linear scan --
     exactly how fastText-style quality filters run over Common Crawl.
     Tests gate held-out AUC >= 0.8 (observed ~0.99 at sf0.001)."""
@@ -824,10 +825,15 @@ def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio = (F.size(F.filter(ws, lambda w: w.isin(*_STOPWORDS)))
              .cast("double") / F.size(ws))
     with_r = docs.withColumn("sw_ratio", ratio)
-    thr = with_r.agg(F.expr("percentile(sw_ratio, 0.5)")).collect()[0][0]
-    labeled = with_r.select(
+    # corpus-median teacher threshold as a broadcast 1-row cross join,
+    # NOT a driver collect: the label stays one lazy plan, so the
+    # threshold job folds into whatever action consumes `labeled`
+    # (previously this was the repo's third bounded collect site)
+    thr_df = with_r.agg(
+        F.expr("percentile(sw_ratio, 0.5)").alias("_thr"))
+    labeled = with_r.crossJoin(F.broadcast(thr_df)).select(
         "doc_id", "text",
-        (F.col("sw_ratio") > F.lit(thr)).cast("double").alias("label"),
+        (F.col("sw_ratio") > F.col("_thr")).cast("double").alias("label"),
         F.when((F.col("doc_id") * _MIX_KNUTH) % 4294967296 % 10 < 7,
                "train").otherwise("test").alias("split"))
     pipe = Pipeline(stages=[
@@ -914,3 +920,71 @@ def pipeline_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("quality"),
         rn.alias("curriculum_rank"),
         ((rn - 1) % N_CURRICULUM_SHARDS).cast("long").alias("shard"))
+
+
+TOKEN_BUDGET = 10_000  # absolute token budget for the selection
+
+
+@register("pipeline_token_budget", oracle=f"""
+WITH m AS (
+    SELECT doc_id,
+           len(list_filter(string_split(lower(text), ' '),
+                           w -> w IN ('{_SW_SQL}'))) * 1.0
+               / len(string_split(lower(text), ' ')) AS score,
+           len(string_split(lower(text), ' ')) AS ntokens
+    FROM documents
+), r AS (
+    SELECT doc_id, score, ntokens,
+           sum(ntokens) OVER (ORDER BY score DESC, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum
+    FROM m
+)
+SELECT doc_id,
+       CAST(ntokens AS BIGINT) AS ntokens,
+       CAST(cum AS BIGINT) AS cum_tokens,
+       floor(score * 10000 + 0.5) / 10000 AS quality
+FROM r WHERE cum <= {TOKEN_BUDGET}
+""")
+def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: every pretraining run starts
+    from "we can afford B tokens" -- keep the highest-quality
+    documents, in quality order, until the cumulative token count
+    reaches the budget (here B={TOKEN_BUDGET:,}; the score is the
+    deterministic stopword-density signal shared with
+    pipeline_curriculum, a deployment plugs in text_quality_model's
+    learned score).
+
+    The global cumulative sum never runs as a single-reducer sort:
+    two_level_running_sum (operators/scale.py) range-buckets the
+    score, running-sums inside buckets in parallel, and lifts to
+    global totals with a broadcast per-bucket offset table -- the
+    cumulative-sum sibling of the curriculum's two-level rank; at
+    100 TB the only global object is the ~35-row bucket-total table.
+    The budget filter is applied AFTER the lift, map-side. The oracle
+    is the naive single-window definition, certifying the distributed
+    cumsum is identical. Token counts are integers, so the running
+    sum is exact on both engines (no float-order noise)."""
+    pin_session_conf(spark)
+    from recommendation_system_spark_ml_spark.operators.scale import (
+        two_level_running_sum)
+
+    docs = load(spark, sf_dir, "documents")
+    ws = F.split(F.lower("text"), " ")
+    score = (F.size(F.filter(ws, lambda w: w.isin(*_STOPWORDS)))
+             .cast("double") / F.size(ws))
+    scored = docs.select("doc_id", score.alias("score"),
+                         F.size(ws).cast("long").alias("ntokens"))
+    cum = two_level_running_sum(
+        scored, F.floor(-F.col("score") * 100).cast("long"),
+        [F.col("score").desc(), F.col("doc_id").asc()],
+        F.col("ntokens"), out="cum")
+    return (cum.where(F.col("cum") <= TOKEN_BUDGET)
+            .select("doc_id", "ntokens",
+                    F.col("cum").cast("long").alias("cum_tokens"),
+                    (F.floor(F.col("score") * 10000 + F.lit(0.5)) / 10000.0)
+                    .alias("quality")))
+
+
+pipeline_token_budget.__doc__ = pipeline_token_budget.__doc__.replace(
+    "{TOKEN_BUDGET:,}", f"{TOKEN_BUDGET:,}")

@@ -98,3 +98,38 @@ def test_two_level_global_rank_equals_naive_window(spark, rows):
     assert len(joined) == len(data)
     for r in joined:
         assert r.rn == r.rn_naive, (r.id, r.score, r.rn, r.rn_naive)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(
+    st.tuples(st.integers(min_value=1, max_value=500),
+              st.sampled_from([-2.5, -1.0, -0.3, 0.0, 0.0, 0.3, 0.3,
+                               0.30000001, 1.0, 7.25])),
+    min_size=1, max_size=120))
+def test_two_level_running_sum_equals_naive_window(spark, rows):
+    """Property: the distributed two-level running sum (bucket-parallel
+    cumsum + broadcast bucket-total offsets) must equal the naive
+    single-window running sum for ANY data -- the helper
+    pipeline_token_budget rests on. Integer values, so equality is
+    exact (no float-order tolerance needed)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from recommendation_system_spark_ml_spark.operators.scale import (
+        two_level_running_sum,
+    )
+
+    data = [(i, s, v) for i, (v, s) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, score double, v long")
+    order = [F.col("score").desc(), F.col("id").asc()]
+    got = two_level_running_sum(
+        df, F.floor(-F.col("score") * 100).cast("long"), order,
+        F.col("v"), out="cum")
+    w = (Window.orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    naive = df.withColumn("cum_naive", F.sum("v").over(w))
+    joined = got.join(naive, ["id", "score", "v"]).collect()
+    assert len(joined) == len(data)
+    for r in joined:
+        assert r.cum == r.cum_naive, (r.id, r.score, r.cum, r.cum_naive)

@@ -214,3 +214,23 @@ def test_ivf_persisted_zero_fits_and_recall(spark, monkeypatch):
              for r in sim_topk(spark, SF_SMOKE).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"persisted-IVF recall@5 too low: {recall:.2f}"
+
+
+def test_knn_graph_recall_vs_exact(spark):
+    """sim_knn_graph (IVF-cell candidates, top-3 per vector) must
+    recover most of the exact corpus-wide 3-NN edge set. Near-uniform
+    vectors are IVF's worst case (measured curve in the operator
+    docstring: 0.81 at the shipped 6 probes); gate at 0.6, the
+    sim_lsh worst-case convention."""
+    from recommendation_system_spark_ml_spark.operators.similarity import (
+        brute_force_topk, sim_knn_graph, KNN_K)
+    from recommendation_system_spark_ml_spark.operators.similarity import (
+        _corpus)
+
+    corpus = _corpus(spark, SF_SMOKE)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in brute_force_topk(corpus, corpus, k=KNN_K).collect()}
+    approx = {(r.vec_id, r.neighbor_id)
+              for r in sim_knn_graph(spark, SF_SMOKE).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"kNN-graph recall@{KNN_K} too low: {recall:.2f}"
