@@ -279,10 +279,13 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.aggregate(F.zip_with(x, y, lambda a, b: a * b),
                            F.lit(0.0), lambda acc, z: acc + z)
 
+    # norm once per row, not per pair: same sqrt(dot(v, v)) expression,
+    # bit-identical cosines, 3x less interpreted aggregate work
+    emb = emb.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
     a = emb.alias("a")
     b = emb.alias("b")
-    norm = lambda c: F.sqrt(dot(c, c))  # noqa: E731
-    cos = dot(F.col("a.v"), F.col("b.v")) / (norm(F.col("a.v")) * norm(F.col("b.v")))
+    cos = (dot(F.col("a.v"), F.col("b.v"))
+           / (F.col("a.nrm") * F.col("b.nrm")))
     return (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
             .select(F.col("a.vec_id").alias("vec_a"),
                     F.col("b.vec_id").alias("vec_b"),
@@ -700,23 +703,26 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cmat = np.array([[float(x) for x in c] for c in km.clusterCenters()])
     topk_cells = topk_cells_udf(spark, cmat, nassign)
+    # L2 norm computed once per (vector, cell) row BEFORE the self-join
+    # -- per candidate pair the scoring stage then pays one dot
+    # product, not three interpreted array aggregates
+    norm = F.sqrt(F.aggregate(
+        F.zip_with("v", "v", lambda x, y: x * y), F.lit(0.0),
+        lambda acc, z: acc + z))
     cells = (corpus
-             .select("vec_id", "v",
+             .select("vec_id", "v", norm.alias("nrm"),
                      F.explode(topk_cells("v")).alias("cell")))
     a = cells.select("cell", F.col("vec_id").alias("vec_a"),
-                     F.col("v").alias("va"))
+                     F.col("v").alias("va"), F.col("nrm").alias("na"))
     b = cells.select("cell", F.col("vec_id").alias("vec_b"),
-                     F.col("v").alias("vb"))
+                     F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
                       F.lit(0.0), lambda acc, z: acc + z)
-    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.zip_with(c, c, lambda x, y: x * y), F.lit(0.0),
-        lambda acc, z: acc + z))
     pairs = (a.join(b, "cell")
              .where(F.col("vec_a") < F.col("vec_b"))
              .dropDuplicates(["vec_a", "vec_b"])
              .select("vec_a", "vec_b",
-                     (dot / (norm("va") * norm("vb"))).alias("cos"))
+                     (dot / (F.col("na") * F.col("nb"))).alias("cos"))
              .where(F.col("cos") >= threshold))
     return (pairs.groupBy(F.col("vec_b").alias("removed_id"))
             .agg(F.min_by("vec_a", "vec_a").alias("keeper_id"),

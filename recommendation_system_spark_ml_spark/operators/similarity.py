@@ -58,13 +58,17 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame,
                      k: int = TOP_K) -> DataFrame:
     """Exact cosine top-k of `corpus` for each row of `queries`; both
     need (vec_id, v). Deterministic tie-break on neighbor id."""
+    # norms hoisted out of the pair loop: same sqrt(dot(x, x))
+    # expression, evaluated once per ROW instead of once per PAIR
+    # (bit-identical cosines, ~3x less interpreted aggregate work)
     q = queries.select(F.col("vec_id").alias("query_id"),
-                       F.col("v").alias("qv"))
+                       F.col("v").alias("qv"),
+                       F.sqrt(_dot(F.col("v"), F.col("v"))).alias("qnrm"))
     c = corpus.select(F.col("vec_id").alias("neighbor_id"),
-                      F.col("v").alias("cv"))
+                      F.col("v").alias("cv"),
+                      F.sqrt(_dot(F.col("v"), F.col("v"))).alias("cnrm"))
     cos = (_dot(F.col("qv"), F.col("cv"))
-           / (F.sqrt(_dot(F.col("qv"), F.col("qv")))
-              * F.sqrt(_dot(F.col("cv"), F.col("cv")))))
+           / (F.col("qnrm") * F.col("cnrm")))
     scored = (q.crossJoin(c)
               .where(F.col("query_id") != F.col("neighbor_id"))
               .select("query_id", "neighbor_id", cos.alias("cos")))
@@ -127,12 +131,13 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_session_conf(spark)
     corpus = _corpus(spark, sf_dir)
     q = (corpus.where(F.col("vec_id") < N_QUERIES)
-         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")))
+         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+                 F.sqrt(_dot(F.col("v"), F.col("v"))).alias("qnrm")))
     c = corpus.select(F.col("vec_id").alias("neighbor_id"),
-                      F.col("v").alias("cv"))
+                      F.col("v").alias("cv"),
+                      F.sqrt(_dot(F.col("v"), F.col("v"))).alias("cnrm"))
     cos = (_dot(F.col("qv"), F.col("cv"))
-           / (F.sqrt(_dot(F.col("qv"), F.col("qv")))
-              * F.sqrt(_dot(F.col("cv"), F.col("cv")))))
+           / (F.col("qnrm") * F.col("cnrm")))
     return (F.broadcast(q).crossJoin(c)
             .where(F.col("query_id") != F.col("neighbor_id"))
             .select("query_id", "neighbor_id", cos.alias("cos"))
@@ -263,15 +268,17 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     km = KMeans(k=nlist, seed=823).fit(feats)
     assigned = (km.transform(feats)
                 .select("vec_id", F.col("prediction").alias("cell")))
-    # At scale: corpus.repartition("cell").write... once, then reuse.
-    cells = corpus.join(assigned, "vec_id")
+    # At scale: the build-once parquet artifact is sim_ivf_persisted.
+    cells = (corpus.join(assigned, "vec_id")
+             .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v")))))
 
     centroids = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())],
         "cell int, cv array<double>")
     queries = (corpus.where(F.col("vec_id") < N_QUERIES)
                .select(F.col("vec_id").alias("query_id"),
-                       F.col("v").alias("qv")))
+                       F.col("v").alias("qv"),
+                       F.sqrt(_dot(F.col("v"), F.col("v"))).alias("qnrm")))
     # probe list: nprobe nearest centroids per query (centroids broadcast).
     qc = (queries.crossJoin(F.broadcast(centroids))
           .select("query_id", "cell",
@@ -282,12 +289,13 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cand = (queries.join(probes, "query_id")
             .join(cells.select(F.col("vec_id").alias("neighbor_id"),
-                               F.col("v").alias("nv"), "cell"),
+                               F.col("v").alias("nv"),
+                               F.col("nrm").alias("nnrm"), "cell"),
                   "cell")
             .where(F.col("query_id") != F.col("neighbor_id")))
+    # norms ride as columns: one dot product per candidate
     cos = (_dot(F.col("qv"), F.col("nv"))
-           / (F.sqrt(_dot(F.col("qv"), F.col("qv")))
-              * F.sqrt(_dot(F.col("nv"), F.col("nv")))))
+           / (F.col("qnrm") * F.col("nnrm")))
     w = (Window.partitionBy("query_id")
          .orderBy(F.col("cos").desc(), F.col("neighbor_id").asc()))
     out = (cand.select("query_id", "neighbor_id", cos.alias("cos"))
@@ -361,7 +369,12 @@ def build_ivf_index(spark: SparkSession, sf_dir: str,
     km = KMeans(k=nlist, seed=SEED).fit(feats)
     assigned = (km.transform(feats)
                 .select("vec_id", F.col("prediction").alias("cell")))
+    # persist the L2 norm WITH the index: every cosine downstream then
+    # costs one dot product instead of three (the norm aggregates are
+    # interpreted higher-order functions, so hoisting them out of the
+    # per-candidate-pair path is a ~3x cut on the scoring stage)
     (corpus.join(assigned, "vec_id")
+     .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
      .repartition("cell")
      .write.mode("overwrite").partitionBy("cell").parquet(cells_path))
     centroids = spark.createDataFrame(
@@ -395,7 +408,8 @@ def sim_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe = max(8, nlist // 4)
     queries = (_corpus(spark, sf_dir).where(F.col("vec_id") < N_QUERIES)
                .select(F.col("vec_id").alias("query_id"),
-                       F.col("v").alias("qv")))
+                       F.col("v").alias("qv"),
+                       F.sqrt(_dot(F.col("v"), F.col("v"))).alias("qnrm")))
     qc = (queries.crossJoin(F.broadcast(centroids))
           .select("query_id", "cell",
                   _dot(F.col("qv"), F.col("cv")).alias("score")))
@@ -409,12 +423,14 @@ def sim_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
              .where(F.col("cell").isin(probe_cells)))
     cand = (queries.join(probes, "query_id")
             .join(cells.select(F.col("vec_id").alias("neighbor_id"),
-                               F.col("v").alias("nv"), "cell"),
+                               F.col("v").alias("nv"),
+                               F.col("nrm").alias("nnrm"), "cell"),
                   "cell")
             .where(F.col("query_id") != F.col("neighbor_id")))
+    # norms ride as columns (index-persisted / computed once per
+    # query), so the per-candidate cost is ONE dot product
     cos = (_dot(F.col("qv"), F.col("nv"))
-           / (F.sqrt(_dot(F.col("qv"), F.col("qv")))
-              * F.sqrt(_dot(F.col("nv"), F.col("nv")))))
+           / (F.col("qnrm") * F.col("nnrm")))
     w = (Window.partitionBy("query_id")
          .orderBy(F.col("cos").desc(), F.col("neighbor_id").asc()))
     return (cand.select("query_id", "neighbor_id", cos.alias("cos"))
@@ -457,18 +473,24 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe = min(KNN_NPROBE, len(cmat))
     topk = topk_cells_udf(spark, cmat, nprobe)
     corpus = _corpus(spark, sf_dir)
+    # query norm computed ONCE per vector, before the probe explode;
+    # the index side's norm is persisted in the artifact -- per
+    # candidate the scoring stage pays one dot product, not three
+    # interpreted array aggregates
     probes = corpus.select(F.col("vec_id").alias("query_id"),
                            F.col("v").alias("qv"),
+                           F.sqrt(_dot(F.col("v"), F.col("v")))
+                           .alias("qnrm"),
                            F.explode(topk("v")).alias("cell"))
     index = (spark.read.parquet(cells_path)
              .select(F.col("vec_id").alias("neighbor_id"),
-                     F.col("v").alias("nv"), "cell"))
+                     F.col("v").alias("nv"),
+                     F.col("nrm").alias("nnrm"), "cell"))
     cand = (probes.join(index, "cell")
             .where(F.col("query_id") != F.col("neighbor_id"))
             .dropDuplicates(["query_id", "neighbor_id"]))
     cos = (_dot(F.col("qv"), F.col("nv"))
-           / (F.sqrt(_dot(F.col("qv"), F.col("qv")))
-              * F.sqrt(_dot(F.col("nv"), F.col("nv")))))
+           / (F.col("qnrm") * F.col("nnrm")))
     w = (Window.partitionBy("query_id")
          .orderBy(F.col("cos").desc(), F.col("neighbor_id").asc()))
     return (cand.select("query_id", "neighbor_id", cos.alias("cos"))
