@@ -351,3 +351,28 @@ def test_semantic_dedup_assignment_is_map_side(spark):
     assert "BatchEvalPython" not in plan
     # the sliced assignment feeds the join through an explode
     assert "Generate" in plan and "explode" in plan
+
+
+def test_token_budget_no_global_row_sort(spark):
+    """pipeline_token_budget: the global cumulative token sum must be
+    the two-level recipe (bucket-parallel cumsum + broadcast offsets),
+    never a rangepartitioning sort of the documents; the only
+    SinglePartition structure allowed is the bucket-total table."""
+    plan = _plan(_specs()["pipeline_token_budget"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange rangepartitioning" not in plan
+    for block in plan.split("\n\n"):
+        if "SinglePartition" in block:
+            assert "doc_id" not in block and "text" not in block
+
+
+def test_knn_graph_arrow_probe_no_cartesian(spark):
+    """sim_knn_graph: candidates must come from the cell-id equi-join
+    (never a cross product), the probe assignment must be the Arrow
+    matmul UDF, and the norms must ride as columns (no per-pair norm
+    aggregates -- the plan's join output carries qnrm/nnrm)."""
+    plan = _plan(_specs()["sim_knn_graph"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "qnrm" in plan and "nnrm" in plan
