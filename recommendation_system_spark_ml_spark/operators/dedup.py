@@ -703,24 +703,35 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cmat = np.array([[float(x) for x in c] for c in km.clusterCenters()])
     topk_cells = topk_cells_udf(spark, cmat, nassign)
-    # L2 norm computed once per (vector, cell) row BEFORE the self-join
-    # -- per candidate pair the scoring stage then pays one dot
-    # product, not three interpreted array aggregates
+    # Candidate generation + dedup on ID PAIRS ONLY: a pair sharing
+    # both probe cells would otherwise be deduplicated while two
+    # 520-byte vectors ride the exchange (~1 KB/candidate -- the
+    # sim_knn_graph scale-curve lesson, slope 1.83 before the same
+    # fix there). Ids-first, the dedup shuffles 16 B/candidate with
+    # map-side combine; the vectors (and the once-per-vector L2 norm,
+    # so scoring pays ONE dot product per pair) join back after.
+    cell_ids = corpus.select("vec_id",
+                             F.explode(topk_cells("v")).alias("cell"))
+    pair_ids = (cell_ids.select("cell", F.col("vec_id").alias("vec_a"))
+                .join(cell_ids.select("cell",
+                                      F.col("vec_id").alias("vec_b")),
+                      "cell")
+                .where(F.col("vec_a") < F.col("vec_b"))
+                .dropDuplicates(["vec_a", "vec_b"])
+                .select("vec_a", "vec_b"))
     norm = F.sqrt(F.aggregate(
         F.zip_with("v", "v", lambda x, y: x * y), F.lit(0.0),
         lambda acc, z: acc + z))
-    cells = (corpus
-             .select("vec_id", "v", norm.alias("nrm"),
-                     F.explode(topk_cells("v")).alias("cell")))
-    a = cells.select("cell", F.col("vec_id").alias("vec_a"),
-                     F.col("v").alias("va"), F.col("nrm").alias("na"))
-    b = cells.select("cell", F.col("vec_id").alias("vec_b"),
-                     F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    vecs = corpus.select("vec_id", "v", norm.alias("nrm"))
     dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
                       F.lit(0.0), lambda acc, z: acc + z)
-    pairs = (a.join(b, "cell")
-             .where(F.col("vec_a") < F.col("vec_b"))
-             .dropDuplicates(["vec_a", "vec_b"])
+    pairs = (pair_ids
+             .join(vecs.select(F.col("vec_id").alias("vec_a"),
+                               F.col("v").alias("va"),
+                               F.col("nrm").alias("na")), "vec_a")
+             .join(vecs.select(F.col("vec_id").alias("vec_b"),
+                               F.col("v").alias("vb"),
+                               F.col("nrm").alias("nb")), "vec_b")
              .select("vec_a", "vec_b",
                      (dot / (F.col("na") * F.col("nb"))).alias("cos"))
              .where(F.col("cos") >= threshold))

@@ -473,22 +473,32 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe = min(KNN_NPROBE, len(cmat))
     topk = topk_cells_udf(spark, cmat, nprobe)
     corpus = _corpus(spark, sf_dir)
-    # query norm computed ONCE per vector, before the probe explode;
-    # the index side's norm is persisted in the artifact -- per
-    # candidate the scoring stage pays one dot product, not three
-    # interpreted array aggregates
-    probes = corpus.select(F.col("vec_id").alias("query_id"),
-                           F.col("v").alias("qv"),
-                           F.sqrt(_dot(F.col("v"), F.col("v")))
-                           .alias("qnrm"),
-                           F.explode(topk("v")).alias("cell"))
-    index = (spark.read.parquet(cells_path)
-             .select(F.col("vec_id").alias("neighbor_id"),
-                     F.col("v").alias("nv"),
-                     F.col("nrm").alias("nnrm"), "cell"))
-    cand = (probes.join(index, "cell")
-            .where(F.col("query_id") != F.col("neighbor_id"))
-            .dropDuplicates(["query_id", "neighbor_id"]))
+    # Candidate generation and dedup run on ID PAIRS ONLY -- a pair can
+    # match in up to nprobe shared cells, and deduplicating it while
+    # the two 520-byte vectors ride along shuffles ~1 KB/candidate.
+    # The scale-curve harness caught exactly that as slope 1.83
+    # (2.5 s -> 167 s at 10x); with ids-first the dedup exchange
+    # carries 16 B/candidate (and dropDuplicates is a partial
+    # aggregate, so map-side combine folds most duplicates before the
+    # wire), then the vectors join back ONCE per side -- re-measured
+    # slope 0.73 (3.2/5.7/17.2 s at 1x/3x/10x, 9.7x faster at 10x).
+    probe_ids = corpus.select(F.col("vec_id").alias("query_id"),
+                              F.explode(topk("v")).alias("cell"))
+    index = spark.read.parquet(cells_path)
+    pairs = (probe_ids.join(index.select(F.col("vec_id")
+                                         .alias("neighbor_id"), "cell"),
+                            "cell")
+             .where(F.col("query_id") != F.col("neighbor_id"))
+             .dropDuplicates(["query_id", "neighbor_id"])
+             .select("query_id", "neighbor_id"))
+    qside = corpus.select(F.col("vec_id").alias("query_id"),
+                          F.col("v").alias("qv"),
+                          F.sqrt(_dot(F.col("v"), F.col("v")))
+                          .alias("qnrm"))
+    nside = index.select(F.col("vec_id").alias("neighbor_id"),
+                         F.col("v").alias("nv"),
+                         F.col("nrm").alias("nnrm"))
+    cand = pairs.join(qside, "query_id").join(nside, "neighbor_id")
     cos = (_dot(F.col("qv"), F.col("nv"))
            / (F.col("qnrm") * F.col("nnrm")))
     w = (Window.partitionBy("query_id")

@@ -68,6 +68,8 @@ CURVE_QUERIES = (
     "ts_anomaly_mad",         # two exact percentiles per key
     "pipeline_curriculum",    # two-level global rank
     "multimodal_dedup_phash", # Arrow pooling + banded Hamming join
+    "sim_knn_graph",          # cell-bounded corpus-wide kNN edges
+    "pipeline_token_budget",  # two-level global running sum
 )
 
 
