@@ -988,3 +988,221 @@ def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 pipeline_token_budget.__doc__ = pipeline_token_budget.__doc__.replace(
     "{TOKEN_BUDGET:,}", f"{TOKEN_BUDGET:,}")
+
+
+# Gopher rule thresholds (Rae et al. 2021, §A1.1 -- public paper).
+# Bounds are integers so every rule below evaluates in exact integer
+# arithmetic on both engines (no float-tie risk). The paper's English
+# stop list (the/be/to/of/and/that/have/with) is swapped for the
+# corpus function-word list _STOPWORDS -- the synthetic vocabulary
+# contains almost none of the paper's words, which would make the
+# >= 2-distinct rule constant-false; the rule SHAPE is unchanged.
+_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS = 50, 100_000
+_GOPHER_STOPWORDS = _STOPWORDS
+_GOPHER_SW_SQL = "', '".join(_GOPHER_STOPWORDS)
+
+
+@register("text_gopher_rules", oracle=f"""
+WITH t AS (
+    SELECT doc_id, text, string_split(lower(text), ' ') AS ws
+    FROM documents
+), m AS (
+    SELECT doc_id,
+           len(ws) AS n_words,
+           length(text) - (len(ws) - 1) AS sum_len,
+           len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_sym,
+           len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+               AS n_alpha,
+           len(list_distinct(list_filter(
+               ws, w -> w IN ('{_GOPHER_SW_SQL}')))) AS n_stop
+    FROM t
+)
+SELECT doc_id,
+       CAST(n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+            AS INTEGER) AS r_word_count,
+       CAST(3 * n_words <= sum_len AND sum_len <= 10 * n_words
+            AS INTEGER) AS r_mean_word_len,
+       CAST(10 * n_sym <= n_words AS INTEGER) AS r_symbol_ratio,
+       CAST(5 * n_alpha >= 4 * n_words AS INTEGER) AS r_alpha_words,
+       CAST(n_stop >= 2 AS INTEGER) AS r_stopwords,
+       CAST(n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+            AND 3 * n_words <= sum_len AND sum_len <= 10 * n_words
+            AND 10 * n_sym <= n_words
+            AND 5 * n_alpha >= 4 * n_words
+            AND n_stop >= 2 AS INTEGER) AS gopher_pass
+FROM m
+""")
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher/MassiveText document-quality rule set (Rae et al.
+    2021, public paper) as per-rule flags plus the conjunction gate:
+    word count in [50, 100k], mean word length in [3, 10], symbol
+    ('#'/'...')-to-word ratio <= 0.1, >= 80% of words containing an
+    alphabetic character, and >= 2 distinct stop words present.
+    Complements text_repetition (the same paper's repetition family)
+    and text_quality (the C4 gate).
+
+    Every threshold is evaluated in EXACT integer arithmetic -- ratios
+    are stated as cross-multiplications (10 * n_sym <= n_words, not
+    n_sym / n_words <= 0.1) so the oracle comparison has zero float
+    surface. Mean word length uses sum_len = length(text) - (n_words
+    - 1): exact for the single-space tokenization this corpus has, and
+    one subtraction instead of a per-word length reduction. All rules
+    are per-row map work inside one scan projection -- zero shuffles,
+    embarrassingly parallel at 100 TB."""
+    pin_session_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    ws = F.split(F.lower("text"), " ")
+    n_words = F.size(ws)
+    sum_len = F.length("text") - (n_words - 1)
+    n_sym = F.size(F.regexp_extract_all("text", F.lit(r"#|\.\.\."), F.lit(0)))
+    n_alpha = F.size(F.filter(ws, lambda w: w.rlike("[a-z]")))
+    n_stop = F.size(F.array_distinct(
+        F.filter(ws, lambda w: w.isin(*_GOPHER_STOPWORDS))))
+    r1 = n_words.between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+    r2 = (3 * n_words <= sum_len) & (sum_len <= 10 * n_words)
+    r3 = 10 * n_sym <= n_words
+    r4 = 5 * n_alpha >= 4 * n_words
+    r5 = n_stop >= 2
+    return docs.select(
+        "doc_id",
+        r1.cast("int").alias("r_word_count"),
+        r2.cast("int").alias("r_mean_word_len"),
+        r3.cast("int").alias("r_symbol_ratio"),
+        r4.cast("int").alias("r_alpha_words"),
+        r5.cast("int").alias("r_stopwords"),
+        (r1 & r2 & r3 & r4 & r5).cast("int").alias("gopher_pass"))
+
+
+@register("pipeline_domain_mixture", oracle=f"""
+WITH c AS (
+    SELECT lang, count(*) AS cnt FROM documents GROUP BY lang
+), k AS (
+    SELECT lang, cnt,
+           CAST(floor(1000 * sqrt(CAST((SELECT min(cnt) FROM c) AS DOUBLE))
+                      / sqrt(CAST(cnt AS DOUBLE))) AS BIGINT) AS cutoff
+    FROM c
+)
+SELECT d.doc_id, d.lang, k.cutoff AS keep_per_mille
+FROM documents d JOIN k ON d.lang = k.lang
+WHERE ((d.doc_id % 2147483648) * {_MIX_KNUTH}) % 4294967296 % 1000
+      < k.cutoff
+""")
+def pipeline_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain rebalancing (the mT5/XLM-R multi-
+    lingual sampling rule, public papers): target share per domain
+    proportional to count^alpha with alpha = 0.5, realized as a
+    deterministic per-row keep rate. rate_d = sqrt(min_cnt / cnt_d),
+    so the SMALLEST domain keeps everything and each larger domain is
+    downsampled toward the flattened mixture. Unlike
+    pipeline_interleave (hand-specified per-source rates), the rates
+    here are DERIVED from corpus statistics -- the two compose:
+    measure, rebalance, interleave.
+
+    Cross-engine float discipline: the only float is the single
+    expression floor(1000 * sqrt(min) / sqrt(cnt)) -- two correctly-
+    rounded IEEE sqrts and one division, written with identical
+    association on both engines, then floored to an integer cutoff;
+    the keep gate itself is the overflow-safe integer Knuth hash
+    (key reduced mod 2^31 before the multiply, §2.7 convention).
+
+    Scale shape: the domain-count table is a map-side-combinable agg
+    over a low-cardinality key (5 langs here; domains are bounded in
+    practice), the cutoff table is broadcast back, and the gate is a
+    map filter -- one tiny shuffle for the counts, zero for the data
+    path. At 100 TB the gate never materializes a shuffled copy of
+    the corpus."""
+    pin_session_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    mn = c.agg(F.min("cnt").alias("min_cnt"))
+    k = (c.crossJoin(F.broadcast(mn))
+         .select("lang",
+                 F.floor(F.lit(1000)
+                         * F.sqrt(F.col("min_cnt").cast("double"))
+                         / F.sqrt(F.col("cnt").cast("double")))
+                 .alias("keep_per_mille")))
+    gate = ((F.col("doc_id") % F.lit(2147483648)) * F.lit(_MIX_KNUTH)) \
+        % F.lit(4294967296) % F.lit(1000)
+    return (docs.join(F.broadcast(k), "lang")
+            .where(gate < F.col("keep_per_mille"))
+            .select("doc_id", "lang", "keep_per_mille"))
+
+
+@register("pipeline_funnel_report", oracle=f"""
+WITH raw AS (
+    SELECT doc_id, text,
+           len(string_split(text, ' ')) AS nt,
+           len(string_split(lower(text), ' ')) AS n_q,
+           length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
+               AS n_punct,
+           length(text) AS n_chars
+    FROM documents
+), q AS (
+    SELECT doc_id, text, nt, n_q FROM raw
+    WHERE n_q BETWEEN 10 AND 1000
+      AND CAST(n_punct AS DOUBLE) / n_chars < 0.1
+), g AS (
+    SELECT doc_id, text, nt FROM q
+    WHERE n_q BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+      AND len(list_distinct(list_filter(
+              string_split(lower(text), ' '),
+              w -> w IN ('{_GOPHER_SW_SQL}')))) >= 2
+), u AS (
+    SELECT min(doc_id) AS doc_id, max(nt) AS nt
+    FROM g GROUP BY md5(text)
+)
+SELECT CAST(0 AS INTEGER) AS stage_ord, 'raw' AS stage,
+       count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens FROM raw
+UNION ALL
+SELECT 1, 'quality_gate', count(*), CAST(sum(nt) AS BIGINT) FROM q
+UNION ALL
+SELECT 2, 'gopher_gate', count(*), CAST(sum(nt) AS BIGINT) FROM g
+UNION ALL
+SELECT 3, 'exact_dedup', count(*), CAST(sum(nt) AS BIGINT) FROM u
+""")
+def pipeline_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-funnel accounting: docs and tokens surviving each pipeline
+    stage (raw -> C4 quality gate -> Gopher gate -> exact dedup), the
+    per-batch observability table every production training-data
+    pipeline publishes (and the number the 'how many tokens did we
+    keep' audit asks for). Stage definitions are shared verbatim with
+    text_quality / text_gopher_rules / dedup_exact, so the funnel
+    certifies the COMPOSITION'S bookkeeping, not new semantics.
+
+    Scale shape: one scan feeds all four stage aggregates; the raw and
+    gated counts are map-side-combinable global aggs (a few bytes per
+    partition over the wire), and the dedup stage shuffles the 16-byte
+    digest + two ints -- text never moves (pipeline_docs convention).
+    The four 1-row aggregates union into a 4-row result: driver-safe
+    at any corpus size."""
+    pin_session_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    q_ws = F.split(F.lower("text"), " ")
+    n_chars = F.length("text")
+    n_punct = n_chars - F.length(F.regexp_replace("text", "[^a-z0-9 ]", ""))
+    raw = docs.select(
+        "doc_id", "text", F.size(F.split("text", " ")).alias("nt"),
+        F.size(q_ws).alias("n_q"), n_punct.alias("n_punct"),
+        n_chars.alias("n_chars"))
+    q = raw.where(F.col("n_q").between(10, 1000)
+                  & (F.col("n_punct").cast("double") / F.col("n_chars")
+                     < 0.1)).select("doc_id", "text", "nt", "n_q")
+    n_stop = F.size(F.array_distinct(
+        F.filter(q_ws, lambda w: w.isin(*_GOPHER_STOPWORDS))))
+    g = q.where(F.col("n_q").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+                & (n_stop >= 2)).select("doc_id", "text", "nt")
+    u = (g.select(F.md5("text").alias("h"), "doc_id", "nt")
+         .groupBy("h")
+         .agg(F.min("doc_id").alias("doc_id"), F.max("nt").alias("nt")))
+
+    def stage(df, ord_, name):
+        return df.agg(
+            F.lit(ord_).cast("int").alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"))
+
+    return (stage(raw, 0, "raw")
+            .unionByName(stage(q, 1, "quality_gate"))
+            .unionByName(stage(g, 2, "gopher_gate"))
+            .unionByName(stage(u, 3, "exact_dedup")))

@@ -376,3 +376,36 @@ def test_knn_graph_arrow_probe_no_cartesian(spark):
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
     assert "qnrm" in plan and "nnrm" in plan
+
+
+def test_gopher_rules_pure_map_no_shuffle_no_python(spark):
+    """text_gopher_rules is one scan projection: every rule is integer
+    arithmetic over per-row arrays inside codegen -- no Exchange, no
+    Python eval anywhere in the plan."""
+    plan = _plan(_specs()["text_gopher_rules"].fn(spark, SF_SMOKE))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_domain_mixture_gate_is_broadcast_map_filter(spark):
+    """pipeline_domain_mixture: the per-domain cutoff table joins back
+    via BROADCAST and the keep gate filters map-side -- the corpus
+    itself must never ride an Exchange (only the tiny lang-count
+    aggregate shuffles, and its rows are (lang, cnt) pairs)."""
+    plan = _plan(_specs()["pipeline_domain_mixture"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    for block in plan.split("\n\n"):
+        if ") Exchange" in block:
+            assert "doc_id" not in block, block
+
+
+def test_funnel_report_text_never_shuffles(spark):
+    """pipeline_funnel_report: stage counts are map-side-combinable
+    partial aggregates and the dedup stage shuffles digests only --
+    the text column must not appear in any Exchange input."""
+    plan = _plan(_specs()["pipeline_funnel_report"].fn(spark, SF_SMOKE))
+    assert "partial_" in plan
+    for block in plan.split("\n\n"):
+        if ") Exchange" in block or ") BroadcastExchange" in block:
+            assert "text#" not in block, block
