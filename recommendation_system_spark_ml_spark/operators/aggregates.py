@@ -606,3 +606,134 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "CAST(pmod(user_id, 64) AS INT))")).alias("word")))
     return (words.groupBy("event_type")
             .agg(F.sum(F.bit_count("word")).alias("n_users")))
+
+
+KMV_K = 256  # bottom-k sketch size (standard error ~ 1/sqrt(k) ~ 6%)
+
+
+@register("agg_kmv_jaccard", oracle=f"""
+WITH s AS (
+    SELECT DISTINCT o_orderpriority AS p, o_custkey AS c FROM orders
+), hh AS (
+    SELECT p, md5(CAST(c AS VARCHAR)) AS h FROM s
+), sk AS (
+    SELECT p, h FROM (
+        SELECT p, h, row_number() OVER (PARTITION BY p ORDER BY h) AS rn
+        FROM hh) WHERE rn <= {KMV_K}
+), pr AS (
+    SELECT a.p AS pa, b.p AS pb
+    FROM (SELECT DISTINCT p FROM s) a JOIN (SELECT DISTINCT p FROM s) b
+      ON a.p < b.p
+), merged AS (
+    SELECT pr.pa, pr.pb, sk.h
+    FROM pr JOIN sk ON sk.p = pr.pa OR sk.p = pr.pb
+    GROUP BY 1, 2, 3
+), unionk AS (
+    SELECT pa, pb, h FROM (
+        SELECT pa, pb, h,
+               row_number() OVER (PARTITION BY pa, pb ORDER BY h) AS rn
+        FROM merged) WHERE rn <= {KMV_K}
+), est AS (
+    SELECT u.pa, u.pb, count(*) AS k_union,
+           sum(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+                    THEN 1 ELSE 0 END) AS k_both
+    FROM unionk u
+    LEFT JOIN sk sa ON sa.p = u.pa AND sa.h = u.h
+    LEFT JOIN sk sb ON sb.p = u.pb AND sb.h = u.h
+    GROUP BY 1, 2
+), sizes AS (
+    SELECT p, count(*) AS n FROM s GROUP BY 1
+), inter AS (
+    SELECT a.p AS pa, b.p AS pb, count(*) AS i
+    FROM s a JOIN s b ON a.c = b.c AND a.p < b.p
+    GROUP BY 1, 2
+)
+SELECT e.pa AS prio_a, e.pb AS prio_b,
+       CAST(e.k_union AS BIGINT) AS k_union,
+       CAST(e.k_both AS BIGINT) AS k_both,
+       floor(e.k_both * 10000.0 / e.k_union + 0.5) / 10000 AS kmv_jaccard,
+       floor(COALESCE(i.i, 0) * 10000.0
+             / (na.n + nb.n - COALESCE(i.i, 0)) + 0.5) / 10000
+           AS exact_jaccard
+FROM est e
+LEFT JOIN inter i ON i.pa = e.pa AND i.pb = e.pb
+JOIN sizes na ON na.p = e.pa
+JOIN sizes nb ON nb.p = e.pb
+""")
+def agg_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-INTERSECTION estimation via bottom-k (KMV) sketches -- the
+    set operation HLL sketches cannot do (agg_hll_mergeable merges
+    unions only). Per order-priority, the customer set is sketched as
+    its k={KMV_K} smallest md5 hashes; for every priority pair the
+    union sketch is the bottom-k of the two sketches' union
+    (mergeability, Cohen & Kaplan / Beyer et al., public papers), and
+    Jaccard is estimated as the fraction of union-sketch members
+    present in BOTH input sketches. The exact Jaccard rides along for
+    comparison, so the query is its own accuracy report.
+
+    Unlike probabilistic sketches, md5-bottom-k is a DETERMINISTIC
+    function of the data -- identical in any engine -- so this sketch
+    query is fully value-hash-checkable against the DuckDB oracle (the
+    usual "sketch therefore rows-only" framing gives up on that; same
+    move as graph_pagerank's unrolled oracle).
+
+    Scale shape: per-group bottom-k is the WindowGroupLimit pattern
+    (sample_bottom_k) -- each map partition forwards at most k rows
+    per group, so the sketch build reads the full data but shuffles
+    k * n_groups rows. Everything after operates on sketches only
+    (k * pairs rows, bounded); the exact-Jaccard twin is the one
+    data-sized join and exists purely as the accuracy oracle -- a
+    deployment drops it. The pair table is tiny and broadcast."""
+    pin_session_conf(spark)
+    from pyspark.sql.window import Window
+
+    s = (load(spark, sf_dir, "orders")
+         .select(F.col("o_orderpriority").alias("p"),
+                 F.col("o_custkey").alias("c")).distinct())
+    hh = s.select("p", F.md5(F.col("c").cast("string")).alias("h"))
+    wg = Window.partitionBy("p").orderBy("h")
+    sk = (hh.withColumn("rn", F.row_number().over(wg))
+          .where(F.col("rn") <= KMV_K).select("p", "h"))
+    ps = s.select("p").distinct()
+    pr = (ps.alias("a").join(ps.alias("b"), F.col("a.p") < F.col("b.p"))
+          .select(F.col("a.p").alias("pa"), F.col("b.p").alias("pb")))
+    m1 = sk.join(F.broadcast(pr), sk.p == F.col("pa")).select("pa", "pb", "h")
+    m2 = sk.join(F.broadcast(pr), sk.p == F.col("pb")).select("pa", "pb", "h")
+    merged = m1.union(m2).distinct()
+    wu = Window.partitionBy("pa", "pb").orderBy("h")
+    unionk = (merged.withColumn("rn", F.row_number().over(wu))
+              .where(F.col("rn") <= KMV_K).select("pa", "pb", "h"))
+    sa = sk.select(F.col("p").alias("pa"), F.col("h").alias("h"),
+                   F.lit(1).alias("in_a"))
+    sb = sk.select(F.col("p").alias("pb"), F.col("h").alias("h"),
+                   F.lit(1).alias("in_b"))
+    est = (unionk.join(sa, ["pa", "h"], "left")
+           .join(sb, ["pb", "h"], "left")
+           .groupBy("pa", "pb")
+           .agg(F.count(F.lit(1)).alias("k_union"),
+                F.sum(F.when(F.col("in_a").isNotNull()
+                             & F.col("in_b").isNotNull(), 1)
+                      .otherwise(0)).alias("k_both")))
+    sizes = s.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+    inter = (s.alias("a")
+             .join(s.alias("b"), (F.col("a.c") == F.col("b.c"))
+                   & (F.col("a.p") < F.col("b.p")))
+             .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+             .agg(F.count(F.lit(1)).alias("i")))
+    na = sizes.select(F.col("p").alias("pa"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("p").alias("pb"), F.col("n").alias("n_b"))
+    i0 = F.coalesce(F.col("i"), F.lit(0))
+    return (est.join(inter, ["pa", "pb"], "left")
+            .join(F.broadcast(na), "pa").join(F.broadcast(nb), "pb")
+            .select(F.col("pa").alias("prio_a"), F.col("pb").alias("prio_b"),
+                    F.col("k_union").cast("long").alias("k_union"),
+                    F.col("k_both").cast("long").alias("k_both"),
+                    (F.floor(F.col("k_both") * 10000.0 / F.col("k_union")
+                             + 0.5) / 10000).alias("kmv_jaccard"),
+                    (F.floor(i0 * 10000.0
+                             / (F.col("n_a") + F.col("n_b") - i0)
+                             + 0.5) / 10000).alias("exact_jaccard")))
+
+
+agg_kmv_jaccard.__doc__ = agg_kmv_jaccard.__doc__.replace(
+    "{KMV_K}", str(KMV_K))

@@ -792,3 +792,90 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (batch.join(idx, "fingerprint")
             .select(F.col("doc_id").alias("batch_doc_id"),
                     "corpus_doc_id", "fingerprint"))
+
+
+# Stop-shingle guard for containment: shingles appearing in more than
+# this many documents are dropped from the INTERSECTION counts (the
+# denominator keeps the full set). Bounds the inverted-index join
+# fan-out to df^2 per shingle -- the standard boilerplate/stop-gram
+# defense every production containment join ships. At this corpus the
+# max df is 4, so the guard is semantically inert here and the oracle
+# (which applies the same guard) stays exact.
+CONTAIN_MAX_DF = 128
+
+
+@register("dedup_containment", oracle=f"""
+WITH t AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+), sh AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+        generate_series(1, CAST(len(ws) - 7 AS BIGINT)),
+        g -> array_to_string(list_slice(ws, g, g + 7), ' ')))) AS shingle
+    FROM t WHERE len(ws) >= 8
+), keep AS (
+    SELECT shingle FROM sh GROUP BY 1
+    HAVING count(*) BETWEEN 2 AND {CONTAIN_MAX_DF}
+), shk AS (
+    SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)
+), cand AS (
+    SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+    FROM shk a JOIN shk b
+      ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+    GROUP BY 1, 2
+), sz AS (
+    SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1
+)
+SELECT c.da AS doc_id, c.db AS container_id, c.shared,
+       CAST(s.n_shingles AS BIGINT) AS n_shingles,
+       floor(c.shared * 10000.0 / s.n_shingles + 0.5) / 10000 AS containment
+FROM cand c JOIN sz s ON s.doc_id = c.da
+WHERE 2 * c.shared >= s.n_shingles
+""")
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT dedup: C(A,B) = |S(A) n S(B)| / |S(A)| over
+    distinct 8-gram shingle sets -- the asymmetric twin of Jaccard
+    that catches near-SUPERSET duplication (a document quoted or
+    embedded inside a longer one scores containment ~1.0 while its
+    Jaccard stays low). Broder's original resemblance paper defines
+    both; most pipelines ship only Jaccard and miss quote-inclusion.
+    Emits (doc_id, container_id, shared, n_shingles, containment) for
+    every directed pair with containment >= 0.5 -- the threshold is
+    the INTEGER comparison 2*shared >= n_shingles, so no float tie can
+    flip a row across engines; the reported score is floor-quantized
+    to 4 decimals identically on both sides.
+
+    Scale shape (ids-first convention, SCALE.md): the inverted-index
+    join carries (shingle, doc_id) pairs only -- text never rides any
+    Exchange -- and the document-frequency gate (2 <= df <=
+    {CONTAIN_MAX_DF}) bounds per-shingle fan-out before the self-join,
+    the same stop-gram defense as dedup_jaccard_prefix's prefix
+    filter. Pair counts are map-side-combinable aggregates on 16-byte
+    id pairs. At 100 TB the shingle join key becomes xxhash64(shingle)
+    (digest-not-payload, the dedup_exact discipline)."""
+    pin_session_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    shingle_arr = F.expr(
+        "CASE WHEN size(ws) < 8 THEN array()"
+        " ELSE array_distinct(transform(sequence(1, size(ws) - 7),"
+        "      g -> array_join(slice(ws, g, 8), ' '))) END")
+    sh = (docs.select("doc_id", _words().alias("ws"))
+          .select("doc_id", F.explode(shingle_arr).alias("shingle")))
+    keep = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df").between(2, CONTAIN_MAX_DF))
+            .select("shingle"))
+    shk = sh.join(keep, "shingle")
+    cand = (shk.alias("a")
+            .join(shk.alias("b"),
+                  (F.col("a.shingle") == F.col("b.shingle"))
+                  & (F.col("a.doc_id") != F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("da"),
+                     F.col("b.doc_id").alias("db"))
+            .agg(F.count(F.lit(1)).alias("shared")))
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return (cand.join(sz, cand.da == sz.doc_id)
+            .where(2 * F.col("shared") >= F.col("n_shingles"))
+            .select(F.col("da").alias("doc_id"),
+                    F.col("db").alias("container_id"),
+                    "shared", F.col("n_shingles").cast("long").alias("n_shingles"),
+                    (F.floor(F.col("shared") * 10000.0 / F.col("n_shingles")
+                             + 0.5) / 10000).alias("containment")))

@@ -409,3 +409,23 @@ def test_funnel_report_text_never_shuffles(spark):
     for block in plan.split("\n\n"):
         if ") Exchange" in block or ") BroadcastExchange" in block:
             assert "text#" not in block, block
+
+
+def test_containment_ids_first_no_text_on_exchanges(spark):
+    """dedup_containment: the inverted-index self-join and the pair
+    aggregate must carry (shingle, doc_id) only -- the document text
+    never rides an Exchange -- and no cross product may appear."""
+    plan = _plan(_specs()["dedup_containment"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    for block in plan.split("\n\n"):
+        if ") Exchange" in block or ") BroadcastExchange" in block:
+            assert "text#" not in block, block
+
+
+def test_kmv_sketch_bottom_k_is_group_limit_pushed(spark):
+    """agg_kmv_jaccard: the per-group bottom-k sketch build must plan
+    as WindowGroupLimit (partial limit below the shuffle, the
+    sample_bottom_k pattern), and the tiny pair table must broadcast."""
+    plan = _plan(_specs()["agg_kmv_jaccard"].fn(spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
