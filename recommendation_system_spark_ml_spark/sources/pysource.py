@@ -106,3 +106,71 @@ class SyntheticTelemetryStreamReader:
         # not a bare sequence. iter(list) satisfies both.
         return iter([(i, SENSORS[i % len(SENSORS)], float((i * i) % 97))
                      for i in range(lo, hi)])
+
+
+# --- jittered-arrival events stream (late-data confrontation) -------------
+
+LATE_BLOCK = 64    # keep in sync with streaming/latedata.py ARRIVAL_BLOCK
+LATE_BATCH = 200   # rows per micro-batch (latedata.BATCH_ROWS)
+
+
+def _arrival_ordered_events(path: str):
+    """(event_id, epoch_second) tuples in the deterministic jittered
+    arrival order of streaming/latedata.py: block-local bijection
+    i -> (5i+3) mod 64 on event_id. Loaded with pyarrow (driver side,
+    bounded: the confrontation runs at sf0.001)."""
+    import pyarrow.parquet as pq
+    t = pq.read_table(path, columns=["event_id", "ts"])
+    ids = t.column("event_id").to_pylist()
+    # epoch -> whole seconds, floor (matches unix_timestamp's
+    # truncation on the batch path); divisor from the arrow unit, since
+    # the file's TIMESTAMP(NANOS) may surface as ns OR us depending on
+    # the pyarrow reader version.
+    unit = t.schema.field("ts").type.unit
+    div = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]
+    ns = t.column("ts").cast("int64").to_pylist()
+    rows = []
+    for i, n in zip(ids, ns):
+        aseq = (i - i % LATE_BLOCK) + (5 * (i % LATE_BLOCK) + 3) % LATE_BLOCK
+        rows.append((aseq, i, n // div))
+    rows.sort()
+    return [(i, es) for _, i, es in rows]
+
+
+class JitteredEventsStreamReader:
+    """Replays the events table in jittered arrival order, LATE_BATCH
+    rows per micro-batch -- the real-stream twin of the watermark
+    simulation in streaming/latedata.py."""
+
+    def __init__(self, rows):
+        self._rows = rows
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        lo = start["next"]
+        hi = min(lo + LATE_BATCH, len(self._rows))
+        return iter(self._rows[lo:hi]), {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._rows[start["next"]:end["next"]])
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class JitteredEventsSource(DataSource):
+    """option("path", <sf_dir>/events.parquet) -> stream of
+    (event_id, es) in deterministic jittered arrival order."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jittered_events"
+
+    def schema(self) -> str:
+        return "event_id bigint, es bigint"
+
+    def simpleStreamReader(self, schema):
+        return JitteredEventsStreamReader(
+            _arrival_ordered_events(self.options["path"]))

@@ -429,3 +429,15 @@ def test_kmv_sketch_bottom_k_is_group_limit_pushed(spark):
     plan = _plan(_specs()["agg_kmv_jaccard"].fn(spark, SF_SMOKE))
     assert "WindowGroupLimit" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_late_data_metadata_sized_window_only(spark):
+    """stream_late_data: the only unpartitioned window frame runs over
+    the per-micro-batch max table (metadata-sized -- its input carries
+    batch/mx only, never event rows), and the per-row join back to the
+    watermark table is a broadcast."""
+    plan = _plan(_specs()["stream_late_data"].fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    for block in plan.split("\n\n"):
+        if "SinglePartition" in block:
+            assert "event_id" not in block and "es#" not in block, block

@@ -211,3 +211,43 @@ def test_streaming_python_datasource_matches_batch(spark):
     want = stream_python_datasource(spark, SF_SMOKE).toPandas()
     assert_df_matches(got, want)
     assert n_batches >= 2, "expected multiple micro-batches, got one"
+
+
+def test_late_data_accounting_matches_real_watermark_drops(spark):
+    """Confrontation: stream_late_data's batch-simulated watermark
+    accounting vs Spark's REAL micro-batch engine. The jittered_events
+    Python source replays events in the simulation's exact arrival
+    order (200 rows/batch); an append-mode 10-minute window count with
+    a 5-minute watermark must emit exactly the simulation's
+    emitted_append=1 windows, each with n_accepted rows -- i.e. the
+    engine dropped exactly the rows the simulation says it drops."""
+    import os
+    from pyspark.sql import functions as F
+    from recommendation_system_spark_ml_spark.registry import all_specs
+    from recommendation_system_spark_ml_spark.sources.pysource import (
+        JitteredEventsSource)
+
+    try:
+        spark.dataSource.register(JitteredEventsSource)
+    except Exception:
+        pass  # already registered in this session
+    src = (spark.readStream.format("jittered_events")
+           .option("path", os.path.join(SF_SMOKE, "events.parquet"))
+           .load()
+           .withColumn("ts", F.timestamp_seconds("es")))
+    agg = (src.withWatermark("ts", "5 minutes")
+           .groupBy(F.window("ts", "10 minutes").alias("w"))
+           .agg(F.count(F.lit(1)).alias("n"))
+           .select(F.unix_timestamp("w.start").alias("window_start"), "n"))
+    q = (agg.writeStream.outputMode("append")
+         .format("memory").queryName("t_latedata").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.window_start: r.n
+           for r in spark.sql("SELECT * FROM t_latedata").collect()}
+    sim = all_specs()["stream_late_data"].fn(spark, SF_SMOKE).collect()
+    want = {r.window_start: r.n_accepted
+            for r in sim if r.emitted_append == 1}
+    assert got == want

@@ -70,6 +70,7 @@ CURVE_QUERIES = (
     "multimodal_dedup_phash", # Arrow pooling + banded Hamming join
     "sim_knn_graph",          # cell-bounded corpus-wide kNN edges
     "pipeline_token_budget",  # two-level global running sum
+    "dedup_containment",      # df-bounded inverted-index pair join
 )
 
 
