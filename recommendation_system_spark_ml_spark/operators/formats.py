@@ -306,3 +306,52 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("sensor")
             .agg(F.count(F.lit(1)).alias("n_samples"),
                  F.round(F.sum("reading"), 2).alias("total_reading")))
+
+
+_DPP_CAL = [(1992, "hist"), (1993, "hist"), (1994, "hist"), (1995, "hist"),
+            (1996, "target"), (1997, "recent"), (1998, "recent")]
+_DPP_CAL_SQL = ", ".join(f"({y}, '{e}')" for y, e in _DPP_CAL)
+
+
+@register("join_dpp_partitioned", oracle=f"""
+WITH cal(o_year, era) AS (VALUES {_DPP_CAL_SQL}),
+f AS (
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           o_orderdate, o_totalprice
+    FROM orders
+)
+SELECT strftime(f.o_orderdate, '%Y-%m') AS ym,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(f.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           / 100.0 AS sum_price
+FROM f JOIN cal ON f.o_year = cal.o_year
+WHERE cal.era = 'target'
+GROUP BY 1
+""")
+def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning: the fact table is year-partitioned
+    on disk, and the predicate that selects partitions lives on a
+    DIMENSION attribute (era = 'target'), so no static filter on the
+    partition column exists at plan time -- Catalyst must derive the
+    partition set AT RUNTIME from the broadcast dimension and inject
+    it into the fact scan (PartitionFilters shows
+    dynamicpruningexpression; plan-asserted). The companion of
+    sink_partition_prune, which shows the STATIC case: together they
+    are the star-schema scan discipline at 100 TB -- a date-dim
+    predicate must never cost a full fact scan.
+
+    The oracle computes the same join unpartitioned, certifying that
+    runtime pruning changes I/O, not answers."""
+    pin_session_conf(spark)
+    path = _scratch(sf_dir, "orders_by_year_dpp")
+    (load(spark, sf_dir, "orders")
+     .withColumn("o_year", F.year("o_orderdate").cast("int"))
+     .write.mode("overwrite").partitionBy("o_year").parquet(path))
+    cal = spark.createDataFrame(_DPP_CAL, "o_year int, era string")
+    f = spark.read.parquet(path)
+    return (f.join(F.broadcast(cal), "o_year")
+            .where(F.col("era") == "target")
+            .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("ym"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 (F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+                  / 100.0).alias("sum_price")))

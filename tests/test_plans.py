@@ -441,3 +441,12 @@ def test_late_data_metadata_sized_window_only(spark):
     for block in plan.split("\n\n"):
         if "SinglePartition" in block:
             assert "event_id" not in block and "es#" not in block, block
+
+
+def test_dpp_join_prunes_fact_partitions_at_runtime(spark):
+    """join_dpp_partitioned: the era predicate lives on the dimension,
+    so the fact scan must carry a dynamicpruningexpression partition
+    filter (runtime pruning from the broadcast dim), not a full scan."""
+    plan = _plan(_specs()["join_dpp_partitioned"].fn(spark, SF_SMOKE))
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert "BroadcastHashJoin" in plan
