@@ -227,8 +227,17 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.array_distinct(F.filter(_words(), lambda w: w != ""))
                         .alias("words"))
             .where(F.size("words") > 0))
-    mh = [F.array_min(F.transform(
-              "words", lambda w, i=i: F.xxhash64(w, F.lit(i)))).alias(f"mh{i}")
+    # NOTE: the hash factory must return a ONE-parameter lambda.
+    # PySpark dispatches higher-order-function lambdas on ARITY, so the
+    # tempting `lambda w, i=i: xxhash64(w, lit(i))` binds i to the
+    # ARRAY INDEX (transform's optional second argument), silently
+    # collapsing all 16 "seeded" hashes into one -- a real bug this
+    # code shipped with until the oracle-checked md5 twin
+    # (dedup_minhash_checked) hash-mismatched and exposed it.
+    def seeded(i):
+        return lambda w: F.xxhash64(w, F.lit(i))
+
+    mh = [F.array_min(F.transform("words", seeded(i))).alias(f"mh{i}")
           for i in range(n_hashes)]
     sig = base.select("doc_id", *mh)
     bands = F.array(*[
@@ -879,3 +888,106 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "shared", F.col("n_shingles").cast("long").alias("n_shingles"),
                     (F.floor(F.col("shared") * 10000.0 / F.col("n_shingles")
                              + 0.5) / 10000).alias("containment")))
+
+
+MHC_HASHES, MHC_BANDS, MHC_ROWS = 16, 4, 4
+
+
+def _minhash_checked_oracle() -> str:
+    """The ENTIRE LSH pipeline -- seeded minhash signatures, banded
+    bucket keys, candidate generation, exact verification -- unrolled
+    as DuckDB SQL, so every stage is hash-checked value-for-value."""
+    mh_cols = ",\n           ".join(
+        f"list_min(list_transform(words, w -> md5('{i}:' || w))) AS mh{i}"
+        for i in range(MHC_HASHES))
+    band_rows = "\n    UNION ALL ".join(
+        "SELECT doc_id, {j} AS band, md5({cat}) AS key FROM sig".format(
+            j=j, cat=" || ".join(f"mh{j * MHC_ROWS + r}"
+                                 for r in range(MHC_ROWS)))
+        for j in range(MHC_BANDS))
+    return f"""
+WITH base AS (
+    SELECT doc_id,
+           list_distinct(list_filter(string_split(lower(text), ' '),
+                                     w -> w <> '')) AS words
+    FROM documents
+    WHERE len(list_filter(string_split(lower(text), ' '), w -> w <> '')) > 0
+), sig AS (
+    SELECT doc_id,
+           {mh_cols}
+    FROM base
+), buckets AS (
+    {band_rows}
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+), verified AS (
+    SELECT c.doc_a, c.doc_b,
+           len(list_intersect(wa.words, wb.words)) AS i,
+           len(list_distinct(wa.words || wb.words)) AS u
+    FROM cand c
+    JOIN base wa ON wa.doc_id = c.doc_a
+    JOIN base wb ON wb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b,
+       floor((1.0 - i * 1.0 / u) * 10000 + 0.5) / 10000 AS jaccard_dist
+FROM verified WHERE 5 * i >= 4 * u
+"""
+
+
+@register("dedup_minhash_checked", oracle=_minhash_checked_oracle())
+def dedup_minhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_minhash's ORACLE-CHECKED twin: the identical 16-hash /
+    4-band LSH pipeline with the seeded hash swapped from xxhash64 to
+    md5(seed:word) -- a deterministic function both engines compute
+    byte-for-byte, so signatures, band keys, the candidate set, AND
+    the verified output all hash-match the DuckDB oracle (the same
+    move that made agg_kmv_jaccard's sketch checkable). The xxhash64
+    variant stays the production/bench path -- JVM-side 64-bit mixing
+    beats hex-string md5 -- but every structural stage is shared, so
+    this query certifies the LSH logic the fast path runs.
+
+    The >= 0.8 set-Jaccard keep is the INTEGER comparison
+    5*|intersect| >= 4*|union| (no float-tie surface); the reported
+    distance is floor-quantized to 4 decimals identically on both
+    sides. Scale shape is dedup_minhash's: the bucket join carries
+    (band, key, doc_id) only, word arrays join back for survivors."""
+    pin_session_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    base = (docs.select("doc_id",
+                        F.array_distinct(F.filter(_words(), lambda w: w != ""))
+                        .alias("words"))
+            .where(F.size("words") > 0))
+    # one-parameter lambda via factory: a two-parameter form would bind
+    # the seed to transform's array-index argument (see dedup_minhash)
+    def seeded(i):
+        return lambda w: F.md5(F.concat(F.lit(f"{i}:"), w))
+
+    mh = [F.array_min(F.transform("words", seeded(i))).alias(f"mh{i}")
+          for i in range(MHC_HASHES)]
+    sig = base.select("doc_id", *mh)
+    bands = F.array(*[
+        F.struct(F.lit(j).alias("band"),
+                 F.md5(F.concat(*[F.col(f"mh{j * MHC_ROWS + r}")
+                                  for r in range(MHC_ROWS)])).alias("key"))
+        for j in range(MHC_BANDS)])
+    buckets = (sig.select("doc_id", F.explode(bands).alias("b"))
+               .select("doc_id", F.col("b.band").alias("band"),
+                       F.col("b.key").alias("key")))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .dropDuplicates(["doc_a", "doc_b"]))
+    wa = base.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("wa"))
+    wb = base.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("wb"))
+    i_ = F.size(F.array_intersect("wa", "wb"))
+    u_ = F.size(F.array_union("wa", "wb"))
+    return (cand.join(wa, "doc_a").join(wb, "doc_b")
+            .where(5 * i_ >= 4 * u_)
+            .select("doc_a", "doc_b",
+                    (F.floor((1.0 - i_ * 1.0 / u_) * 10000 + 0.5) / 10000)
+                    .alias("jaccard_dist")))
