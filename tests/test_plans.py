@@ -55,7 +55,8 @@ def test_no_unblocked_cartesian_products(spark):
     """Pairwise operators must block before joining: a CartesianProduct
     node over two data-sized inputs is the anti-pattern. The only cross
     joins allowed are against provably-tiny broadcast sides."""
-    for name in ("dedup_jaccard", "dedup_minhash", "sim_lsh"):
+    for name in ("dedup_jaccard", "dedup_minhash", "sim_lsh",
+                 "dedup_minhash_checked", "dedup_simhash_checked"):
         plan = _plan(_specs()[name].fn(spark, SF_SMOKE))
         assert "CartesianProduct" not in plan, name
 

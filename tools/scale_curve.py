@@ -71,6 +71,8 @@ CURVE_QUERIES = (
     "sim_knn_graph",          # cell-bounded corpus-wide kNN edges
     "pipeline_token_budget",  # two-level global running sum
     "dedup_containment",      # df-bounded inverted-index pair join
+    "pipeline_domain_mixture",  # count agg + broadcast cutoffs + map gate
+    "stream_late_data",       # metadata-sized watermark table must stay so
 )
 
 
