@@ -101,3 +101,19 @@ def test_approx_percentile_within_rank_error(spark):
     for r in bands:
         assert r.lo <= got[r.l_returnflag] <= r.hi, \
             f"{r.l_returnflag}: {got[r.l_returnflag]} outside [{r.lo}, {r.hi}]"
+
+
+def test_kmv_jaccard_error_bound(spark):
+    """Bottom-k sketch accuracy contract: with k=256 the standard
+    error is ~1/sqrt(k) ~ 0.0625; every pair's estimate must land
+    within 4 sigma (0.25) of the exact Jaccard, and typically far
+    closer (observed max |err| ~ 0.04 at sf0.01)."""
+    from recommendation_system_spark_ml_spark.operators.aggregates import (
+        agg_kmv_jaccard)
+    from tests.conftest import SF_SMOKE
+
+    rows = agg_kmv_jaccard(spark, SF_SMOKE).collect()
+    assert len(rows) == 10  # C(5,2) priority pairs
+    for r in rows:
+        err = abs(r.kmv_jaccard - r.exact_jaccard)
+        assert err <= 0.25, (r.prio_a, r.prio_b, err)

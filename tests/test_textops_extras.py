@@ -79,3 +79,25 @@ def test_quality_model_heldout_auc(spark):
         assert auc >= 0.8, f"held-out AUC too low: {auc:.3f}"
     finally:
         out.unpersist()
+
+
+def test_funnel_gopher_stage_consistent_with_per_row_flags(spark):
+    """pipeline_funnel_report's gopher_gate stage count must equal the
+    number of docs passing BOTH the C4 gate and the funnel's two
+    Gopher rules as reported by text_gopher_rules' per-row flags --
+    the stage definitions are shared, so the bookkeeping must agree."""
+    from pyspark.sql import functions as F
+
+    from recommendation_system_spark_ml_spark.operators.textops import (
+        pipeline_funnel_report, text_gopher_rules, text_quality)
+    from tests.conftest import SF_SMOKE
+
+    funnel = {r.stage: r.n_docs
+              for r in pipeline_funnel_report(spark, SF_SMOKE).collect()}
+    flags = text_gopher_rules(spark, SF_SMOKE).alias("g")
+    quality = text_quality(spark, SF_SMOKE).alias("q")
+    joined = flags.join(quality, "doc_id")
+    n = (joined.where((F.col("quality_pass") == 1)
+                      & (F.col("r_word_count") == 1)
+                      & (F.col("r_stopwords") == 1)).count())
+    assert funnel["gopher_gate"] == n
