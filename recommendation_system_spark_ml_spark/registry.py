@@ -128,6 +128,8 @@ _EXPENSIVE = frozenset({
     "text_winnow_fingerprint", "scan_python_datasource", "sim_pq",
     "ml_als_cv", "ml_als_cv_full", "ml_movielens_report",
     "ml_kmeans_elbow", "ml_cluster_predictor", "ml_als_rmse",
+    "dedup_minhash_checked", "dedup_simhash_checked",
+    "dedup_containment",
 })
 
 
