@@ -1060,33 +1060,52 @@ def dedup_simhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- hash-matches the DuckDB oracle; the xxhash64 variant
     (dedup_simhash) stays the fast path.
 
-    Scale shape: fingerprints are per-row map work (64 x |words|
-    interpreted nibble ops -- the bounded per-row constant a scan
-    amortizes); the band join carries (band, 16-char key, doc_id);
-    fingerprints join back only for surviving candidates."""
+    Scale shape: the fingerprint build is the explode + 64-partial-sum
+    aggregate of dedup_simhash -- md5 and the nibble extraction run
+    ONCE per (doc, word) inside whole-stage codegen, and the per-bit
+    +/-1 sums are map-side-combinable aggregates (the first version
+    computed the same bits as a triple-nested HOF lambda: interpreted,
+    measured 33 s at sf0.1 vs ~4 s for this shape -- SCALE.md's
+    Catalyst-HOFs-never-codegen pitfall). The band join carries
+    (band, 16-char key, doc_id); fingerprints join back only for
+    surviving candidates."""
     pin_session_conf(spark)
     docs = load(spark, sf_dir, "documents")
-    base = (docs.select("doc_id",
-                        F.array_distinct(F.filter(_words(), lambda w: w != ""))
-                        .alias("words"))
-            .where(F.size(F.split(F.lower("text"), " ")) > 0))
-    hashed = base.select(
-        "doc_id", F.transform("words", lambda w: F.md5(w)).alias("hs"))
-    fp_expr = F.expr(
-        "array_join(transform(sequence(0, 63), b -> CASE WHEN"
-        " aggregate(hs, CAST(0 AS BIGINT), (acc, h) ->"
-        "   acc + 2 * (((instr('0123456789abcdef',"
-        "                      substr(h, 1 + b div 4, 1)) - 1)"
-        "               div (CASE b % 4 WHEN 0 THEN 8 WHEN 1 THEN 4"
-        "                               WHEN 2 THEN 2 ELSE 1 END)) % 2)"
-        "   - 1) > 0"
-        " THEN '1' ELSE '0' END), '')")
-    fp = hashed.select("doc_id", fp_expr.alias("fp"))
+    tok = (docs.select("doc_id", F.explode(_words()).alias("w"))
+           .where(F.col("w") != "").distinct()
+           .withColumn("h", F.md5("w")))
+    # nibble k = decimal value of hex char k (codegen conv, not a HOF)
+    nibs = tok.select("doc_id", *[
+        F.conv(F.substring("h", k + 1, 1), 16, 10).cast("int")
+        .alias(f"n{k}") for k in range(16)])
+    bit_sums = []
+    for b in range(64):
+        bit = (F.shiftright(F.col(f"n{b // 4}"), 3 - b % 4)
+               .bitwiseAND(F.lit(1)))
+        bit_sums.append(
+            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{b}"))
+    per_doc = nibs.groupBy("doc_id").agg(*bit_sums)
+    # each band as a 16-bit INTEGER (bit r of band j = sign of
+    # s_{16j+r}, MSB-first so it equals the oracle's 16-char
+    # substring read as binary); the bucket join keys on the int and
+    # the Hamming verify is bit_count(xor) -- whole-stage codegen,
+    # where a per-character string comparison would be an interpreted
+    # 64-op HOF per candidate pair (measured 33 s vs ~4 s at sf0.1).
+    def band_int(j):
+        bits = [F.when(F.col(f"s{16 * j + r}") > 0,
+                       F.lit(1 << (15 - r))).otherwise(F.lit(0))
+                for r in range(16)]
+        acc = bits[0]
+        for x in bits[1:]:
+            acc = acc + x
+        return acc.cast("long")
+
+    fp = per_doc.select("doc_id",
+                        *[band_int(j).alias(f"k{j}") for j in range(4)])
     bands = F.array(*[
-        F.struct(F.lit(j).alias("band"),
-                 F.substring("fp", 1 + 16 * j, 16).alias("key"))
+        F.struct(F.lit(j).alias("band"), F.col(f"k{j}").alias("key"))
         for j in range(4)])
-    buckets = (fp.select("doc_id", "fp", F.explode(bands).alias("b"))
+    buckets = (fp.select("doc_id", F.explode(bands).alias("b"))
                .select("doc_id", F.col("b.band").alias("band"),
                        F.col("b.key").alias("key")))
     a, b = buckets.alias("a"), buckets.alias("b")
@@ -1096,11 +1115,13 @@ def dedup_simhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .dropDuplicates(["doc_a", "doc_b"]))
-    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("fp").alias("fpa"))
-    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fpb"))
-    hamming = F.expr(
-        "CAST(size(filter(sequence(1, 64), p ->"
-        " substr(fpa, p, 1) <> substr(fpb, p, 1))) AS INT)")
+    fa = fp.select(F.col("doc_id").alias("doc_a"),
+                   *[F.col(f"k{j}").alias(f"ka{j}") for j in range(4)])
+    fb = fp.select(F.col("doc_id").alias("doc_b"),
+                   *[F.col(f"k{j}").alias(f"kb{j}") for j in range(4)])
+    hamming = sum(
+        (F.bit_count(F.col(f"ka{j}").bitwiseXOR(F.col(f"kb{j}")))
+         for j in range(4)), F.lit(0)).cast("int")
     return (cand.join(fa, "doc_a").join(fb, "doc_b")
             .select("doc_a", "doc_b", hamming.alias("hamming"))
             .where(F.col("hamming") <= 3))
