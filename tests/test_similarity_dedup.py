@@ -234,3 +234,21 @@ def test_knn_graph_recall_vs_exact(spark):
               for r in sim_knn_graph(spark, SF_SMOKE).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"kNN-graph recall@{KNN_K} too low: {recall:.2f}"
+
+
+def test_minhash_hash_families_agree(spark):
+    """dedup_minhash (xxhash64 seeds) and dedup_minhash_checked (md5
+    seeds) verify the SAME exact predicate on independently-generated
+    candidate sets; each family must recover >= 90% of the pairs the
+    other found, or one family's banding (or seeding -- this is the
+    test shape that would have caught the lambda-arity bug directly)
+    is broken."""
+    from recommendation_system_spark_ml_spark.operators.dedup import (
+        dedup_minhash_checked)
+
+    xx = {(r.doc_a, r.doc_b) for r in dedup_minhash(spark, SF_SMOKE).collect()}
+    md = {(r.doc_a, r.doc_b)
+          for r in dedup_minhash_checked(spark, SF_SMOKE).collect()}
+    assert len(xx) > 0 and len(md) > 0
+    assert len(xx & md) / len(md) >= 0.9, "xxhash family misses md5's pairs"
+    assert len(xx & md) / len(xx) >= 0.9, "md5 family misses xxhash's pairs"
