@@ -76,3 +76,60 @@ def test_random_corpora_match_oracles(spark, docs):
             assert_df_matches(got, want)
     finally:
         duck.close()
+
+
+@st.composite
+def event_streams(draw):
+    """Random (event_id, epoch_second) streams with real disorder:
+    timestamps drift forward with occasional large jitter both ways,
+    so the simulated watermark recurrence hits drops, late-accepts,
+    and exact window_end == watermark boundary ties."""
+    n = draw(st.integers(20, 300))
+    base = 1_704_067_200  # 2024-01-01 UTC
+    rows = []
+    t = base
+    for i in range(n):
+        t += draw(st.integers(0, 240))
+        jitter = draw(st.integers(-1800, 300))
+        rows.append((i, max(base, t + jitter)))
+    return rows
+
+
+def _write_events(rows) -> str:
+    out = tempfile.mkdtemp(prefix="rsml_fuzz_events_")
+    n = len(rows)
+    table = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] * 1_000_000 for r in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[0] % 7 for r in rows], pa.int64()),
+        "event_type": pa.array(["e" + str(r[0] % 3) for r in rows],
+                               pa.string()),
+        "value": pa.array([float(r[0] % 10) for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * n, pa.string()),
+    })
+    pq.write_table(table, os.path.join(out, "events.parquet"))
+    return out
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=event_streams())
+def test_random_event_streams_match_watermark_oracle(spark, rows):
+    """stream_late_data's two-watermark recurrence must match its
+    DuckDB oracle on arbitrarily disordered streams, not just the
+    near-ordered fixture."""
+    from recommendation_system_spark_ml_spark.registry import all_specs
+
+    spec = all_specs()["stream_late_data"]
+    sf_dir = _write_events(rows)
+    duck = duckdb.connect()
+    try:
+        duck.execute(
+            "CREATE OR REPLACE VIEW events AS SELECT * FROM "
+            f"read_parquet('{os.path.join(sf_dir, 'events.parquet')}')")
+        got = spec.fn(spark, sf_dir)
+        want = duck.execute(spec.oracle).df()
+        assert_df_matches(got, want)
+    finally:
+        duck.close()
