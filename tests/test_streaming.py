@@ -251,3 +251,23 @@ def test_late_data_accounting_matches_real_watermark_drops(spark):
     want = {r.window_start: r.n_accepted
             for r in sim if r.emitted_append == 1}
     assert got == want
+
+
+def test_tumbling_counts_under_rocksdb_state_store(spark):
+    """The same windowed aggregation, state stored in RocksDB (the
+    production backend for state larger than executor heap -- the
+    100 TB streaming knob) instead of the default HDFS-backed in-memory
+    provider: results must equal the batch twin exactly."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming."
+                        "state.RocksDBStateStoreProvider")
+    try:
+        got = _run_stream(spark, tumbling_counts, "t_tumbling_rocksdb")
+        want = tumbling_counts(load(spark, SF_SMOKE, "events")).toPandas()
+        assert_df_matches(got, want)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
