@@ -1206,3 +1206,105 @@ def pipeline_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(stage(q, 1, "quality_gate"))
             .unionByName(stage(g, 2, "gopher_gate"))
             .unionByName(stage(u, 3, "exact_dedup")))
+
+
+@register("pipeline_dsir_importance", oracle=f"""
+WITH words AS (
+    SELECT doc_id, w
+    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+          FROM documents)
+    WHERE w <> ''
+), tgt_docs AS (
+    SELECT doc_id FROM (
+        SELECT doc_id,
+               len(string_split(lower(text), ' ')) AS n_q,
+               len(list_distinct(list_filter(
+                   string_split(lower(text), ' '),
+                   x -> x IN ('{_GOPHER_SW_SQL}')))) AS n_stop
+        FROM documents)
+    WHERE n_q BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+      AND n_stop >= 2
+), tw AS (
+    SELECT w, count(*) AS c
+    FROM words JOIN tgt_docs USING (doc_id) GROUP BY 1
+), vocab AS (
+    SELECT w, count(*) AS c FROM words GROUP BY 1
+), vv AS (
+    SELECT count(*) AS v FROM vocab
+), tt AS (
+    SELECT COALESCE(sum(c), 0) AS t FROM tw
+), ts AS (
+    SELECT sum(c) AS t FROM vocab
+), scored AS (
+    SELECT words.doc_id,
+           ln((COALESCE(tw.c, 0) + 1) * 1.0 / (tt.t + vv.v))
+           - ln((vocab.c + 1) * 1.0 / (ts.t + vv.v)) AS lr
+    FROM words
+    JOIN vocab USING (w)
+    LEFT JOIN tw USING (w)
+    CROSS JOIN vv CROSS JOIN tt CROSS JOIN ts
+)
+SELECT doc_id,
+       CAST(count(*) AS INTEGER) AS n_tokens,
+       round(sum(lr), 4) AS log_importance,
+       CAST(sum(lr) > 0 AS INTEGER) AS selected
+FROM scored GROUP BY doc_id
+""")
+def pipeline_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling (Xie et al. 2023, public
+    paper): score every document by how much more likely it is under a
+    TARGET unigram model than under the SOURCE (whole-corpus) model,
+    log w(x) = sum_tokens [ln p_t(w) - ln p_s(w)], and select the
+    documents the target distribution up-weights (w > 1). The target
+    here is the corpus subset passing the shared Gopher word-count +
+    stop-word gate (a deployment plugs in a Wikipedia-like reference
+    corpus); both models are Laplace-smoothed over the shared
+    vocabulary, so absent-from-target words are defined and an
+    empty-target corpus degrades gracefully instead of dividing by
+    zero.
+
+    The selected flag thresholds the raw log-sum at 0: each term is
+    the log of a rational ratio (irrational except exactly 1.0, where
+    both engines produce literal 0.0), so the comparison cannot sit on
+    a cross-engine 1-ulp boundary; the reported score is rounded to 4
+    decimals, coarse vs summation-order noise (the unigram_logprob
+    convention).
+
+    Scale shape: both vocab aggregates are map-side combinable and
+    their results broadcast back (distinct words << corpus tokens);
+    the three scalars ride broadcast single-row cross joins; the only
+    corpus-sized shuffle is the per-doc re-aggregation -- identical to
+    text_unigram_logprob's plan with one extra broadcast."""
+    pin_session_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    words = (docs.select("doc_id",
+                         F.explode(F.split(F.lower("text"), " ")).alias("w"))
+             .where(F.col("w") != ""))
+    ws = F.split(F.lower("text"), " ")
+    n_stop = F.size(F.array_distinct(
+        F.filter(ws, lambda w: w.isin(*_GOPHER_STOPWORDS))))
+    tgt_docs = (docs
+                .where(F.size(ws).between(_GOPHER_MIN_WORDS,
+                                          _GOPHER_MAX_WORDS)
+                       & (n_stop >= 2))
+                .select("doc_id"))
+    tw = (words.join(tgt_docs, "doc_id")
+          .groupBy("w").agg(F.count(F.lit(1)).alias("tc")))
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("sc"))
+    vv = vocab.agg(F.count(F.lit(1)).alias("v"))
+    tt = tw.agg(F.coalesce(F.sum("tc"), F.lit(0)).alias("tt"))
+    ts = vocab.agg(F.sum("sc").alias("ts"))
+    lr = (F.log((F.coalesce(F.col("tc"), F.lit(0)) + 1) * 1.0
+                / (F.col("tt") + F.col("v")))
+          - F.log((F.col("sc") + 1) * 1.0 / (F.col("ts") + F.col("v"))))
+    scored = (words
+              .join(F.broadcast(vocab), "w")
+              .join(F.broadcast(tw), "w", "left")
+              .crossJoin(F.broadcast(vv))
+              .crossJoin(F.broadcast(tt))
+              .crossJoin(F.broadcast(ts))
+              .select("doc_id", lr.alias("lr")))
+    return (scored.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_tokens"),
+                 F.round(F.sum("lr"), 4).alias("log_importance"),
+                 (F.sum("lr") > 0).cast("int").alias("selected")))

@@ -23,7 +23,8 @@ _VOCAB = ("a", "bb", "ccc", "the", "of", "and", "in", "to", "is",
 _LANGS = ("en", "de", "zh")
 
 _FUZZED = ("text_gopher_rules", "dedup_containment",
-           "pipeline_funnel_report", "pipeline_domain_mixture")
+           "pipeline_funnel_report", "pipeline_domain_mixture",
+           "pipeline_dsir_importance")
 
 
 @st.composite
