@@ -1308,3 +1308,87 @@ def pipeline_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("int").alias("n_tokens"),
                  F.round(F.sum("lr"), 4).alias("log_importance"),
                  (F.sum("lr") > 0).cast("int").alias("selected")))
+
+
+@register("text_ccnet_buckets", oracle="""
+WITH words AS (
+    SELECT doc_id, w
+    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+          FROM documents)
+    WHERE w <> ''
+), vocab AS (
+    SELECT w, count(*) AS c FROM words GROUP BY 1
+), tot AS (
+    SELECT sum(c) AS t FROM vocab
+), nll AS (
+    SELECT doc_id,
+           floor(avg(-ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)))
+                 * 1e8 + 0.5) / 1e8 AS nll8
+    FROM words JOIN vocab USING (w) CROSS JOIN tot
+    GROUP BY doc_id
+), thr AS (
+    SELECT floor(quantile_cont(nll8, CAST(1 AS DOUBLE)/3) * 1e8 + 0.5)
+           / 1e8 AS t1,
+           floor(quantile_cont(nll8, CAST(2 AS DOUBLE)/3) * 1e8 + 0.5)
+           / 1e8 AS t2
+    FROM nll
+)
+SELECT n.doc_id,
+       floor(n.nll8 * 1e4 + 0.5) / 1e4 AS avg_nll,
+       CASE WHEN n.nll8 <= thr.t1 THEN 'head'
+            WHEN n.nll8 <= thr.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM nll n CROSS JOIN thr
+""")
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020, public
+    paper): bucket documents into perplexity terciles under a
+    reference LM -- head (lowest perplexity, cleanest) feeds
+    pretraining first, tail is usually dropped. The reference model
+    here is the corpus unigram LM (text_unigram_logprob's score); a
+    deployment swaps in a wiki-trained KenLM, the bucketing machinery
+    is identical.
+
+    Cross-engine float discipline (the ts_anomaly_mad recipe): per-doc
+    NLL is floor-quantized to 8 decimals BEFORE the percentile, the
+    two tercile thresholds are floor-quantized after interpolation,
+    and bucket assignment compares only quantized values -- the 1-ulp
+    interpolation difference between Spark's percentile() and DuckDB's
+    quantile_cont() cannot flip a document across a tercile edge.
+
+    Scale shape: the vocabulary broadcasts (unigram_logprob's plan);
+    the threshold row is a 1-row aggregate riding a broadcast cross
+    join, never a driver round-trip; assignment is a map compare. At
+    100 TB the exact percentile becomes approx_percentile with the
+    same quantize-then-compare guard (agg_approx_percentile shows the
+    sketch swap)."""
+    pin_session_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    words = (docs.select("doc_id",
+                         F.explode(F.split(F.lower("text"), " ")).alias("w"))
+             .where(F.col("w") != ""))
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(F.sum("c").alias("t"))
+    raw = -F.log(F.col("c").cast("double") / F.col("t").cast("double"))
+    nll = (words.join(F.broadcast(vocab), "w")
+           .crossJoin(F.broadcast(tot))
+           .groupBy("doc_id")
+           .agg((F.floor(F.avg(raw) * 1e8 + F.lit(0.5)) / 1e8)
+                .alias("nll8")))
+    # CAST(…AS DOUBLE)/3, NOT 1.0/3: Spark SQL parses 1.0 as DECIMAL(2,1)
+    # and decimal division truncates the percentile to ~6 digits — a 1e-6
+    # threshold error that blows straight through the 1e-8 quantization
+    # guard (fuzz-caught: 4-doc corpus flipped a whole tercile).
+    thr = nll.agg(
+        (F.floor(F.expr("percentile(nll8, CAST(1 AS DOUBLE)/3)") * 1e8
+                 + F.lit(0.5)) / 1e8).alias("t1"),
+        (F.floor(F.expr("percentile(nll8, CAST(2 AS DOUBLE)/3)") * 1e8
+                 + F.lit(0.5)) / 1e8).alias("t2"))
+    bucket = (F.when(F.col("nll8") <= F.col("t1"), "head")
+              .when(F.col("nll8") <= F.col("t2"), "middle")
+              .otherwise("tail"))
+    return (nll.crossJoin(F.broadcast(thr))
+            .select("doc_id",
+                    (F.floor(F.col("nll8") * 1e4 + F.lit(0.5)) / 1e4)
+                    .alias("avg_nll"),
+                    bucket.alias("bucket")))
