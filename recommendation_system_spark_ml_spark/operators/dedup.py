@@ -1125,3 +1125,171 @@ def dedup_simhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cand.join(fa, "doc_a").join(fb, "doc_b")
             .select("doc_a", "doc_b", hamming.alias("hamming"))
             .where(F.col("hamming") <= 3))
+
+
+@register("dedup_canonical", oracle="""
+WITH RECURSIVE
+edges AS (
+    WITH cnt AS (
+        SELECT doc_id, w, count(*) AS c
+        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+              FROM documents)
+        GROUP BY 1, 2
+    ), sizes AS (
+        SELECT doc_id, sum(c) AS n FROM cnt GROUP BY 1
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               sum(least(a.c, b.c)) AS shared
+        FROM cnt a JOIN cnt b ON a.w = b.w AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE CAST(i.shared AS DOUBLE) / (sa.n + sb.n - i.shared) >= 0.8
+),
+undirected AS (
+    SELECT doc_a AS src, doc_b AS dst FROM edges
+    UNION ALL SELECT doc_b, doc_a FROM edges
+),
+reach(doc, comp) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT u.src, r.comp FROM reach r JOIN undirected u ON u.dst = r.doc
+),
+comp AS (
+    SELECT doc AS doc_id, min(comp) AS component FROM reach GROUP BY doc
+),
+ntok AS (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(lower(text), ' '),
+                                w -> w <> '')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+ranked AS (
+    SELECT c.component, c.doc_id, n.n_tokens,
+           row_number() OVER (PARTITION BY c.component
+                              ORDER BY n.n_tokens DESC, c.doc_id ASC) AS rn,
+           count(*) OVER (PARTITION BY c.component) AS n_members
+    FROM comp c JOIN ntok n USING (doc_id)
+)
+SELECT CAST(component AS BIGINT) AS component,
+       CAST(doc_id AS BIGINT) AS kept_doc_id,
+       CAST(n_tokens AS BIGINT) AS kept_tokens,
+       CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1
+""")
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: within every near-duplicate
+    cluster keep exactly one representative -- the longest document
+    (most tokens), ties broken by lowest doc_id. This is the step the
+    public pipelines run AFTER clustering (SlimPajama keeps the first
+    by order, Lee et al. 2022 keep one per cluster; keeping the
+    longest preserves the superset copy when near-dups are
+    truncations). Composes dedup_components' min-label clusters with a
+    single arg-max aggregate.
+
+    Deterministic by construction: the selection key is the integer
+    pair (n_tokens, -doc_id) under one max(struct(...)) -- a map-side
+    combinable aggregate, no window, no float surface. At 100 TB the
+    aggregate shuffles one 32-byte row per document and the loop it
+    composes with runs over the dup graph only (min_label_components'
+    contract); the full text never moves."""
+    pin_session_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    edges = _jaccard_edges(spark, sf_dir).localCheckpoint(eager=True)
+    comp = min_label_components(docs.select("doc_id"), edges)
+    ntok = docs.select(
+        "doc_id",
+        F.size(F.filter(_words(), lambda w: w != ""))
+        .cast("long").alias("n_tokens"))
+    best = F.max(F.struct(F.col("n_tokens").alias("n_tokens"),
+                          (-F.col("doc_id")).alias("neg_id")))
+    return (comp.select("doc_id", "component").join(ntok, "doc_id")
+            .groupBy("component")
+            .agg(best.alias("best"),
+                 F.count(F.lit(1)).alias("n_members"))
+            .select("component",
+                    (-F.col("best.neg_id")).alias("kept_doc_id"),
+                    F.col("best.n_tokens").alias("kept_tokens"),
+                    "n_members"))
+
+
+@register("dedup_span_merge", oracle="""
+WITH words AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+), sh AS (
+    SELECT doc_id, g,
+           array_to_string(list_slice(ws, g, g + 7), ' ') AS shingle
+    FROM (SELECT doc_id, ws,
+                 unnest(generate_series(1, len(ws) - 7)) AS g
+          FROM words)
+), dup AS (
+    SELECT shingle FROM sh GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+), pos AS (
+    SELECT DISTINCT s.doc_id, s.g FROM sh s JOIN dup USING (shingle)
+), brk AS (
+    SELECT doc_id, g,
+           CASE WHEN g - lag(g) OVER (PARTITION BY doc_id ORDER BY g) > 8
+                THEN 1 ELSE 0 END AS b
+    FROM pos
+), isl AS (
+    SELECT doc_id, g,
+           sum(b) OVER (PARTITION BY doc_id ORDER BY g) AS island
+    FROM brk
+)
+SELECT doc_id,
+       CAST(min(g) AS BIGINT) AS span_start,
+       CAST(max(g) + 7 AS BIGINT) AS span_end,
+       CAST(max(g) + 8 - min(g) AS BIGINT) AS span_tokens
+FROM isl GROUP BY doc_id, island
+""")
+def dedup_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document duplicated spans (the ExactSubstr view
+    of Lee et al. 2022, 'Deduplicating Training Data Makes Language
+    Models Better'): dedup_ngram_spans tells you WHICH 8-grams repeat
+    across documents; this merges each document's duplicated 8-gram
+    positions into maximal token spans -- the intervals an ExactSubstr
+    pass would cut out. Two overlapping-or-adjacent duplicated
+    8-grams (start gap <= 8) fuse into one span, so a copied license
+    block reports as ONE (start, end) interval, not 40 shingle hits.
+
+    Shape: positions carry (doc_id, g) integers once the duplicated
+    shingle set is known -- the ids-first discipline; the merge is a
+    classic gaps-islands over a per-document window (per-entity
+    partitions, never global). Everything after the shingle count is
+    integer arithmetic: zero float surface, fully oracle-hashed. At
+    100 TB the shingle groupBy keys on xxhash64(shingle) with strings
+    joined back only for survivors (the dedup_ngram_spans note), and
+    suffix automata are unnecessary: 8-gram resolution bounds span
+    starts to within 7 tokens of the true cut, the tradeoff the paper
+    itself makes for the distributed pass."""
+    pin_session_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    shingles = F.expr(
+        "CASE WHEN size(ws) < 8 THEN array()"
+        " ELSE transform(sequence(1, size(ws) - 7),"
+        "      g -> array_join(slice(ws, g, 8), ' ')) END")
+    sh = (docs.select("doc_id", _words().alias("ws"))
+          .select("doc_id", F.posexplode(shingles).alias("p0", "shingle"))
+          .select("doc_id", (F.col("p0") + 1).alias("g"), "shingle"))
+    dup = (sh.groupBy("shingle")
+           .agg(F.countDistinct("doc_id").alias("n_docs"))
+           .where(F.col("n_docs") > 1)
+           .select("shingle"))
+    pos = (sh.join(dup, "shingle", "left_semi")
+           .select("doc_id", "g").dropDuplicates(["doc_id", "g"]))
+    w = Window.partitionBy("doc_id").orderBy("g")
+    isl = (pos.withColumn(
+               "b", F.when(F.col("g") - F.lag("g").over(w) > 8, 1)
+                     .otherwise(0))
+           .withColumn("island",
+                       F.sum("b").over(
+                           w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (isl.groupBy("doc_id", "island")
+            .agg(F.min("g").alias("mn"), F.max("g").alias("mx"))
+            .select("doc_id",
+                    F.col("mn").cast("long").alias("span_start"),
+                    (F.col("mx") + 7).cast("long").alias("span_end"),
+                    (F.col("mx") + 8 - F.col("mn")).cast("long")
+                    .alias("span_tokens")))
