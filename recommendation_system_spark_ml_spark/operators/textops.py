@@ -1392,3 +1392,56 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.floor(F.col("nll8") * 1e4 + F.lit(0.5)) / 1e4)
                     .alias("avg_nll"),
                     bucket.alias("bucket")))
+
+
+@register("text_entropy", oracle="""
+WITH words AS (
+    SELECT doc_id, w
+    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+          FROM documents)
+    WHERE w <> ''
+), cnt AS (
+    SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       floor((ln(CAST(sum(c) AS DOUBLE))
+              - sum(c * ln(CAST(c AS DOUBLE))) / sum(c))
+             * 10000 + 0.5) / 10000 AS entropy,
+       floor(CAST(count(*) AS DOUBLE) / sum(c) * 10000 + 0.5) / 10000
+           AS type_token_ratio
+FROM cnt GROUP BY doc_id
+""")
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram entropy and type-token ratio -- the two
+    lexical-diversity gates quality filters run alongside the Gopher
+    rules: near-zero entropy flags keyword-stuffed or looping
+    machine text, low TTR flags boilerplate repetition. Entropy is
+    computed in the count domain, H = ln(n) - sum(c*ln(c))/n, so both
+    engines evaluate ln() only on INTEGERS -- the same expression tree
+    written identically on both sides, then floor-quantized to 4
+    decimals (the shared discipline; a raw -sum(p*ln p) form would
+    differ in associativity).
+
+    Shape: one explode + one (doc_id, word) count + one per-doc
+    aggregate -- both map-side combinable, no window, no join. At
+    100 TB this rides the same shuffle as text_tokens' count; the
+    entropy is a pure aggregate expression over it."""
+    pin_session_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    cnt = (docs.select("doc_id",
+                       F.explode(F.split(F.lower("text"), " ")).alias("w"))
+           .where(F.col("w") != "")
+           .groupBy("doc_id", "w")
+           .agg(F.count(F.lit(1)).alias("c")))
+    n = F.sum("c")
+    entropy = (F.log(n.cast("double"))
+               - F.sum(F.col("c") * F.log(F.col("c").cast("double"))) / n)
+    ttr = F.count(F.lit(1)).cast("double") / n
+    q4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000
+    return (cnt.groupBy("doc_id")
+            .agg(n.cast("long").alias("n_tokens"),
+                 F.count(F.lit(1)).cast("long").alias("n_types"),
+                 q4(entropy).alias("entropy"),
+                 q4(ttr).alias("type_token_ratio")))

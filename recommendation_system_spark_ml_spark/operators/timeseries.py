@@ -258,3 +258,62 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ev.join(mad, "user_id")
             .where((F.col("mad") > 0) & (zq > MAD_SIGMA))
             .select("user_id", "event_id", "value", zq.alias("robust_z")))
+
+
+@register("ts_resample_ohlc", oracle="""
+WITH b AS (
+    SELECT user_id, date_trunc('hour', ts) AS h, ts, event_id, value,
+           first_value(value) OVER w AS open,
+           last_value(value) OVER
+               (PARTITION BY user_id, date_trunc('hour', ts)
+                ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING) AS close
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, date_trunc('hour', ts)
+                 ORDER BY ts, event_id)
+)
+SELECT user_id, h AS bucket_ts,
+       max(open) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(close) AS close,
+       count(*) AS n_events,
+       floor(sum(value) * 10000 + 0.5) / 10000 AS volume
+FROM b GROUP BY 1, 2
+""")
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC resampling per user -- the hypertable continuous-
+    aggregate shape (TimescaleDB time_bucket + first/last/min/max,
+    kdb+ bar rollup). open/close need a TOTAL event order inside the
+    bucket: (ts, event_id) -- event_id is unique, bare ts is not
+    (see the fuzz-ordering convention) -- expressed as identical
+    first_value/last_value window frames on both engines (DuckDB's
+    arg_min cannot take a composite key). high/low/open/close are
+    pure selections of stored doubles, exact cross-engine; only the
+    additive volume is floor-quantized.
+
+    Plan: the window partitions by (user_id, hour) and the follow-up
+    groupBy uses the same keys, so ONE Exchange + sort serves both
+    stages (asserted in tests/test_plans.py). At 100 TB this is the
+    map-reduce bar build: per-bucket state is O(1) per aggregate and
+    the open/close selections ride the same sort the window already
+    paid for; at stream time the same query runs as a watermarked
+    tumbling window (stream_tumbling is the streaming twin)."""
+    pin_session_conf(spark)
+    ev = load(spark, sf_dir, "events")
+    h = F.date_trunc("hour", F.col("ts"))
+    w = (Window.partitionBy("user_id", "h").orderBy("ts", "event_id"))
+    wfull = w.rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing)
+    b = (ev.select("user_id", h.alias("h"), "ts", "event_id", "value")
+         .withColumn("open", F.first("value").over(w))
+         .withColumn("close", F.last("value").over(wfull)))
+    return (b.groupBy("user_id", F.col("h").alias("bucket_ts"))
+            .agg(F.max("open").alias("open"),
+                 F.max("value").alias("high"),
+                 F.min("value").alias("low"),
+                 F.max("close").alias("close"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 (F.floor(F.sum("value") * 10000 + F.lit(0.5)) / 10000)
+                 .alias("volume")))

@@ -25,7 +25,7 @@ _LANGS = ("en", "de", "zh")
 _FUZZED = ("text_gopher_rules", "dedup_containment",
            "pipeline_funnel_report", "pipeline_domain_mixture",
            "pipeline_dsir_importance", "text_ccnet_buckets",
-           "dedup_canonical", "dedup_span_merge")
+           "dedup_canonical", "dedup_span_merge", "text_entropy")
 
 
 @st.composite
@@ -123,15 +123,19 @@ def test_random_event_streams_match_watermark_oracle(spark, rows):
     near-ordered fixture."""
     from recommendation_system_spark_ml_spark.registry import all_specs
 
-    spec = all_specs()["stream_late_data"]
+    specs = all_specs()
     sf_dir = _write_events(rows)
     duck = duckdb.connect()
     try:
         duck.execute(
             "CREATE OR REPLACE VIEW events AS SELECT * FROM "
             f"read_parquet('{os.path.join(sf_dir, 'events.parquet')}')")
-        got = spec.fn(spark, sf_dir)
-        want = duck.execute(spec.oracle).df()
-        assert_df_matches(got, want)
+        # ts_resample_ohlc rides along: its open/close total-order
+        # contract ((ts, event_id) -- bare ts ties under the jitter
+        # generator) is exactly what disordered streams stress.
+        for name in ("stream_late_data", "ts_resample_ohlc"):
+            got = specs[name].fn(spark, sf_dir)
+            want = duck.execute(specs[name].oracle).df()
+            assert_df_matches(got, want)
     finally:
         duck.close()

@@ -451,3 +451,14 @@ def test_dpp_join_prunes_fact_partitions_at_runtime(spark):
     plan = _plan(_specs()["join_dpp_partitioned"].fn(spark, SF_SMOKE))
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     assert "BroadcastHashJoin" in plan
+
+
+def test_ohlc_single_exchange_serves_window_and_rollup(spark):
+    """ts_resample_ohlc: the open/close window partitions by
+    (user_id, hour) and the bar aggregate groups by the same keys, so
+    the whole query must run off ONE Exchange with a partial aggregate
+    above the window (the map-reduce bar build)."""
+    import re
+    plan = _plan(_specs()["ts_resample_ohlc"].fn(spark, SF_SMOKE))
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert "partial_max" in plan or "partial_" in plan
