@@ -333,3 +333,53 @@ def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (runs.groupBy("user_id")
             .agg(F.count(F.lit(1)).alias("n_streaks"),
                  F.max("len").cast("long").alias("longest_streak")))
+
+
+@register("window_sliding_distinct", oracle="""
+WITH m AS (
+    SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events
+), b AS (
+    SELECT DISTINCT h FROM m
+), x AS (
+    SELECT m.user_id, b.h AS w
+    FROM m JOIN b ON m.h <= b.h AND m.h >= b.h - INTERVAL 23 HOUR
+)
+SELECT w AS bucket_ts, count(DISTINCT user_id) AS users_24h
+FROM x GROUP BY 1
+""")
+def window_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h distinct users per observed hour -- sliding
+    COUNT(DISTINCT) OVER, the window aggregate Spark (and ANSI SQL
+    engines generally) cannot express directly because distinctness
+    does not decompose over frame slides. Re-expressed as the standard
+    distributed recipe: distinct (user, hour) memberships, each
+    exploded to the <= 24 windows it can serve, then a plain
+    count-distinct per window.
+
+    Scale math: the explode multiplies the MEMBERSHIP table (already
+    deduped, two 8-byte columns) by the window span -- 24x of a
+    heavily pre-shrunk set, not of raw events, and the final distinct
+    is partial-aggregated map-side. The sequence() runs inside each
+    row (no calendar cross join -- the ts_gapfill spine rule), and
+    emitted windows are semi-joined to observed buckets so the output
+    domain matches the oracle's. At larger spans swap the exact
+    distinct for agg_hll_mergeable's sketch (same explode shape,
+    mergeable partials) -- the documented trade, not a silent cap.
+    The DuckDB oracle states the same thing as a range join, which is
+    exactly the formulation that does NOT scale in Spark (an
+    unbounded-growth broadcast range join per window) -- the explode
+    form is the distributed restatement."""
+    pin_session_conf(spark)
+    ev = load(spark, sf_dir, "events")
+    m = (ev.select("user_id",
+                   F.date_trunc("hour", F.col("ts")).alias("h"))
+         .distinct())
+    wins = m.select(
+        "user_id",
+        F.explode(F.expr(
+            "sequence(h, h + INTERVAL 23 HOURS, INTERVAL 1 HOUR)"))
+        .alias("w"))
+    obs = m.select(F.col("h").alias("w")).distinct()
+    return (wins.join(obs, "w", "left_semi")
+            .groupBy(F.col("w").alias("bucket_ts"))
+            .agg(F.countDistinct("user_id").alias("users_24h")))
