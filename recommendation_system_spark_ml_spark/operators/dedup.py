@@ -1293,3 +1293,77 @@ def dedup_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("mx") + 7).cast("long").alias("span_end"),
                     (F.col("mx") + 8 - F.col("mn")).cast("long")
                     .alias("span_tokens")))
+
+
+_KNUTH_SPLIT = 2654435761  # same multiplicative gate as §2.7 split_hash
+
+
+@register("split_leakage_safe", oracle=f"""
+WITH RECURSIVE
+edges AS (
+    WITH cnt AS (
+        SELECT doc_id, w, count(*) AS c
+        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+              FROM documents)
+        GROUP BY 1, 2
+    ), sizes AS (
+        SELECT doc_id, sum(c) AS n FROM cnt GROUP BY 1
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               sum(least(a.c, b.c)) AS shared
+        FROM cnt a JOIN cnt b ON a.w = b.w AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE CAST(i.shared AS DOUBLE) / (sa.n + sb.n - i.shared) >= 0.8
+),
+undirected AS (
+    SELECT doc_a AS src, doc_b AS dst FROM edges
+    UNION ALL SELECT doc_b, doc_a FROM edges
+),
+reach(doc, comp) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT u.src, r.comp FROM reach r JOIN undirected u ON u.dst = r.doc
+),
+comp AS (
+    SELECT doc AS doc_id, min(comp) AS component FROM reach GROUP BY doc
+)
+SELECT doc_id, CAST(component AS BIGINT) AS component,
+       CASE WHEN ((component % 2147483648) * {_KNUTH_SPLIT})
+                 % 4294967296 % 10 < 8 THEN 'train'
+            WHEN ((component % 2147483648) * {_KNUTH_SPLIT})
+                 % 4294967296 % 10 < 9 THEN 'valid'
+            ELSE 'test' END AS split
+FROM comp
+""")
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-safe train/valid/test split (80/10/10): the split key
+    is the document's near-duplicate COMPONENT, not the document, so
+    two near-duplicates can never land on opposite sides of the
+    train/test fence -- the contamination path a plain per-doc hash
+    split (split_hash) leaves wide open and the public pipelines
+    close this way (Lee et al. 2022 dedup train against test;
+    Gao et al. The Pile split after clustering).
+
+    Same Knuth multiplicative gate as split_hash -- deterministic,
+    restart-stable, oracle-reproducible -- with the mixing key reduced
+    mod 2^31 BEFORE the multiply so ANSI-mode BIGINT arithmetic cannot
+    overflow at any component id (the agg_sampled_estimate hardening).
+    At 100 TB: the component loop runs over the dup graph only, the
+    gate is a map-side expression on its output, and the split is
+    reproducible from scratch on any re-run or late-arriving shard --
+    no persisted assignment table needed."""
+    pin_session_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    edges = _jaccard_edges(spark, sf_dir).localCheckpoint(eager=True)
+    comp = min_label_components(docs.select("doc_id"), edges)
+    bucket = (((F.col("component") % F.lit(2147483648))
+               * F.lit(_KNUTH_SPLIT))
+              % F.lit(4294967296) % 10)
+    split = (F.when(bucket < 8, "train")
+             .when(bucket < 9, "valid")
+             .otherwise("test"))
+    return comp.select("doc_id", "component", split.alias("split"))

@@ -4,9 +4,11 @@ same sum in Spark and DuckDB. Complements test_fuzz_predicates (WHERE
 dialect) with the projection dialect -- arithmetic, modulo, abs,
 greatest/least, CASE, date part extraction, string length.
 
-Everything stays in int64: multiplication is wrapped in `% 1000003`
-at each combiner so no tree can overflow, and both engines define `%`
-with the dividend's sign, so negative subtraction results agree."""
+Everything stays in int64: every leaf is CAST AS BIGINT (Spark types
+length() and small literals as 32-bit INT -- ANSI mode overflows where
+DuckDB widens) and multiplication is wrapped in `% 1000003` at each
+combiner so no 64-bit tree can overflow; both engines define `%` with
+the dividend's sign, so negative subtraction results agree."""
 
 import duckdb
 from hypothesis import HealthCheck, given, settings
@@ -15,14 +17,19 @@ from hypothesis import strategies as st
 from tests.conftest import SF_SMOKE
 from recommendation_system_spark_ml_spark.sources.catalog import path_for
 
+# Every leaf is CAST to BIGINT: length() and bare integer literals are
+# 32-bit INT in Spark, so an all-INT subtree does 32-bit multiplication
+# and ANSI mode throws ARITHMETIC_OVERFLOW before the % cap applies
+# (fuzz-caught: 8230 * (length(..) + 440*593 % 1000003) > 2^31), while
+# DuckDB silently widens -- the exact engine asymmetry this suite hunts.
 _LEAVES = [
     "o_custkey",
     "o_orderkey",
-    "length(o_orderpriority)",
+    "CAST(length(o_orderpriority) AS BIGINT)",
     "CAST(year(o_orderdate) AS BIGINT)",
     "CAST(month(o_orderdate) AS BIGINT)",
     "CAST(day(o_orderdate) AS BIGINT)",
-    "{c}",
+    "CAST({c} AS BIGINT)",
 ]
 
 _COMBINERS = [
