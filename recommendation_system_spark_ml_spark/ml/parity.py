@@ -443,3 +443,68 @@ def ml_als_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(round(rmse_eval, 4), round(float(agg.rmse_agg), 4), int(agg.n_test))],
         "rmse_evaluator double, rmse_agg double, n_test bigint")
+
+
+@register("ml_minmax_parity", oracle="""
+WITH src AS (
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS DOUBLE) AS q,
+           CAST(l_extendedprice AS DOUBLE) AS p,
+           CAST(l_discount AS DOUBLE) AS d
+    FROM lineitem
+), stats AS (
+    SELECT min(q) AS qmn, max(q) AS qmx,
+           min(p) AS pmn, max(p) AS pmx,
+           min(d) AS dmn, max(d) AS dmx
+    FROM src
+)
+SELECT l_orderkey, l_linenumber,
+       floor((q - qmn) / (qmx - qmn) * 10000 + 0.5) / 10000
+           AS quantity_scaled,
+       floor((p - pmn) / (pmx - pmn) * 10000 + 0.5) / 10000
+           AS price_scaled,
+       floor((d - dmn) / (dmx - dmn) * 10000 + 0.5) / 10000
+           AS discount_scaled
+FROM src CROSS JOIN stats
+""")
+def ml_minmax_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib MinMaxScaler, ORACLE-HASH-CHECKED -- the one feature
+    scaler whose statistics are exact selections (min/max), so the
+    fitted model's transform is bit-reproducible in plain SQL: MLlib
+    computes (v - min) / (max - min) * (outMax - outMin) + outMin,
+    and with the default [0, 1] range the IEEE tail (* 1.0 + 0.0) is
+    an exact identity, leaving the same expression tree DuckDB
+    evaluates. (StandardScaler is deliberately NOT given this
+    treatment: mean/variance come off a treeAggregate whose merge
+    order drifts vs any sequential engine -- that family stays
+    rows-only, like the KMeans SSE band tests.)
+
+    A real MLlib fit + transform runs inside the query (assemble ->
+    MinMaxScalerModel -> vector_to_array), not a SQL re-derivation,
+    so this certifies the MLlib plumbing itself: assembler column
+    order, model vector layout, transform arithmetic. Scale: the fit
+    is one min/max aggregate (map-side combinable); the transform is
+    a map-only expression; nothing shuffles but the 6-number stats
+    row."""
+    pin_session_conf(spark)
+    from pyspark.ml.feature import MinMaxScaler
+    from pyspark.ml.functions import vector_to_array
+
+    li = (load(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_linenumber",
+                  F.col("l_quantity").cast("double").alias("q"),
+                  F.col("l_extendedprice").cast("double").alias("p"),
+                  F.col("l_discount").cast("double").alias("d")))
+    assembled = VectorAssembler(
+        inputCols=["q", "p", "d"], outputCol="feat").transform(li)
+    model = MinMaxScaler(inputCol="feat", outputCol="scaled").fit(assembled)
+    arr = vector_to_array(F.col("scaled"))
+
+    def q4(c):
+        return F.floor(c * 10000 + F.lit(0.5)) / 10000
+
+    return (model.transform(assembled)
+            .select("l_orderkey", "l_linenumber",
+                    q4(arr[0]).alias("quantity_scaled"),
+                    q4(arr[1]).alias("price_scaled"),
+                    q4(arr[2]).alias("discount_scaled")))
