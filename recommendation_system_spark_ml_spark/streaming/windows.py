@@ -94,6 +94,27 @@ def windowed_dedup(events: DataFrame) -> DataFrame:
                     "user_id", "event_type", "first_event_id"))
 
 
+def ohlc_bars(events: DataFrame) -> DataFrame:
+    """10-minute OHLC bars per user -- the streaming twin of
+    ts_resample_ohlc. open/close are min_by/max_by under the TOTAL
+    (ts, event_id) struct order: unlike first()/last() (arrival-order
+    nondeterministic in a stream), *_by aggregates are declarative and
+    keep O(1) state per window in the state store, so replay order,
+    micro-batch boundaries, and shuffle nondeterminism cannot flip a
+    bar's open or close."""
+    w = F.window("ts", "10 minutes")
+    key = F.struct(F.col("ts").alias("ts"),
+                   F.col("event_id").alias("event_id"))
+    return (events.groupBy(w.alias("w"), "user_id")
+            .agg(F.min_by("value", key).alias("open"),
+                 F.max("value").alias("high"),
+                 F.min("value").alias("low"),
+                 F.max_by("value", key).alias("close"),
+                 F.count(F.lit(1)).alias("n_events"))
+            .select(F.unix_timestamp("w.start").alias("window_start"),
+                    "user_id", "open", "high", "low", "close", "n_events"))
+
+
 def with_watermark(events: DataFrame, delay: str = "15 minutes") -> DataFrame:
     """Late-data bound for streaming mode (no-op in batch mode)."""
     return events.withWatermark("ts", delay)
@@ -111,6 +132,37 @@ FROM events GROUP BY 1, 2
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_session_conf(spark)
     return tumbling_counts(load(spark, sf_dir, "events"))
+
+
+@register("stream_ohlc", oracle="""
+WITH b AS (
+    SELECT user_id,
+           CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS ws,
+           value,
+           first_value(value) OVER w AS open,
+           last_value(value) OVER
+               (PARTITION BY user_id, floor(epoch(ts) / 600)
+                ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING) AS close
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, floor(epoch(ts) / 600)
+                 ORDER BY ts, event_id)
+)
+SELECT ws AS window_start, user_id,
+       max(open) AS open, max(value) AS high,
+       min(value) AS low, max(close) AS close,
+       count(*) AS n_events
+FROM b GROUP BY 1, 2
+""")
+def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming OHLC bars (see ohlc_bars; the
+    min_by/max_by selections are exact doubles, so the oracle needs no
+    quantization). tests/test_streaming.py runs the same transform
+    through a real readStream -> memory sink and matches it against
+    this batch plan."""
+    pin_session_conf(spark)
+    return ohlc_bars(load(spark, sf_dir, "events"))
 
 
 @register("stream_sliding", oracle="""

@@ -271,3 +271,14 @@ def test_tumbling_counts_under_rocksdb_state_store(spark):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_streaming_ohlc_matches_batch(spark):
+    """OHLC bars through a real readStream: min_by/max_by struct-key
+    state must produce the same open/close the batch plan selects,
+    independent of micro-batch replay order."""
+    from recommendation_system_spark_ml_spark.streaming.windows import ohlc_bars
+
+    got = _run_stream(spark, ohlc_bars, "t_ohlc")
+    want = ohlc_bars(load(spark, SF_SMOKE, "events")).toPandas()
+    assert_df_matches(got, want)
