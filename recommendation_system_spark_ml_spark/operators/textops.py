@@ -1445,3 +1445,138 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).cast("long").alias("n_types"),
                  q4(entropy).alias("entropy"),
                  q4(ttr).alias("type_token_ratio")))
+
+
+# BM25 constants (Robertson et al.; the Lucene defaults)
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("hash", "join", "vector")
+
+
+@register("text_bm25", oracle=f"""
+WITH words AS (
+    SELECT doc_id, w
+    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+          FROM documents)
+    WHERE w <> ''
+), dl AS (
+    SELECT doc_id, count(*) AS dl FROM words GROUP BY 1
+), corpus AS (
+    SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl
+), tf AS (
+    SELECT doc_id, w, count(*) AS f FROM words
+    WHERE w IN ('hash', 'join', 'vector') GROUP BY 1, 2
+), df AS (
+    SELECT w, count(*) AS nt FROM tf GROUP BY 1
+), scored AS (
+    SELECT tf.doc_id, tf.w,
+           ln((n_docs - nt + 0.5) / (nt + 0.5) + 1)
+           * (f * ({_BM25_K1} + 1))
+           / (f + {_BM25_K1}
+                  * (1 - {_BM25_B}
+                     + {_BM25_B} * (dl / (CAST(total_len AS DOUBLE)
+                                          / n_docs)))) AS s
+    FROM tf
+    JOIN dl USING (doc_id)
+    CROSS JOIN corpus
+    JOIN df USING (w)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_terms_matched,
+       floor(sum(s) * 10000 + 0.5) / 10000 AS bm25
+FROM scored GROUP BY doc_id
+""")
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (Robertson/Sparck-Jones probabilistic
+    relevance, Lucene k1=1.2 b=0.75 defaults) of every document
+    against a fixed 3-term query -- the lexical-retrieval half of a
+    RAG / hard-negative-mining pipeline next to sim_topk's dense half.
+
+    Shape: term frequencies filter to the query terms BEFORE any
+    shuffle (a 3-term IN list -- the inverted-index probe), document
+    lengths are one map-side-combinable count, and the corpus stats
+    (N, avgdl) and per-term document frequencies are tiny broadcast
+    sides. Per-doc scoring is a map expression; one final per-doc sum.
+    At 100 TB with a real query WORKLOAD the tf table becomes the
+    posting-list join keyed on term -- same plan, query terms as a
+    broadcast dim instead of a literal IN.
+
+    Cross-engine float: idf and the length normalization are written
+    as the IDENTICAL expression tree both sides (ln only on
+    (integer + 0.5) ratios), summed over <= 3 terms, floor-quantized
+    to 4 decimals."""
+    pin_session_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    words = (docs.select("doc_id",
+                         F.explode(F.split(F.lower("text"), " ")).alias("w"))
+             .where(F.col("w") != ""))
+    dl = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("dl").alias("total_len"))
+    tf = (words.where(F.col("w").isin(*_BM25_TERMS))
+          .groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("f")))
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("nt"))
+    idf = F.log((F.col("n_docs") - F.col("nt") + 0.5)
+                / (F.col("nt") + 0.5) + 1)
+    norm = (F.col("f") + _BM25_K1
+            * (1 - _BM25_B
+               + _BM25_B * (F.col("dl")
+                            / (F.col("total_len").cast("double")
+                               / F.col("n_docs")))))
+    s = idf * (F.col("f") * (_BM25_K1 + 1)) / norm
+    return (tf.join(dl, "doc_id")
+            .crossJoin(F.broadcast(corpus))
+            .join(F.broadcast(df), "w")
+            .select("doc_id", s.alias("s"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+                 (F.floor(F.sum("s") * 10000 + F.lit(0.5)) / 10000)
+                 .alias("bm25")))
+
+
+@register("pipeline_epoch_mix", oracle="""
+WITH w AS (
+    SELECT doc_id, source,
+           1 + (CAST(substr(source, 4) AS INTEGER) % 4) // 2 AS whole,
+           (CAST(substr(source, 4) AS INTEGER) % 4) % 2 = 1 AS has_frac
+    FROM documents
+), n AS (
+    SELECT doc_id, source,
+           whole + CASE WHEN has_frac
+                        AND ((doc_id % 2147483648) * 2654435761)
+                            % 4294967296 % 10 < 5
+                        THEN 1 ELSE 0 END AS n_epochs
+    FROM w
+)
+SELECT doc_id, source, CAST(unnest(generate_series(1, n_epochs)) AS INTEGER) AS epoch
+FROM n
+""")
+def pipeline_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source epoch oversampling -- the 'N epochs of wiki, 1 of
+    crawl' training-mix recipe (GPT-3 Table 2.2, Llama: high-quality
+    sources repeat for multiple epochs within one training run).
+    Each source gets a weight 1.0/1.5/2.0/2.5 derived from its id;
+    a document is emitted floor(w) times plus one extra epoch for
+    the fractional part, gated per-document by the overflow-hardened
+    Knuth hash -- so a 1.5-epoch source repeats exactly half its
+    docs, deterministically, restart-stable (the pipeline_interleave
+    property), with NO float in the gate: the fraction is handled
+    in integer halves.
+
+    Scale: the expansion is a per-row sequence() explode (output x
+    weight <= 3), zero joins, zero shuffles -- a pure map stage that
+    composes in front of pipeline_pack_sequences. The weights table
+    would broadcast in a deployment; here the weight derives from
+    the source id so the oracle is self-contained."""
+    pin_session_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    whole = 1 + F.floor((src_num % 4) / 2).cast("int")
+    has_frac = (src_num % 4) % 2 == F.lit(1)
+    gate = (((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761))
+            % F.lit(4294967296) % 10 < 5)
+    n_epochs = whole + F.when(has_frac & gate, 1).otherwise(0)
+    return (docs.select("doc_id", "source", n_epochs.alias("n_epochs"))
+            .select("doc_id", "source",
+                    F.explode(F.sequence(F.lit(1), F.col("n_epochs")))
+                    .alias("epoch")))

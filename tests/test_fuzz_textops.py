@@ -25,7 +25,8 @@ _LANGS = ("en", "de", "zh")
 _FUZZED = ("text_gopher_rules", "dedup_containment",
            "pipeline_funnel_report", "pipeline_domain_mixture",
            "pipeline_dsir_importance", "text_ccnet_buckets",
-           "dedup_canonical", "dedup_span_merge", "text_entropy")
+           "dedup_canonical", "dedup_span_merge", "text_entropy",
+           "text_bm25", "pipeline_epoch_mix")
 
 
 @st.composite
