@@ -332,3 +332,39 @@ def sql_udf_declarative(spark: SparkSession, sf_dir: str) -> DataFrame:
                price_tier(o_totalprice) AS tier,
                mark_status(o_orderpriority, o_orderstatus) AS status_marked
         FROM orders""")
+
+
+@register("sql_session_variables", oracle="""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_above,
+       CAST(min(o_orderkey) AS BIGINT) AS first_key
+FROM orders
+WHERE o_totalprice > (SELECT max(o_totalprice) / 2 FROM orders)
+GROUP BY 1
+""")
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (Spark 4 DECLARE VARIABLE / SET VAR):
+    parameterize a query from a prior query's result without string
+    interpolation or a driver round-trip through Python -- the
+    variable read is constant-folded into the consuming plan, so the
+    predicate stays pushdown-eligible (same plan as the literal).
+
+    The threshold is max(price)/2 deliberately: max is an exact
+    selection and /2 is exact in IEEE, so the boundary is
+    bit-identical cross-engine with NO quantization -- an avg-based
+    cutoff would inherit treeAggregate merge-order drift (the
+    ml_minmax_parity vs StandardScaler distinction).
+
+    SET VAR executes its subquery eagerly (one tiny job) -- at scale
+    that is one aggregate over the dimension, not a per-row
+    correlated subquery."""
+    pin_session_conf(spark)
+    register_views(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE price_cutoff DOUBLE")
+    spark.sql("SET VAR price_cutoff = "
+              "(SELECT max(o_totalprice) / 2 FROM orders)")
+    return spark.sql("""
+        SELECT o_orderpriority, count(*) AS n_above,
+               min(o_orderkey) AS first_key
+        FROM orders
+        WHERE o_totalprice > price_cutoff
+        GROUP BY 1""")

@@ -252,3 +252,34 @@ def test_minhash_hash_families_agree(spark):
     assert len(xx) > 0 and len(md) > 0
     assert len(xx & md) / len(md) >= 0.9, "xxhash family misses md5's pairs"
     assert len(xx & md) / len(xx) >= 0.9, "md5 family misses xxhash's pairs"
+
+
+def test_leakage_safe_split_never_splits_a_near_dup_pair(spark):
+    """The whole point of split_leakage_safe: for EVERY near-dup edge
+    (Jaccard >= 0.8 pair), both endpoints carry the same split label.
+    Also sanity-check all three labels actually occur and that the
+    canonical representative is a member of its own component."""
+    from recommendation_system_spark_ml_spark.operators.dedup import (
+        _jaccard_edges, dedup_canonical, dedup_components,
+        split_leakage_safe)
+
+    splits = split_leakage_safe(spark, SF_SMOKE)
+    edges = _jaccard_edges(spark, SF_SMOKE)
+    sa = splits.select(F.col("doc_id").alias("doc_a"),
+                       F.col("split").alias("split_a"))
+    sb = splits.select(F.col("doc_id").alias("doc_b"),
+                       F.col("split").alias("split_b"))
+    crossed = (edges.join(sa, "doc_a").join(sb, "doc_b")
+               .where(F.col("split_a") != F.col("split_b")))
+    assert crossed.count() == 0
+    labels = {r.split for r in splits.select("split").distinct().collect()}
+    assert labels == {"train", "valid", "test"}
+
+    comp = dedup_components(spark, SF_SMOKE)
+    kept = dedup_canonical(spark, SF_SMOKE)
+    orphans = (kept.join(
+        comp.select(F.col("doc_id").alias("kept_doc_id"),
+                    F.col("component").alias("member_component")),
+        "kept_doc_id")
+        .where(F.col("component") != F.col("member_component")))
+    assert orphans.count() == 0
