@@ -355,3 +355,72 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  (F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
                   / 100.0).alias("sum_price")))
+
+
+def _morton_key(x, y, bits: int = 8):
+    """Interleave the low `bits` of two integer columns into a Morton
+    (Z-order) key: bit i of x lands at position 2i, bit i of y at
+    2i + 1. Pure shift/mask expressions -- whole-stage codegen."""
+    one = F.lit(1).cast("long")
+    z = F.lit(0).cast("long")
+    # disjoint bit positions, so + == bitwise OR (and Column `|` is
+    # boolean OR in PySpark, not bitwise)
+    for i in range(bits):
+        z = (z
+             + F.shiftleft(F.shiftright(x, i).bitwiseAND(one), 2 * i)
+             + F.shiftleft(F.shiftright(y, i).bitwiseAND(one), 2 * i + 1))
+    return z
+
+
+@register("sink_zorder_prune", oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           / 100.0 AS sum_price
+FROM orders
+WHERE o_custkey <= 1000
+  AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-03-31'
+""")
+def sink_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order-clustered parquet sink + 2-D-pruned read-back -- the
+    OPTIMIZE ZORDER layout (Delta/Iceberg) built from Spark
+    primitives: both filter dimensions are bucketed to 8-bit ranks
+    (min/max from a broadcast 1-row aggregate, integer div), Morton-
+    interleaved into a z-key by shift/mask expressions, and the write
+    is repartitionByRange + sortWithinPartitions on z, so every file's
+    (custkey, date) min/max box covers a LOCAL quadrant of the 2-D
+    space instead of a full-width stripe. A single-column sort prunes
+    scans filtered on that column only; the z-layout prunes scans
+    filtered on EITHER or BOTH dimensions (tests/test_zorder.py
+    measures row-group hit counts from the parquet footers against a
+    custkey-sorted twin of the same data).
+
+    At 100 TB this is how a fact table serves two access paths without
+    duplicating storage; the z-key costs one narrow shuffle at write
+    time and nothing at read time (file/row-group stats do the work).
+    The result itself is layout-independent -- the oracle certifies the
+    round-trip, the footer test certifies the clustering."""
+    pin_session_conf(spark)
+    orders = load(spark, sf_dir, "orders")
+    rng = orders.agg(
+        F.min("o_custkey").alias("mnc"), F.max("o_custkey").alias("mxc"),
+        F.min("o_orderdate").alias("mnd"), F.max("o_orderdate").alias("mxd"))
+    scaled = (orders.crossJoin(F.broadcast(rng))
+              .withColumn("xr", F.expr(
+                  "((o_custkey - mnc) * 256) div (mxc - mnc + 1)"))
+              .withColumn("yr", F.expr(
+                  "(datediff(o_orderdate, mnd) * 256)"
+                  " div (datediff(mxd, mnd) + 1)"))
+              .withColumn("z", _morton_key(F.col("xr"), F.col("yr")))
+              .drop("mnc", "mxc", "mnd", "mxd", "xr", "yr"))
+    path = _scratch(sf_dir, "orders_zorder")
+    (scaled.repartitionByRange(16, "z").sortWithinPartitions("z")
+     .write.mode("overwrite").parquet(path))
+    return (spark.read.parquet(path)
+            .where((F.col("o_custkey") <= 1000)
+                   & F.col("o_orderdate").between("1996-01-01",
+                                                  "1996-03-31"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.min("o_orderkey").alias("min_key"),
+                 (F.sum(F.round(F.col("o_totalprice") * 100, 0)
+                        .cast("long")) / 100.0).alias("sum_price")))
