@@ -73,6 +73,9 @@ CURVE_QUERIES = (
     "dedup_containment",      # df-bounded inverted-index pair join
     "pipeline_domain_mixture",  # count agg + broadcast cutoffs + map gate
     "stream_late_data",       # metadata-sized watermark table must stay so
+    "window_sliding_distinct",  # 24x membership explode must stay linear
+    "dedup_span_merge",       # shingle explode + positions semi-join
+    "ts_resample_ohlc",       # one-Exchange window+rollup bar build
 )
 
 
