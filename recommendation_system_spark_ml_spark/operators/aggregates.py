@@ -737,3 +737,78 @@ def agg_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 agg_kmv_jaccard.__doc__ = agg_kmv_jaccard.__doc__.replace(
     "{KMV_K}", str(KMV_K))
+
+
+@register("agg_ks_drift", oracle="""
+WITH cnt AS (
+    SELECT value,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS na,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS nb
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY 1
+), cum AS (
+    SELECT value,
+           sum(na) OVER (ORDER BY value) AS ca,
+           sum(nb) OVER (ORDER BY value) AS cb
+    FROM cnt
+), tot AS (
+    SELECT CAST(sum(na) AS BIGINT) AS ta, CAST(sum(nb) AS BIGINT) AS tb
+    FROM cnt
+)
+SELECT floor(max(abs(CAST(ca AS DOUBLE) / ta - CAST(cb AS DOUBLE) / tb))
+             * 1000000 + 0.5) / 1000000 AS ks_stat,
+       ta AS n_a, tb AS n_b
+FROM cum CROSS JOIN tot
+GROUP BY ta, tb
+""")
+def agg_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the value
+    distributions of two event populations -- the distribution-drift
+    monitor every production data pipeline runs between yesterday's
+    and today's data (here: clicks vs purchases). KS = max over the
+    merged support of |ECDF_a - ECDF_b|.
+
+    The ECDFs need a GLOBAL cumulative count over the ordered value
+    support -- the classic single-reducer trap. Solved with the
+    repo's two_level_running_sum (bucket-parallel cumsum + broadcast
+    bucket offsets, property-tested vs the naive window), run once
+    per population over the same bucketing, so the oracle's global
+    window is matched without any global sort. Support rows are
+    DISTINCT values, so ordering by value alone is total.
+
+    Cross-engine float: cumulative counts and totals are exact
+    integers; each |ca/ta - cb/tb| is the same two-integer-division
+    IEEE tree on both sides, so the max is over bit-identical values
+    (quantized at 1e-6 for the artifact hash anyway). At 100 TB the
+    support itself can be pre-bucketed (quantile sketch) with the
+    same shape -- KS over binned ECDFs is the standard monitoring
+    variant."""
+    pin_session_conf(spark)
+    from recommendation_system_spark_ml_spark.operators.scale import (
+        two_level_running_sum,
+    )
+
+    ev = (load(spark, sf_dir, "events")
+          .where(F.col("event_type").isin("click", "purchase")))
+    cnt = (ev.groupBy("value")
+           .agg(F.sum(F.when(F.col("event_type") == "click", 1)
+                      .otherwise(0)).alias("na"),
+                F.sum(F.when(F.col("event_type") == "purchase", 1)
+                      .otherwise(0)).alias("nb")))
+    bucket = F.floor(F.col("value")).cast("long")
+    cum = two_level_running_sum(cnt, bucket, [F.col("value").asc()],
+                                F.col("na"), out="ca")
+    cum = two_level_running_sum(cum, bucket, [F.col("value").asc()],
+                                F.col("nb"), out="cb")
+    tot = cnt.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    diff = F.abs(F.col("ca").cast("double") / F.col("ta")
+                 - F.col("cb").cast("double") / F.col("tb"))
+    return (cum.crossJoin(F.broadcast(tot))
+            .groupBy("ta", "tb")
+            .agg((F.floor(F.max(diff) * 1000000 + F.lit(0.5)) / 1000000)
+                 .alias("ks_stat"))
+            .select("ks_stat", F.col("ta").alias("n_a"),
+                    F.col("tb").alias("n_b")))
