@@ -459,12 +459,12 @@ WITH src AS (
     FROM src
 )
 SELECT l_orderkey, l_linenumber,
-       floor((q - qmn) / (qmx - qmn) * 10000 + 0.5) / 10000
-           AS quantity_scaled,
-       floor((p - pmn) / (pmx - pmn) * 10000 + 0.5) / 10000
-           AS price_scaled,
-       floor((d - dmn) / (dmx - dmn) * 10000 + 0.5) / 10000
-           AS discount_scaled
+       floor(CASE WHEN qmx = qmn THEN 0.5 ELSE (q - qmn) / (qmx - qmn) END
+             * 10000 + 0.5) / 10000 AS quantity_scaled,
+       floor(CASE WHEN pmx = pmn THEN 0.5 ELSE (p - pmn) / (pmx - pmn) END
+             * 10000 + 0.5) / 10000 AS price_scaled,
+       floor(CASE WHEN dmx = dmn THEN 0.5 ELSE (d - dmn) / (dmx - dmn) END
+             * 10000 + 0.5) / 10000 AS discount_scaled
 FROM src CROSS JOIN stats
 """)
 def ml_minmax_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -485,7 +485,13 @@ def ml_minmax_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, model vector layout, transform arithmetic. Scale: the fit
     is one min/max aggregate (map-side combinable); the transform is
     a map-only expression; nothing shuffles but the 6-number stats
-    row."""
+    row.
+
+    Constant-feature caveat: when max == min MLlib emits 0.5 (the
+    documented midpoint convention) where naive SQL divides by zero;
+    the oracle mirrors it with an explicit CASE, so a degenerate
+    column still hash-matches (unreachable on lineitem -- all three
+    columns vary -- but the guard keeps the twin corpus-agnostic)."""
     pin_session_conf(spark)
     from pyspark.ml.feature import MinMaxScaler
     from pyspark.ml.functions import vector_to_array

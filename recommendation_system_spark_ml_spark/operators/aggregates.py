@@ -747,7 +747,7 @@ WITH cnt AS (
            CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                 AS BIGINT) AS nb
     FROM events
-    WHERE event_type IN ('click', 'purchase')
+    WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
     GROUP BY 1
 ), cum AS (
     SELECT value,
@@ -791,8 +791,14 @@ def agg_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         two_level_running_sum,
     )
 
+    # NULL values are excluded on BOTH sides: a NULL floor() bucket
+    # would silently drop rows in two_level_running_sum's inner join on
+    # __bucket while the oracle's window keeps a NULLS LAST group --
+    # the same cross-engine hazard class fixed in ts_ewma. (An ECDF is
+    # undefined over NULL anyway.)
     ev = (load(spark, sf_dir, "events")
-          .where(F.col("event_type").isin("click", "purchase")))
+          .where(F.col("event_type").isin("click", "purchase")
+                 & F.col("value").isNotNull()))
     cnt = (ev.groupBy("value")
            .agg(F.sum(F.when(F.col("event_type") == "click", 1)
                       .otherwise(0)).alias("na"),

@@ -1014,7 +1014,9 @@ WITH base AS (
     SELECT doc_id,
            list_distinct(list_filter(string_split(lower(text), ' '),
                                      w -> w <> '')) AS words
-    FROM documents WHERE len(string_split(lower(text), ' ')) > 0
+    FROM documents
+    WHERE len(list_filter(string_split(lower(text), ' '),
+                          w -> w <> '')) > 0
 ), hashed AS (
     SELECT doc_id, list_transform(words, w -> md5(w)) AS hs FROM base
 ), fp AS (

@@ -39,25 +39,32 @@ def _power_iterate(ed: DataFrame, ranks: DataFrame, n_nodes: int,
                    damping: float = DAMPING) -> tuple[DataFrame, int]:
     """Damped power iteration with convergence-aware early exit.
 
-    The convergence check costs one scalar join+agg, so it is
-    piggybacked on the CHECKPOINT_EVERY lineage-cut boundary (where the
-    new rank vector is materialized anyway) instead of running every
-    round: per check the driver sees ONE float, never row data. Exit
-    fires when max |delta(rank * n_nodes)| < tol -- scaled ranks, so
-    the threshold is independent of graph size.
+    The convergence check costs one scalar join+agg plus an EAGER
+    (blocking) checkpoint of the new rank vector, so it only runs when
+    early exit is plausible: the delta contracts at best ~damping per
+    round from an O(1) scaled starting point, so reaching a 1e-6-ish
+    tol needs tens of iterations -- for short caps (max_iter <= 20, the
+    registered 10-iteration query) the check provably cannot fire and
+    the loop takes the pre-r4 fast path (lazy lineage-cut checkpoint,
+    zero delta joins; the r4 always-on check cost ~3.6 s/sweep for zero
+    exits, BENCH_r04 vs r03). When it does run, the check is
+    piggybacked on the CHECKPOINT_EVERY lineage-cut boundary where the
+    vector is materialized anyway: per check the driver sees ONE float,
+    never row data. Exit fires when max |delta(rank * n_nodes)| < tol
+    -- scaled ranks, so the threshold is independent of graph size.
 
     max_iter stays a hard cap: the registered query's oracle is the
     fixed-N_ITER unrolled-CTE form, and on the part-supplier graph the
-    delta contracts by exactly the damping factor per round from a
-    hub-sized starting point (measured: max delta ~4.0 at iteration 10,
-    0.85x per iteration -- reaching 1e-6 would take ~94 iterations), so
-    the cap binds and the result is bit-identical to the unrolled
-    oracle. Graphs that DO converge inside the cap (the chain-graph
-    property test) skip the remaining rounds -- at cluster scale, where
-    hundreds of iterations are budgeted, that is the real saving.
+    cap binds (measured: max delta ~4.0 at iteration 10, 0.85x per
+    iteration -- 1e-6 is ~94 iterations away), so the result is
+    bit-identical to the unrolled oracle. Graphs that DO converge
+    inside a long cap (the chain-graph property test) skip the
+    remaining rounds -- at cluster scale, where hundreds of iterations
+    are budgeted, that is the real saving.
 
     Returns (ranks, iterations_run)."""
     base = (1.0 - damping) / n_nodes
+    check_convergence = max_iter > 20 and tol > 0.0
     it = 0
     for i in range(1, max_iter + 1):
         it = i
@@ -68,14 +75,17 @@ def _power_iterate(ed: DataFrame, ranks: DataFrame, n_nodes: int,
                      .agg((F.lit(base) + damping * F.sum("c")).alias("rank"))
                      .withColumnRenamed("dst", "node"))
         if i % CHECKPOINT_EVERY == 0 and i < max_iter:
-            new_ranks = new_ranks.localCheckpoint(eager=True)
-            delta, = (new_ranks.join(
-                ranks.withColumnRenamed("rank", "old"), "node")
-                .agg(F.max(F.abs((F.col("rank") - F.col("old"))
-                                 * n_nodes))).first())
-            if delta is not None and delta < tol:
-                ranks = new_ranks
-                break
+            if check_convergence:
+                new_ranks = new_ranks.localCheckpoint(eager=True)
+                delta, = (new_ranks.join(
+                    ranks.withColumnRenamed("rank", "old"), "node")
+                    .agg(F.max(F.abs((F.col("rank") - F.col("old"))
+                                     * n_nodes))).first())
+                if delta is not None and delta < tol:
+                    ranks = new_ranks
+                    break
+            else:
+                new_ranks = new_ranks.localCheckpoint(eager=False)
         ranks = new_ranks
     return ranks, it
 
@@ -136,13 +146,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     part that must (and does) stay a plain 2-shuffle step. Kept out of
     the headline bench for that reason.
 
-    The loop is convergence-aware (_power_iterate): it exits early
-    when max |delta(rank * n)| < 1e-6, checked at the checkpoint
-    boundary. On THIS graph the check never fires inside the cap
-    (measured contraction: delta ~4.0 at iteration 10 shrinking 0.85x
-    per round -- 1e-6 is ~94 iterations away), so the output remains
-    bit-identical to the 10-iteration unrolled oracle; the chain-graph
-    property test exercises the genuinely-early exit."""
+    The loop is convergence-aware (_power_iterate) but with a 10-round
+    cap the exit provably cannot fire (measured contraction: delta
+    ~4.0 at iteration 10 shrinking 0.85x per round -- 1e-6 is ~94
+    iterations away), so the check is gated off entirely (max_iter <=
+    20 takes the lazy-checkpoint fast path, no delta joins) and the
+    output remains bit-identical to the 10-iteration unrolled oracle;
+    the chain-graph property test exercises the genuinely-early exit
+    on a 60-round cap."""
     pin_session_conf(spark)
     li = load(spark, sf_dir, "lineitem")
     half = (li.select(

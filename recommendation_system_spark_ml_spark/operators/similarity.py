@@ -326,7 +326,16 @@ def topk_cells_udf(spark: SparkSession, cmat: "np.ndarray", nassign: int):
         # |x - c|^2 = |x|^2 - 2 x.c + |c|^2; the |x|^2 term is
         # constant per row and cannot change the per-row ordering
         d2 = b_cn2.value[None, :] - 2.0 * (xmat @ b_cmat.value.T)
-        finalists = np.argpartition(d2, nassign, axis=1)[:, :nassign + 1]
+        # Finalist slice is nassign+4 (clamped to nlist), not nassign+1:
+        # argpartition picks WHICH tied cells cross the cut arbitrarily,
+        # so when a d2 tie spans the partition boundary (3+ cells tied
+        # at the cut) the narrow slice could exclude the lowest cell id
+        # among ties. The wider slice keeps the (d2, cell) tiebreak
+        # exact for up to 4-way boundary ties -- measure-zero on float
+        # data, exact on degenerate/duplicated centroids.
+        nlist = d2.shape[1]
+        kth = min(nassign + 4, nlist - 1)
+        finalists = np.argpartition(d2, kth, axis=1)[:, :kth + 1]
         return pd.Series([
             [int(c) for c in
              sorted(cand, key=lambda c: (row[c], c))[:nassign]]
