@@ -184,59 +184,49 @@ def dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     all surface here while the containing documents stay distinct).
 
     Each doc emits its 8-token shingles (a guarded per-row array
-    expression -- descending-sequence footgun avoided), one groupBy
-    counts docs and occurrences per shingle, and only spans seen in
-    more than one document survive. At 100 TB the shuffle key becomes
-    xxhash64(shingle) with the string joined back for survivors only
-    (the same digest-not-payload discipline as dedup_exact); the
-    aggregate is map-side combinable either way."""
+    expression -- descending-sequence footgun avoided), then the
+    ids-first digest-not-payload discipline (dedup_exact's): the count
+    groupBy keys on xxhash64(shingle) -- 8 bytes on the Exchange, not
+    ~60 bytes of 8-gram string -- and strings rejoin ONLY for the
+    n_docs > 1 survivors, via a broadcast of the (small) survivor
+    stats back onto a second map-side pass over the shingle stream.
+    The final one-row-per-shingle dedup shuffles survivor occurrences
+    only, with map-side partial aggregation collapsing repeats before
+    they travel. Survivors outgrowing the broadcast threshold at
+    extreme scale degrade to a shuffled hash join still keyed on h
+    (AQE decides); the count Exchange stays string-free either way.
+
+    Collision honesty: two distinct 8-grams sharing an xxhash64 would
+    merge their counts (P ~ n^2/2^65; ~1e-7 even at 1e6 distinct
+    shingles per this corpus, ~0.03 expected at a trillion). The
+    string-keyed oracle is exact, so the driver hash-check doubles as
+    a collision canary at test scale."""
     pin_session_conf(spark)
     docs = load(spark, sf_dir, "documents")
     shingles = F.expr(
         "CASE WHEN size(ws) < 8 THEN array()"
         " ELSE transform(sequence(1, size(ws) - 7),"
         "      g -> array_join(slice(ws, g, 8), ' ')) END")
-    return (docs.select("doc_id", _words().alias("ws"))
-            .select("doc_id", F.explode(shingles).alias("shingle"))
-            .groupBy("shingle")
+    sh = (docs.select("doc_id", _words().alias("ws"))
+          .select("doc_id", F.explode(shingles).alias("shingle"))
+          .withColumn("h", F.xxhash64("shingle")))
+    surv = (sh.select("doc_id", "h")
+            .groupBy("h")
             .agg(F.countDistinct("doc_id").alias("n_docs"),
                  F.count(F.lit(1)).alias("n_occurrences"))
             .where(F.col("n_docs") > 1))
+    return (sh.join(F.broadcast(surv), "h")
+            .dropDuplicates(["h"])
+            .select("shingle", "n_docs", "n_occurrences"))
 
 
-@register("dedup_minhash", bench=True)  # rows-only: hash-seeded LSH candidates
-def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash LSH near-dup pairs, expression-native: word set -> 16
-    minhashes (xxhash64 under 16 seeds) -> 4 bands x 4 rows -> bucket
-    join on (band, band_key) -> exact Jaccard ONLY on candidates,
-    keep distance <= 0.2.
-
-    Why not MLlib approxSimilarityJoin: its self-join explodes hash
-    tables inside a plan we can't partition, and at sf0.1 AQE
-    under-estimates the pre-explosion size and collapses it to ONE
-    task (observed: minutes of single-thread grind). Banding with
-    plain expressions keeps every stage a normal shuffle the planner
-    sizes correctly: bucket join carries (band, key, doc_id) only --
-     24 bytes/row -- and the word arrays are joined back just for the
-    surviving candidate pairs. P(candidate | J=0.8) ~ 0.88 with these
-    band parameters; exact dups always collide.
-
-    Volume honesty (post-seeding-fix, r4): on THIS corpus set-Jaccard
-    >= 0.8 genuinely holds for ~23% of all pairs (31-word shared
-    vocabulary -- the saturation dedup_jaccard's bag semantics exist
-    to avoid), so the verified output at sf0.1 is ~2.8M pairs and the
-    wall time (~10 s) is dominated by true-positive volume, not waste:
-    the banding holds candidates to ~4x the survivors (11M vs 12.5M
-    possible). The pre-fix 3.8 s number measured a BROKEN pipeline
-    (all 16 'seeded' hashes identical -- see the seeded() note) and is
-    not a comparable baseline."""
-    pin_session_conf(spark)
+def _minhash_pairs(base: DataFrame) -> DataFrame:
+    """Banded MinHash LSH >= 0.8-set-Jaccard pairs over (doc_id,
+    words) -- the shared engine behind dedup_minhash (driver corpus)
+    and dedup_minhash_realistic (long-tail corpus). See
+    dedup_minhash's docstring for the design rationale."""
     n_hashes, n_bands, rows_per_band = 16, 4, 4
-    docs = load(spark, sf_dir, "documents")
-    base = (docs.select("doc_id",
-                        F.array_distinct(F.filter(_words(), lambda w: w != ""))
-                        .alias("words"))
-            .where(F.size("words") > 0))
+
     # NOTE: the hash factory must return a ONE-parameter lambda.
     # PySpark dispatches higher-order-function lambdas on ARITY, so the
     # tempting `lambda w, i=i: xxhash64(w, lit(i))` binds i to the
@@ -273,6 +263,71 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b",
                     F.round(1.0 - jac, 4).alias("jaccard_dist"))
             .where(F.col("jaccard_dist") <= 0.2))
+
+
+@register("dedup_minhash")  # rows-only: hash-seeded LSH candidates
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-dup pairs, expression-native: word set -> 16
+    minhashes (xxhash64 under 16 seeds) -> 4 bands x 4 rows -> bucket
+    join on (band, band_key) -> exact Jaccard ONLY on candidates,
+    keep distance <= 0.2.
+
+    Why not MLlib approxSimilarityJoin: its self-join explodes hash
+    tables inside a plan we can't partition, and at sf0.1 AQE
+    under-estimates the pre-explosion size and collapses it to ONE
+    task (observed: minutes of single-thread grind). Banding with
+    plain expressions keeps every stage a normal shuffle the planner
+    sizes correctly: bucket join carries (band, key, doc_id) only --
+     24 bytes/row -- and the word arrays are joined back just for the
+    surviving candidate pairs. P(candidate | J=0.8) ~ 0.88 with these
+    band parameters; exact dups always collide.
+
+    Volume honesty (post-seeding-fix, r4): on THIS corpus set-Jaccard
+    >= 0.8 genuinely holds for ~23% of all pairs (31-word shared
+    vocabulary -- the saturation dedup_jaccard's bag semantics exist
+    to avoid), so the verified output at sf0.1 is ~2.8M pairs and the
+    wall time (~10 s) is dominated by true-positive volume, not waste:
+    the banding holds candidates to ~4x the survivors (11M vs 12.5M
+    possible). The pre-fix 3.8 s number measured a BROKEN pipeline
+    (all 16 'seeded' hashes identical -- see the seeded() note) and is
+    not a comparable baseline. Since r5 the HEADLINE bench slot for
+    this operator is dedup_minhash_realistic (long-tail corpus, ~1%
+    planted dups), whose wall time tracks banding efficiency instead
+    of true-positive volume; this saturated-corpus form stays
+    registered for the exhaustive-twin comparison."""
+    pin_session_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    base = (docs.select("doc_id",
+                        F.array_distinct(F.filter(_words(), lambda w: w != ""))
+                        .alias("words"))
+            .where(F.size("words") > 0))
+    return _minhash_pairs(base)
+
+
+@register("dedup_minhash_realistic", bench=True)  # rows-only: recall-gated
+def dedup_minhash_realistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_minhash over the realistic-similarity corpus
+    (sources/realistic.py: log-uniform long-tail vocabulary ~50x the
+    doc count, ~1% planted near-dup twins at set-Jaccard ~0.9,
+    background pair Jaccard ~0.08). This is the headline-bench slot
+    for MinHash LSH since r5 (r4 verdict Next #4): on the driver's
+    saturated 31-word-vocabulary corpus ~23% of ALL pairs are true
+    positives, so wall time there measures output volume -- here the
+    dup rate is realistic and the number moves when banding/bucketing
+    efficiency moves. Rows-only by nature (the derived corpus is not a
+    DuckDB-registered view); correctness is the planted-ground-truth
+    recall gate plus exact-Jaccard agreement in
+    tests/test_similarity_dedup.py."""
+    pin_session_conf(spark)
+    from recommendation_system_spark_ml_spark.sources.realistic import (
+        realistic_documents,
+    )
+    docs = realistic_documents(spark, sf_dir)
+    base = (docs.select("doc_id",
+                        F.array_distinct(F.filter(_words(), lambda w: w != ""))
+                        .alias("words"))
+            .where(F.size("words") > 0))
+    return _minhash_pairs(base)
 
 
 @register("dedup_embedding", oracle="""
@@ -350,8 +405,33 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs.
     """
     pin_session_conf(spark)
-    t = 0.8
     docs = load(spark, sf_dir, "documents")
+    return _jaccard_prefix_pairs(docs)
+
+
+@register("dedup_jaccard_prefix_realistic", bench=True)  # rows-only
+def dedup_jaccard_prefix_realistic(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """dedup_jaccard_prefix over the realistic-similarity corpus
+    (sources/realistic.py) -- the headline-bench slot for prefix-
+    filtered Jaccard since r5, for the same reason as
+    dedup_minhash_realistic: with a long-tail vocabulary the Bayardo
+    prefix filter's pruning power is actually exercised (rare-token
+    prefixes collide seldom), so the bench number tracks filter
+    efficiency, not the saturated corpus' true-positive volume.
+    Rows-only; planted-twin recall + minhash agreement are gated in
+    tests/test_similarity_dedup.py."""
+    pin_session_conf(spark)
+    from recommendation_system_spark_ml_spark.sources.realistic import (
+        realistic_documents,
+    )
+    return _jaccard_prefix_pairs(realistic_documents(spark, sf_dir))
+
+
+def _jaccard_prefix_pairs(docs: DataFrame, t: float = 0.8) -> DataFrame:
+    """Prefix-filtered >= t multiset-Jaccard pairs over (doc_id, text)
+    -- the shared engine behind dedup_jaccard_prefix (driver corpus,
+    oracle-hashed) and dedup_jaccard_prefix_realistic."""
     # cnt fans out to FIVE consumers (occurrence tokens -> sizes,
     # token order, both sides of the prefix self-join; bags for the
     # verify). It is (doc x vocab)-sized -- tiny relative to the
@@ -946,7 +1026,8 @@ FROM verified WHERE 5 * i >= 4 * u
 """
 
 
-@register("dedup_minhash_checked", oracle=_minhash_checked_oracle())
+@register("dedup_minhash_checked", oracle=_minhash_checked_oracle(),
+          bench=True)  # slowest oracle in PERF.md: regressions must show in BENCH_rN
 def dedup_minhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup_minhash's ORACLE-CHECKED twin: the identical 16-hash /
     4-band LSH pipeline with the seeded hash swapped from xxhash64 to
@@ -1129,7 +1210,7 @@ def dedup_simhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("hamming") <= 3))
 
 
-@register("dedup_canonical", oracle="""
+@register("dedup_canonical", bench=True, oracle="""
 WITH RECURSIVE
 edges AS (
     WITH cnt AS (
@@ -1256,14 +1337,21 @@ def dedup_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-grams (start gap <= 8) fuse into one span, so a copied license
     block reports as ONE (start, end) interval, not 40 shingle hits.
 
-    Shape: positions carry (doc_id, g) integers once the duplicated
-    shingle set is known -- the ids-first discipline; the merge is a
-    classic gaps-islands over a per-document window (per-entity
-    partitions, never global). Everything after the shingle count is
-    integer arithmetic: zero float surface, fully oracle-hashed. At
-    100 TB the shingle groupBy keys on xxhash64(shingle) with strings
-    joined back only for survivors (the dedup_ngram_spans note), and
-    suffix automata are unnecessary: 8-gram resolution bounds span
+    Shape: the shingle string dies at the map side -- each occurrence
+    is hashed to (doc_id, g, xxhash64(shingle)) BEFORE anything
+    shuffles, the duplicated-shingle count groups on the 8-byte hash,
+    and the survivor semi-join is hash-against-hash, so NO Exchange in
+    the whole plan carries an 8-gram string (vs ~60 bytes/occurrence
+    on two Exchanges in the string-keyed form -- the plan its own
+    docstring used to promise only "at 100 TB"; now it IS the plan,
+    asserted by tests/test_plans.py). Positions are (doc_id, g)
+    integers throughout; the merge is a classic gaps-islands over a
+    per-document window (per-entity partitions, never global);
+    everything after the count is integer arithmetic: zero float
+    surface, fully oracle-hashed. A hash collision could only ADD a
+    false duplicated position (P ~ n^2/2^65 -- see dedup_ngram_spans;
+    the exact string-keyed oracle is the canary at test scale).
+    Suffix automata are unnecessary: 8-gram resolution bounds span
     starts to within 7 tokens of the true cut, the tradeoff the paper
     itself makes for the distributed pass."""
     pin_session_conf(spark)
@@ -1274,12 +1362,13 @@ def dedup_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "      g -> array_join(slice(ws, g, 8), ' ')) END")
     sh = (docs.select("doc_id", _words().alias("ws"))
           .select("doc_id", F.posexplode(shingles).alias("p0", "shingle"))
-          .select("doc_id", (F.col("p0") + 1).alias("g"), "shingle"))
-    dup = (sh.groupBy("shingle")
+          .select("doc_id", (F.col("p0") + 1).alias("g"),
+                  F.xxhash64("shingle").alias("h")))
+    dup = (sh.groupBy("h")
            .agg(F.countDistinct("doc_id").alias("n_docs"))
            .where(F.col("n_docs") > 1)
-           .select("shingle"))
-    pos = (sh.join(dup, "shingle", "left_semi")
+           .select("h"))
+    pos = (sh.join(dup, "h", "left_semi")
            .select("doc_id", "g").dropDuplicates(["doc_id", "g"]))
     w = Window.partitionBy("doc_id").orderBy("g")
     isl = (pos.withColumn(
@@ -1300,7 +1389,7 @@ def dedup_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KNUTH_SPLIT = 2654435761  # same multiplicative gate as §2.7 split_hash
 
 
-@register("split_leakage_safe", oracle=f"""
+@register("split_leakage_safe", bench=True, oracle=f"""
 WITH RECURSIVE
 edges AS (
     WITH cnt AS (

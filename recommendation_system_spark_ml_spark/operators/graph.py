@@ -125,7 +125,7 @@ FROM r{N_ITER}
 """
 
 
-@register("graph_pagerank", oracle=_pagerank_oracle())
+@register("graph_pagerank", oracle=_pagerank_oracle(), bench=True)
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the part<->supplier bipartite graph from lineitem
     (edges = distinct supply relationships, doubled to undirected),
@@ -143,8 +143,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled form -- 10 sequential stages pay Spark's per-stage
     scheduling floor on a 1M-edge toy graph; the same floor amortizes
     to noise at cluster scale, where the per-iteration join/agg is the
-    part that must (and does) stay a plain 2-shuffle step. Kept out of
-    the headline bench for that reason.
+    part that must (and does) stay a plain 2-shuffle step. In the
+    headline bench since r5 (one of the five slowest queries: the r4
+    convergence-check regression was invisible to BENCH_rN diffs).
 
     The loop is convergence-aware (_power_iterate) but with a 10-round
     cap the exit provably cannot fire (measured contraction: delta

@@ -1,0 +1,103 @@
+"""Realistic-similarity documents twin (build-once derived fixture).
+
+Why it exists (r4 verdict, "Next #4"): the driver's synthetic
+`documents` corpus draws every word from a ~31-word shared vocabulary,
+which makes ~23% of ALL pairs exceed set-Jaccard 0.8 -- near-dup
+wall-times there measure true-positive volume, not banding efficiency,
+and LSH recall gates are trivially easy (any banding finds dups when
+everything is a dup). This module derives a corpus with the statistics
+real web/text dedup actually faces, so the bench numbers move when
+banding efficiency moves:
+
+- **long-tail vocabulary**: word ids are log-uniform (Zipf-like s~1)
+  over a vocabulary ~50x the document count, so two unrelated docs
+  share only a few head words (measured background set-Jaccard ~0.02
+  at sf0.1 vs ~0.5+ in the driver corpus);
+- **~1% near-dup rate**: one planted twin per 100 base docs (at the
+  500-5,000-doc test scales a 0.1% production-like rate would plant a
+  single twin -- statistically useless for a recall gate; DUP_EVERY is
+  the knob), each a copy of its base with every token independently
+  rewritten with prob 5% (expected set-Jaccard ~0.9 -- above the 0.8
+  gate but not degenerate);
+- **fully deterministic**: every random draw is an xxhash64 of
+  (role, id, position) -- no rand(), no partitioning dependence; the
+  corpus is a pure function of the document count, so any engine or
+  session regenerates it bit-identically.
+
+Derived data lives under the per-process scratch dir (the
+sim_ivf_persisted / dedup_incremental pattern): first call per process
+builds and writes parquet with a _SUCCESS marker, later calls read
+parquet only -- under bench repeat>=2 the one-time build drops out of
+the reported median. The planted ground truth (twin doc_id = base
+doc_id + TWIN_OFFSET) is what the recall gate in
+tests/test_similarity_dedup.py scores candidates against.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from recommendation_system_spark_ml_spark.session import scratch_path
+from recommendation_system_spark_ml_spark.sources.catalog import load
+
+TWIN_OFFSET = 10_000_000  # planted near-dup id = base id + this
+DUP_EVERY = 100           # one twin per this many base docs (1%)
+MUTATE_PCT = 5            # per-token rewrite probability in a twin, %
+MIN_LEN, LEN_SPREAD = 40, 160  # tokens per doc in [MIN_LEN, MIN_LEN+LEN_SPREAD]
+_SEED = 823
+
+
+def _word(content_id, pos, vocab: int, salt: str):
+    """Deterministic log-uniform word draw: u in [0,1) from an xxhash64
+    of (salt, content_id, pos), word id = floor(vocab^u) -- inverse-CDF
+    sampling of an s~1 Zipf tail, all JVM expressions."""
+    u = (F.pmod(F.xxhash64(F.lit(salt), content_id, pos, F.lit(_SEED)),
+                F.lit(1_000_000)).cast("double") / 1_000_000.0)
+    return F.concat(F.lit("w"), F.floor(F.pow(F.lit(float(vocab)), u))
+                    .cast("long").cast("string"))
+
+
+def realistic_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load (building once per process) the realistic-similarity twin
+    of `documents`, same schema subset (doc_id, text): row count
+    matches the sf's documents table plus the planted twins
+    (1 per DUP_EVERY base docs)."""
+    out = scratch_path(sf_dir, "realistic_docs")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        n = load(spark, sf_dir, "documents").count()
+        vocab = max(1_000, 50 * n)
+        base = (spark.range(n)
+                .select(F.col("id").alias("doc_id"),
+                        F.col("id").alias("content_id"),
+                        F.lit(False).alias("is_twin")))
+        twins = (spark.range(0, n, DUP_EVERY)
+                 .select((F.col("id") + TWIN_OFFSET).alias("doc_id"),
+                         F.col("id").alias("content_id"),
+                         F.lit(True).alias("is_twin")))
+        both = base.unionByName(twins)
+        length = (F.lit(MIN_LEN)
+                  + F.pmod(F.xxhash64(F.lit("len"), F.col("content_id"),
+                                      F.lit(_SEED)),
+                           F.lit(LEN_SPREAD + 1))).cast("int")
+
+        def token(p):
+            mutate = (F.col("is_twin")
+                      & (F.pmod(F.xxhash64(F.lit("mut"), F.col("doc_id"),
+                                           p, F.lit(_SEED)),
+                                F.lit(100)) < MUTATE_PCT))
+            return (F.when(mutate,
+                           _word(F.col("doc_id"), p, vocab, "fresh"))
+                    .otherwise(_word(F.col("content_id"), p, vocab, "base")))
+
+        # map-only generation: one transform over sequence(1, length)
+        # per row, no explode, no shuffle -- the build is a scan-free
+        # range + parquet write
+        (both.select("doc_id",
+                     F.array_join(
+                         F.transform(F.sequence(F.lit(1), length), token),
+                         " ").alias("text"))
+         .write.mode("overwrite").parquet(out))
+    return spark.read.parquet(out)

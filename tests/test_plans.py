@@ -462,3 +462,28 @@ def test_ohlc_single_exchange_serves_window_and_rollup(spark):
     plan = _plan(_specs()["ts_resample_ohlc"].fn(spark, SF_SMOKE))
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
     assert "partial_max" in plan or "partial_" in plan
+
+
+def test_span_merge_shuffles_shingle_hashes_not_strings(spark):
+    """dedup_span_merge (r5): the duplicated-shingle count and the
+    survivor semi-join both key on xxhash64(shingle) -- no Exchange
+    anywhere in the plan may partition on, or carry, the 8-gram
+    string (the ids-first plan the docstring used to defer to 100 TB).
+    Same discipline for dedup_ngram_spans' count Exchange, whose only
+    string-bearing shuffle is the survivors-only final dedup fed by a
+    broadcast of the survivor stats."""
+    plan = _plan(_specs()["dedup_span_merge"].fn(spark, SF_SMOKE))
+    assert "hashpartitioning(h#" in plan
+    assert "hashpartitioning(shingle" not in plan
+    for block in plan.split("\n\n"):
+        if ") Exchange" in block or ") BroadcastExchange" in block:
+            assert "shingle#" not in block, block
+
+    plan = _plan(_specs()["dedup_ngram_spans"].fn(spark, SF_SMOKE))
+    assert "hashpartitioning(shingle" not in plan
+    assert "BroadcastExchange" in plan  # survivor stats rejoin strings
+    string_exchanges = [
+        b for b in plan.split("\n\n")
+        if ") Exchange" in b and "shingle#" in b]
+    # only the survivors-only one-row-per-shingle dedup may carry it
+    assert len(string_exchanges) <= 1, plan

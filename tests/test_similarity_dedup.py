@@ -283,3 +283,174 @@ def test_leakage_safe_split_never_splits_a_near_dup_pair(spark):
         "kept_doc_id")
         .where(F.col("component") != F.col("member_component")))
     assert orphans.count() == 0
+
+
+def test_realistic_corpus_statistics_and_planted_recall(spark):
+    """The realistic-similarity corpus (sources/realistic.py) must have
+    the statistics its docstring claims -- long-tail background
+    (average cross-pair set-Jaccard well under the 0.8 gate) and ~1%
+    planted twins near J~0.9 -- and BOTH production near-dup paths
+    (banded MinHash, prefix-filtered Jaccard) must recover every
+    planted twin that actually qualifies under their own >= 0.8
+    definitions. On the saturated driver corpus these gates were
+    trivially satisfiable (23% of ALL pairs qualify); here recall is
+    meaningful."""
+    from recommendation_system_spark_ml_spark.operators.dedup import (
+        dedup_jaccard_prefix_realistic, dedup_minhash_realistic)
+    from recommendation_system_spark_ml_spark.sources.realistic import (
+        TWIN_OFFSET, realistic_documents)
+
+    docs = realistic_documents(spark, SF_SMOKE)
+    words = F.array_distinct(
+        F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+                 lambda w: w != ""))
+    w = docs.select("doc_id", words.alias("ws"))
+
+    # exact ground truth for the planted twins (set semantics)
+    tw = (w.where(F.col("doc_id") >= TWIN_OFFSET)
+          .select((F.col("doc_id") - TWIN_OFFSET).alias("doc_id"),
+                  F.col("ws").alias("wt")))
+    twin_j = (w.join(tw, "doc_id")
+              .select("doc_id",
+                      (F.size(F.array_intersect("ws", "wt"))
+                       / F.size(F.array_union("ws", "wt"))).alias("j")))
+    rows = twin_j.collect()
+    assert len(rows) >= 5, "expected >=5 planted twins at smoke scale"
+    qualifying = {r.doc_id for r in rows if r.j >= 0.8}
+    assert qualifying, "mutation rate too high: no twin qualifies"
+
+    # background saturation must be gone: sample unrelated pairs
+    a = w.where(F.col("doc_id") < 50).alias("a")
+    b = (w.where((F.col("doc_id") >= 50) & (F.col("doc_id") < 100))
+         .alias("b"))
+    bg = (a.crossJoin(b)
+          .agg(F.avg(F.size(F.array_intersect("a.ws", "b.ws"))
+                     / F.size(F.array_union("a.ws", "b.ws"))).alias("m"))
+          .first().m)
+    assert bg < 0.3, f"background Jaccard {bg:.2f}: corpus is saturated"
+
+    # MinHash LSH: every qualifying planted twin must be recovered
+    # (16 hashes / 4 bands: P(miss | J>=0.8) ~ 0.12 per pair -- with
+    # only ~5 twins at smoke scale a single unlucky miss is plausible,
+    # so gate at >= 0.8 recall rather than exactly 1.0)
+    mh = dedup_minhash_realistic(spark, SF_SMOKE)
+    found_mh = {r.doc_a for r in mh.collect()
+                if r.doc_b == r.doc_a + TWIN_OFFSET}
+    recall = len(found_mh & qualifying) / len(qualifying)
+    assert recall >= 0.8, f"minhash planted recall {recall:.2f}"
+
+    # prefix-filtered Jaccard is EXACT (filter is lossless): every
+    # bag-qualifying twin must appear; verify against brute force
+    jp = dedup_jaccard_prefix_realistic(spark, SF_SMOKE)
+    got = {(r.doc_a, r.doc_b) for r in jp.collect()}
+    cnt = (docs.select("doc_id", F.explode(
+               F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+                        lambda x: x != "")).alias("wd"))
+           .groupBy("doc_id", "wd").agg(F.count(F.lit(1)).alias("c")))
+    bags = cnt.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("wd", "c"))).alias("m"),
+        F.sum("c").alias("n"))
+    ba = bags.select(F.col("doc_id").alias("doc_a"),
+                     F.col("m").alias("ma"), F.col("n").alias("na"))
+    bb = bags.select(F.col("doc_id").alias("doc_b"),
+                     F.col("m").alias("mb"), F.col("n").alias("nb"))
+    shared = F.aggregate(
+        F.map_values(F.map_zip_with(
+            "ma", "mb", lambda k, x, y: F.least(F.coalesce(x, F.lit(0)),
+                                                F.coalesce(y, F.lit(0))))),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    brute = (ba.crossJoin(bb).where(F.col("doc_a") < F.col("doc_b"))
+             .withColumn("shared", shared)
+             .where(F.col("shared") / (F.col("na") + F.col("nb")
+                                       - F.col("shared")) >= 0.8))
+    want = {(r.doc_a, r.doc_b) for r in brute.collect()}
+    assert got == want, (sorted(got - want)[:5], sorted(want - got)[:5])
+
+
+def _anisotropic_sf_dir(spark) -> str:
+    """Second embedding geometry (r4 verdict Next #7): 8 clustered
+    ANISOTROPIC blobs (unit-sphere centers, noise stretched 10:1 along
+    a random per-cluster axis) written as `embeddings.parquet` in a
+    per-process scratch sf-dir. The driver fixture is near-uniform --
+    IVF's worst case for probe count but an easy case for cell/cluster
+    alignment; anisotropy is the opposite surface: Euclidean KMeans
+    cells misalign with cosine neighborhoods along the stretched axis.
+    Deterministic: one fixed-seed numpy stream, n=500, dim=64."""
+    import os
+
+    import numpy as np
+
+    out = f"/tmp/rsml_aniso/pid{os.getpid()}/sf_aniso"
+    if not os.path.exists(os.path.join(out, "embeddings.parquet")):
+        rng = np.random.default_rng(823)
+        n, dim, k = 500, 64, 8
+        centers = rng.normal(size=(k, dim))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        axes = rng.normal(size=(k, dim))
+        axes /= np.linalg.norm(axes, axis=1, keepdims=True)
+        lab = rng.integers(0, k, size=n)
+        major = rng.normal(size=n)[:, None] * 1.1 * axes[lab]
+        minor = rng.normal(size=(n, dim)) * 0.11
+        x = (centers[lab] + major + minor).astype("float32")
+        rows = [(int(i), [float(v) for v in x[i]], int(lab[i]))
+                for i in range(n)]
+        (spark.createDataFrame(rows, "vec_id long, embedding array<float>, "
+                                     "label int")
+         .write.mode("overwrite")
+         .parquet(os.path.join(out, "embeddings.parquet")))
+    return out
+
+
+def test_semantic_dedup_recall_on_anisotropic_geometry(spark):
+    """SemDeDup on the clustered-anisotropic geometry, shipped
+    parameters (nassign=2 probe cells, n/300-scaled nlist = 16 at this
+    n, threshold 0.35). Measured recall is 1.0 here -- the per-vector
+    removed-set metric needs only ONE detected neighbor per vector,
+    and within a cluster every vector has many; the near-uniform
+    driver fixture (observed 0.74, gated 0.5) remains the hard case.
+    So this geometry gates TIGHT (>= 0.9): a regression in cell
+    assignment or the within-cell join would crater clustered recall
+    long before it shows on the uniform gate."""
+    from recommendation_system_spark_ml_spark.operators.dedup import (
+        dedup_semantic)
+    from recommendation_system_spark_ml_spark.operators.similarity import (
+        _corpus, _dot)
+
+    sf = _anisotropic_sf_dir(spark)
+    rows = dedup_semantic(spark, sf).collect()
+    assert rows, "no semantic dups on clustered data at all"
+    assert all(r.cosine >= 0.35 - 1e-6 for r in rows)
+    corpus = _corpus(spark, sf)
+    a = corpus.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+    b = corpus.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
+    cos = (_dot(F.col("va"), F.col("vb"))
+           / (F.sqrt(_dot(F.col("va"), F.col("va")))
+              * F.sqrt(_dot(F.col("vb"), F.col("vb")))))
+    exact = {r.ib for r in (a.crossJoin(b).where(F.col("ia") < F.col("ib"))
+                            .where(cos >= 0.35).select("ib").distinct()
+                            .collect())}
+    got = {r.removed_id for r in rows}
+    assert got <= exact, "returned a non-duplicate (precision must be 1.0)"
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, f"anisotropic semantic recall {recall:.2f}"
+
+
+def test_knn_graph_recall_on_anisotropic_geometry(spark):
+    """sim_knn_graph on the anisotropic geometry, shipped 6-probe
+    soft assignment. Measured recall@3 = 1.0 (clustered data is IVF's
+    easy case -- a vector's true 3-NN share its cluster, and 6 probes
+    cover the ~4 KMeans cells an elongated cluster splits into), so
+    this gates TIGHT (>= 0.9) where the near-uniform fixture gates
+    0.6 at its measured 0.81; together the two geometries bracket the
+    probe-dilution and cell-misalignment failure modes."""
+    from recommendation_system_spark_ml_spark.operators.similarity import (
+        KNN_K, _corpus, brute_force_topk, sim_knn_graph)
+
+    sf = _anisotropic_sf_dir(spark)
+    corpus = _corpus(spark, sf)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in brute_force_topk(corpus, corpus, k=KNN_K).collect()}
+    approx = {(r.vec_id, r.neighbor_id)
+              for r in sim_knn_graph(spark, sf).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"anisotropic kNN recall@{KNN_K}: {recall:.2f}"

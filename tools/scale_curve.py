@@ -19,7 +19,9 @@ Sub-linear slopes mean fixed per-query overhead still dominates at
 this size. The tool exits non-zero if any operator exceeds SLOPE_GATE;
 the measured table lives in SCALE.md ("Measured scaling curves").
 
-Usage: python tools/scale_curve.py [--update-scale-md]
+Usage: python tools/scale_curve.py [query ...]
+Positional names restrict the run to those CURVE_QUERIES entries (the
+printed table rows merge into SCALE.md by hand); no args = full sweep.
 """
 
 from __future__ import annotations
@@ -76,6 +78,10 @@ CURVE_QUERIES = (
     "window_sliding_distinct",  # 24x membership explode must stay linear
     "dedup_span_merge",       # shingle explode + positions semi-join
     "ts_resample_ohlc",       # one-Exchange window+rollup bar build
+    "agg_ks_drift",           # two-level global ECDF cumsum (r5: completes
+                              # the two-level-recipe curve family)
+    "dedup_minhash_realistic",   # banding efficiency on the long-tail corpus
+    "dedup_jaccard_prefix_realistic",  # prefix-filter pruning, same corpus
 )
 
 
@@ -105,11 +111,13 @@ def build_derived(spark, mult: int) -> str:
 
 
 def main() -> None:
+    only = [a for a in sys.argv[1:] if not a.startswith("-")]
+    queries = tuple(q for q in CURVE_QUERIES if not only or q in only)
     spark = get_spark(app_name="scale-curve")
     specs = all_specs()
     dirs = {m: build_derived(spark, m) for m in MULTS}
     results: dict[str, dict] = {}
-    for name in CURVE_QUERIES:
+    for name in queries:
         times = {}
         for m in MULTS:
             runs = []
