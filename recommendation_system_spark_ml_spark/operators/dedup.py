@@ -460,17 +460,35 @@ def _jaccard_prefix_pairs(docs: DataFrame, t: float = 0.8) -> DataFrame:
     # materialization instead of two full rebuilds
     prefix = (ranked.where(
         F.col("pos") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
-        .select("doc_id", "t", "n").localCheckpoint(eager=True))
+        .select("doc_id", "t", "n", "pos").localCheckpoint(eager=True))
     a = prefix.alias("a")
     b = prefix.alias("b")
+    # PPJoin positional filter (Xiao et al. 2008) on top of the prefix
+    # + length filters: both prefixes follow the SAME global token
+    # order, so the matches of a pair are consistently ordered and at
+    # its FIRST shared token (min pos on each side) no shared token
+    # precedes -- hence overlap <= 1 + min(na - pa, nb - pb). Pairs
+    # whose bound cannot reach the required overlap
+    # alpha = ceil(t/(1+t) * (na+nb)) drop BEFORE the map-zip verify
+    # join. Lossless (the bound is an exact consequence of J >= t),
+    # so the oracle identity is untouched; the 1e-9 epsilon guards
+    # the float ceil boundary in the KEEP direction. The groupBy
+    # replaces the old distinct -- same exchange, two extra ints.
     cand = (a.join(b, (F.col("a.t") == F.col("b.t")) &
                    (F.col("a.doc_id") < F.col("b.doc_id")) &
                    # length filter: |y| in [t*|x|, |x|/t]
                    (F.col("b.n") >= F.ceil(F.lit(t) * F.col("a.n"))) &
                    (F.col("a.n") >= F.ceil(F.lit(t) * F.col("b.n"))))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
-            .distinct())
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"),
+                     F.col("a.n").alias("na"), F.col("b.n").alias("nb"))
+            .agg(F.min(F.col("a.pos")).alias("pa"),
+                 F.min(F.col("b.pos")).alias("pb"))
+            .where(1 + F.least(F.col("na") - F.col("pa"),
+                               F.col("nb") - F.col("pb"))
+                   >= F.ceil(F.lit(t / (1.0 + t))
+                             * (F.col("na") + F.col("nb")) - F.lit(1e-9)))
+            .select("doc_a", "doc_b"))
     # exact multiset Jaccard, candidates only. The verify attaches each
     # doc's word-count MAP (vocabulary is small, so maps are a few
     # hundred bytes) and computes the bag intersection as a JVM
@@ -1458,3 +1476,55 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
              .when(bucket < 9, "valid")
              .otherwise("test"))
     return comp.select("doc_id", "component", split.alias("split"))
+
+
+@register("pipeline_contamination_matrix", oracle="""
+WITH t AS (
+    SELECT doc_id, source, string_split(lower(text), ' ') AS ws
+    FROM documents
+), sh AS (
+    SELECT DISTINCT source,
+           array_to_string(list_slice(ws, g, g + 7), ' ') AS shingle
+    FROM t, LATERAL (SELECT unnest(generate_series(
+        1, CAST(len(ws) - 7 AS BIGINT))) AS g) gs
+    WHERE len(ws) >= 8
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS shared_shingles
+FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+GROUP BY 1, 2
+""")
+def pipeline_contamination_matrix(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every ordered source
+    pair, how many DISTINCT 8-gram shingles appear in BOTH sources --
+    the corpus-curation report that tells you which ingest streams
+    leak into each other (mirrored crawls, quoted aggregators,
+    benchmark text syndicated across sites) BEFORE you decide dedup
+    scope or mixture weights; the pairwise generalization of
+    pipeline_decontaminate's one-benchmark check.
+
+    Ids-first (the dedup_span_merge r5 discipline): shingles hash to
+    xxhash64 map-side, the per-source distinct and the source<source
+    self-join shuffle (source, 8-byte hash) rows only -- no Exchange
+    carries an 8-gram string. The matrix itself is |sources|^2 rows
+    (tiny); the self-join fan-out per shingle is bounded by the
+    source count, not the corpus. Hash-collision odds as in
+    dedup_ngram_spans (the string-keyed oracle is the canary at test
+    scale)."""
+    pin_session_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    shingles = F.expr(
+        "CASE WHEN size(ws) < 8 THEN array()"
+        " ELSE transform(sequence(1, size(ws) - 7),"
+        "      g -> array_join(slice(ws, g, 8), ' ')) END")
+    sh = (docs.select("source", _words().alias("ws"))
+          .select("source", F.explode(shingles).alias("shingle"))
+          .select("source", F.xxhash64("shingle").alias("h"))
+          .distinct())
+    a = sh.select(F.col("source").alias("source_a"), "h")
+    b = sh.select(F.col("source").alias("source_b"), "h")
+    return (a.join(b, "h")
+            .where(F.col("source_a") < F.col("source_b"))
+            .groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("shared_shingles")))

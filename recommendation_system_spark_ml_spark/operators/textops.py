@@ -1580,3 +1580,136 @@ def pipeline_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source",
                     F.explode(F.sequence(F.lit(1), F.col("n_epochs")))
                     .alias("epoch")))
+
+
+_RRF_K = 60        # Cormack et al. 2009 reciprocal-rank-fusion constant
+_RRF_TOPN = 50     # per-system candidate depth
+_RRF_OUT = 20      # fused result depth
+_RRF_QVEC = 0      # query = embedding of vec_id 0 (paired with the BM25 terms)
+
+
+@register("sim_hybrid_rrf", oracle=f"""
+WITH words AS (
+    SELECT doc_id, w
+    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+          FROM documents)
+    WHERE w <> ''
+), dl AS (
+    SELECT doc_id, count(*) AS dl FROM words GROUP BY 1
+), corpus AS (
+    SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl
+), tf AS (
+    SELECT doc_id, w, count(*) AS f FROM words
+    WHERE w IN ('hash', 'join', 'vector') GROUP BY 1, 2
+), df AS (
+    SELECT w, count(*) AS nt FROM tf GROUP BY 1
+), scored AS (
+    SELECT tf.doc_id,
+           ln((n_docs - nt + 0.5) / (nt + 0.5) + 1)
+           * (f * ({_BM25_K1} + 1))
+           / (f + {_BM25_K1}
+                  * (1 - {_BM25_B}
+                     + {_BM25_B} * (dl / (CAST(total_len AS DOUBLE)
+                                          / n_docs)))) AS s
+    FROM tf
+    JOIN dl USING (doc_id)
+    CROSS JOIN corpus
+    JOIN df USING (w)
+), lex AS (
+    SELECT doc_id, floor(sum(s) * 10000 + 0.5) / 10000 AS bm25
+    FROM scored GROUP BY doc_id
+), lexr AS (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                AS BIGINT) AS r_lex
+    FROM (SELECT * FROM lex ORDER BY bm25 DESC, doc_id
+          LIMIT {_RRF_TOPN})
+), dcos AS (
+    SELECT e.vec_id AS doc_id,
+           floor(list_cosine_similarity(
+                     CAST(e.embedding AS DOUBLE[]),
+                     (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                      WHERE vec_id = {_RRF_QVEC}))
+                 * 10000 + 0.5) / 10000 AS cos
+    FROM embeddings e WHERE e.vec_id <> {_RRF_QVEC}
+), denser AS (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
+                AS BIGINT) AS r_dense
+    FROM (SELECT * FROM dcos ORDER BY cos DESC, doc_id
+          LIMIT {_RRF_TOPN})
+), fused AS (
+    SELECT coalesce(l.doc_id, d.doc_id) AS doc_id, l.r_lex, d.r_dense,
+           floor((coalesce(CAST(1.0 AS DOUBLE) / ({_RRF_K} + l.r_lex),
+                           CAST(0 AS DOUBLE))
+                  + coalesce(CAST(1.0 AS DOUBLE) / ({_RRF_K} + d.r_dense),
+                             CAST(0 AS DOUBLE)))
+                 * 100000000 + 0.5) / 100000000 AS rrf
+    FROM lexr l FULL OUTER JOIN denser d USING (doc_id)
+)
+SELECT doc_id, r_lex, r_dense, rrf
+FROM fused ORDER BY rrf DESC, doc_id LIMIT {_RRF_OUT}
+""")
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval fusion: the BM25 lexical ranking (text_bm25's
+    exact scoring, same fixed 3-term query) and a dense cosine ranking
+    (embeddings vs the vec_id-0 query vector, 1:1 doc_id<->vec_id in
+    this corpus) merged by reciprocal-rank fusion
+    rrf = sum 1/(60 + rank) (Cormack et al. 2009) -- the standard
+    first stage of RAG / hard-negative mining, combining the two
+    retrieval halves this repo already ships (text_bm25, sim_topk).
+
+    Scale shape: each system's candidate list is a top-50 via
+    orderBy().limit() -- Spark plans TakeOrderedAndProject
+    (per-partition heaps + driver merge of 50 x partitions rows),
+    NEVER a global sort shuffle; the within-list row_number windows
+    and the full-outer fusion join then run on two bounded 50-row
+    sets. At 100 TB with a query WORKLOAD, both lists come from the
+    engines' indexed paths (BM25 posting lists, IVF probes) and the
+    fusion join stays per-query-bounded.
+
+    Cross-engine float: BM25 and cosine are the repo's proven
+    expression trees, floor-quantized to 4 decimals BEFORE ranking
+    (ties then break on doc_id identically both engines); the rrf
+    terms are 1/(60+rank) on integer ranks -- identical division
+    trees -- floor-quantized to 8."""
+    pin_session_conf(spark)
+    lex = text_bm25(spark, sf_dir).select("doc_id", "bm25")
+    top_lex = (lex.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+               .limit(_RRF_TOPN))
+    wl = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    lexr = top_lex.select(
+        "doc_id", F.row_number().over(wl).cast("long").alias("r_lex"))
+
+    emb = (load(spark, sf_dir, "embeddings")
+           .select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("v")))
+
+    def dot(x, y):
+        return F.aggregate(F.zip_with(x, y, lambda a, b: a * b),
+                           F.lit(0.0), lambda acc, z: acc + z)
+
+    qv = (emb.where(F.col("vec_id") == _RRF_QVEC)
+          .select(F.col("v").alias("qv"),
+                  F.sqrt(dot(F.col("v"), F.col("v"))).alias("qn")))
+    cos = dot(F.col("v"), F.col("qv")) \
+        / (F.sqrt(dot(F.col("v"), F.col("v"))) * F.col("qn"))
+    dcos = (emb.where(F.col("vec_id") != _RRF_QVEC)
+            .crossJoin(F.broadcast(qv))
+            .select(F.col("vec_id").alias("doc_id"),
+                    (F.floor(cos * 10000 + F.lit(0.5)) / 10000)
+                    .alias("cos")))
+    top_dense = (dcos.orderBy(F.col("cos").desc(), F.col("doc_id"))
+                 .limit(_RRF_TOPN))
+    wd = Window.orderBy(F.col("cos").desc(), F.col("doc_id"))
+    denser = top_dense.select(
+        "doc_id", F.row_number().over(wd).cast("long").alias("r_dense"))
+
+    rrf = (F.coalesce(1.0 / (_RRF_K + F.col("r_lex")), F.lit(0.0))
+           + F.coalesce(1.0 / (_RRF_K + F.col("r_dense")), F.lit(0.0)))
+    return (lexr.join(denser, "doc_id", "full_outer")
+            .select("doc_id", "r_lex", "r_dense",
+                    (F.floor(rrf * 100000000 + F.lit(0.5)) / 100000000)
+                    .alias("rrf"))
+            .orderBy(F.col("rrf").desc(), F.col("doc_id"))
+            .limit(_RRF_OUT))
