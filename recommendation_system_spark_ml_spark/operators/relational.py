@@ -416,3 +416,65 @@ def sample_bottom_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type", "event_id", "value")
             .withColumn("sample_rank", F.row_number().over(w))
             .where(F.col("sample_rank") <= 8))
+
+
+_AES_K = 100  # weighted sample size
+
+
+def _aes_hex_int_sql(expr: str) -> str:
+    """First 6 hex nibbles of md5(expr) as an integer, in portable SQL
+    (DuckDB has no conv(); strpos nibble arithmetic matches Spark's
+    conv(substring(md5, 1, 6), 16, 10) exactly)."""
+    terms = []
+    for i in range(6):
+        terms.append(
+            f"(strpos('0123456789abcdef', "
+            f"substr(md5({expr}), {i + 1}, 1)) - 1) * {16 ** (5 - i)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+@register("sample_weighted_aes", oracle=f"""
+WITH keyed AS (
+    SELECT doc_id, n_chars,
+           floor(ln(({_aes_hex_int_sql("CAST(doc_id AS VARCHAR)")} + 1)
+                    / 16777216.0)
+                 / n_chars * 100000000 + 0.5) / 100000000 AS aes_key
+    FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_chars AS weight, aes_key
+FROM keyed ORDER BY aes_key DESC, doc_id LIMIT {_AES_K}
+""")
+def sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, A-ES (Efraimidis &
+    Spirakis 2006): each row draws u in (0,1] and the k rows with the
+    largest u^(1/w) are the sample -- the one-pass, merge-friendly
+    way to sample a training mixture by document weight (here
+    w = n_chars: longer docs proportionally likelier). Ordering by
+    u^(1/w) is equivalent to ordering by ln(u)/w (w > 0), which keeps
+    the arithmetic in a single ln + divide.
+
+    DETERMINISTIC u (the repo's no-rand() rule): u = (h+1)/2^24 with
+    h the first 6 md5 hex nibbles of the doc id -- replayable on any
+    engine, so the "random" sample itself is oracle-hashed (the same
+    trick sample_bottom_k uses for uniform sampling, extended to
+    weights). Spark derives h via conv(substring(md5, 1, 6), 16, 10);
+    the DuckDB twin spells the same integer with strpos nibble
+    arithmetic (no conv() there).
+
+    Scale: the per-row key is one map-side expression; top-k by key
+    plans TakeOrderedAndProject (per-partition heaps + driver merge
+    of k x partitions rows), never a global sort -- A-ES keys are
+    max-mergeable, which is exactly why the scheme distributes.
+    Cross-engine float: ln of the same dyadic rational, one divide by
+    an integer, floor-quantized to 8 before the (key, id) order."""
+    pin_session_conf(spark)
+    docs = (load(spark, sf_dir, "documents")
+            .where(F.col("n_chars") > 0))
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6),
+               16, 10).cast("long")
+    key = (F.log((h + 1) / F.lit(16777216.0)) / F.col("n_chars"))
+    keyq = F.floor(key * 100000000 + F.lit(0.5)) / 100000000
+    return (docs.select("doc_id", F.col("n_chars").alias("weight"),
+                        keyq.alias("aes_key"))
+            .orderBy(F.col("aes_key").desc(), F.col("doc_id"))
+            .limit(_AES_K))
