@@ -818,3 +818,49 @@ def agg_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("ks_stat"))
             .select("ks_stat", F.col("ta").alias("n_a"),
                     F.col("tb").alias("n_b")))
+
+
+_STATS_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register("analyze_table_stats", oracle="\nUNION ALL\n".join(f"""
+SELECT '{c}' AS column_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS ndv,
+       round(min(CAST({c} AS DOUBLE)), 4) AS min_val,
+       round(max(CAST({c} AS DOUBLE)), 4) AS max_val
+FROM lineitem""" for c in _STATS_COLS))
+def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS, as a query:
+    per-column row/null/NDV/min/max over lineitem's measures -- the
+    statistics a cost-based optimizer (and every data-quality
+    dashboard) feeds on. Exact NDV here; the approx_count_distinct
+    swap for 100 TB is the agg_approx family's documented trade.
+
+    Shape: ONE scan -- all four columns' stats ride a single
+    aggregate (Spark plans the multi-distinct via Expand: rows
+    duplicate per distinct-column map-side, then one exchange), and
+    the wide stats row unpivots to (column, stats) rows with a
+    stack() over the finished scalars, which is free. The DuckDB twin
+    spells it as UNION ALL per column -- 4 oracle scans, same values.
+
+    Float: min/max of 2-decimal parquet doubles are exact; round(4)
+    is decoration, not reconciliation."""
+    pin_session_conf(spark)
+    li = load(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in _STATS_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).cast("long").alias(f"{c}_nulls"),
+            F.countDistinct(c).cast("long").alias(f"{c}_ndv"),
+            F.round(F.min(F.col(c).cast("double")), 4).alias(f"{c}_min"),
+            F.round(F.max(F.col(c).cast("double")), 4).alias(f"{c}_max"),
+        ]
+    wide = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}_nulls, {c}_ndv, {c}_min, {c}_max" for c in _STATS_COLS)
+    return wide.selectExpr(
+        f"stack({len(_STATS_COLS)}, {stack}) AS "
+        "(column_name, n_nulls, ndv, min_val, max_val)", "n_rows"
+    ).select("column_name", "n_rows", "n_nulls", "ndv", "min_val", "max_val")

@@ -26,7 +26,14 @@ _FUZZED = ("text_gopher_rules", "dedup_containment",
            "pipeline_funnel_report", "pipeline_domain_mixture",
            "pipeline_dsir_importance", "text_ccnet_buckets",
            "dedup_canonical", "dedup_span_merge", "text_entropy",
-           "text_bm25", "pipeline_epoch_mix")
+           "text_bm25", "pipeline_epoch_mix",
+           # r5: dedup_jaccard_prefix fuzzes the PPJoin positional
+           # filter against the exhaustive-oracle ground truth on
+           # exactly its adversarial shapes (equal docs, containment
+           # prefixes, 1-token docs, repeated-token bags);
+           # contamination + A-ES ride the same corpus
+           "dedup_jaccard_prefix", "pipeline_contamination_matrix",
+           "sample_weighted_aes")
 
 
 @st.composite
