@@ -60,6 +60,7 @@ _QUERY_MODULES = (
     "recommendation_system_spark_ml_spark.streaming.tws",
     "recommendation_system_spark_ml_spark.streaming.state_reader",
     "recommendation_system_spark_ml_spark.streaming.latedata",
+    "recommendation_system_spark_ml_spark.streaming.incremental",
     "recommendation_system_spark_ml_spark.operators.sqlapi",
     "recommendation_system_spark_ml_spark.operators.scale",
     "recommendation_system_spark_ml_spark.operators.timeseries",

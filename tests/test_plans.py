@@ -487,3 +487,41 @@ def test_span_merge_shuffles_shingle_hashes_not_strings(spark):
         if ") Exchange" in b and "shingle#" in b]
     # only the survivors-only one-row-per-shingle dedup may carry it
     assert len(string_exchanges) <= 1, plan
+
+
+def test_rrf_and_sampler_use_topk_heaps_not_global_sorts(spark):
+    """The r5 ranking operators must never plan a global sort
+    Exchange: sim_hybrid_rrf's two candidate lists and
+    sample_weighted_aes's top-k are TakeOrderedAndProject
+    (per-partition heaps + driver merge); the sampler's whole plan is
+    zero-Exchange (map expression + heaps)."""
+    plan = _plan(_specs()["sim_hybrid_rrf"].fn(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+    import re
+    plan = _plan(_specs()["sample_weighted_aes"].fn(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 0, plan
+
+
+def test_contamination_matrix_no_string_shingles_on_exchanges(spark):
+    """pipeline_contamination_matrix: per-source distinct and the
+    source<source self-join key on xxhash64(shingle) -- no Exchange
+    carries an 8-gram string (dedup_span_merge's r5 discipline)."""
+    plan = _plan(_specs()["pipeline_contamination_matrix"].fn(
+        spark, SF_SMOKE))
+    assert "hashpartitioning(shingle" not in plan
+    for block in plan.split("\n\n"):
+        if ") Exchange" in block or ") BroadcastExchange" in block:
+            assert "shingle#" not in block, block
+
+
+def test_table_stats_single_scan_expand(spark):
+    """analyze_table_stats: all four columns' stats ride ONE lineitem
+    scan -- the multi-distinct plans through Expand, and exactly one
+    'Scan parquet' node appears."""
+    import re
+    plan = _plan(_specs()["analyze_table_stats"].fn(spark, SF_SMOKE))
+    assert "Expand" in plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan

@@ -282,3 +282,48 @@ def test_streaming_ohlc_matches_batch(spark):
     got = _run_stream(spark, ohlc_bars, "t_ohlc")
     want = ohlc_bars(load(spark, SF_SMOKE, "events")).toPandas()
     assert_df_matches(got, want)
+
+
+def test_incremental_dedup_first_seen_wins_across_batches(spark, tmp_path):
+    """Drive dedup_ingest_batch (the exact foreachBatch body) over two
+    HAND-SPLIT halves where a LATER batch carries a LOWER doc_id with
+    a fingerprint first accepted in the earlier batch: the quarantine
+    must name the FIRST-SEEN doc as keeper (arrival order), not the
+    min id -- the genuinely-incremental semantics the single-batch
+    oracle run cannot distinguish. Also checks replay safety: re-running
+    a batch must leave quarantine and index contents unchanged."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from recommendation_system_spark_ml_spark.streaming.incremental import (
+        _KNUTH, dedup_ingest_batch)
+
+    # synthetic docs, ids chosen to be in the streamed (NOT in_corpus)
+    # Knuth partition; text bags: A == C (cross-batch dup, C has the
+    # LOWER id), B unique, D == B (cross-batch dup within stream)
+    def streamed(doc_id):
+        return not ((doc_id * _KNUTH) % 4294967296 % 10 < 9)
+
+    ids = [i for i in range(1, 400) if streamed(i)]
+    a, b2, c, d = ids[10], ids[11], ids[2], ids[12]  # c < a
+    assert c < a
+    rows = [(a, "red green blue"), (b2, "one two three")]
+    rows2 = [(c, "blue green red"), (d, "three two one")]
+    schema = "doc_id long, text string"
+    root = str(tmp_path / "inc")
+    idx, quar = os.path.join(root, "index"), os.path.join(root, "quar")
+
+    dedup_ingest_batch(spark.createDataFrame(rows, schema), 0, idx, quar)
+    dedup_ingest_batch(spark.createDataFrame(rows2, schema), 1, idx, quar)
+    got = {(r.batch_doc_id, r.keeper_doc_id)
+           for r in spark.read.parquet(quar).collect()}
+    # first-seen-wins: keepers are a and b2 (batch 0), NOT min ids
+    assert got == {(c, a), (d, b2)}, got
+
+    # replay batch 1: identical contents, no duplicate index rows
+    n_idx = spark.read.parquet(idx).count()
+    dedup_ingest_batch(spark.createDataFrame(rows2, schema), 1, idx, quar)
+    assert spark.read.parquet(idx).count() == n_idx
+    assert {(r.batch_doc_id, r.keeper_doc_id)
+            for r in spark.read.parquet(quar).collect()} == {(c, a), (d, b2)}
