@@ -57,11 +57,21 @@ def _fingerprint() -> F.Column:
 
 
 def stream_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the documents parquet."""
+    """readStream over the documents parquet, handling BOTH physical
+    layouts: a directory-style table (every df.write.parquet output)
+    streams from the table path itself, while a single-file table (the
+    driver testdata) must stream from the parent dir with a leaf-name
+    glob -- FileStreamSource requires basePath to be a directory. The
+    naive sf_dir + pathGlobFilter form silently matches ZERO part-files
+    on directory tables and turns the stream into a no-op; caught by
+    the scale-curve harness on its derived directory-style tables."""
     pin_session_conf(spark)
-    return (spark.readStream.schema(DOCS_SCHEMA)
-            .option("maxFilesPerTrigger", 1)
-            .option("pathGlobFilter", "documents.parquet")
+    table = os.path.join(sf_dir, "documents.parquet")
+    reader = (spark.readStream.schema(DOCS_SCHEMA)
+              .option("maxFilesPerTrigger", 1))
+    if os.path.isdir(table):
+        return reader.parquet(table)
+    return (reader.option("pathGlobFilter", "documents.parquet")
             .parquet(sf_dir))
 
 

@@ -82,6 +82,11 @@ CURVE_QUERIES = (
                               # the two-level-recipe curve family)
     "dedup_minhash_realistic",   # banding efficiency on the long-tail corpus
     "dedup_jaccard_prefix_realistic",  # prefix-filter pruning, same corpus
+    "pipeline_contamination_matrix",   # cross-source shingle join volume
+    "sim_hybrid_rrf",         # two corpus scans + top-k heaps, no global sort
+    "sample_weighted_aes",    # map expression + TakeOrdered heaps
+    "analyze_table_stats",    # one-scan multi-distinct Expand
+    "stream_dedup_incremental",  # per-batch probe of the persisted index
 )
 
 
