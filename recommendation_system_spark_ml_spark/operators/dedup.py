@@ -1528,3 +1528,126 @@ def pipeline_contamination_matrix(spark: SparkSession,
             .where(F.col("source_a") < F.col("source_b"))
             .groupBy("source_a", "source_b")
             .agg(F.count(F.lit(1)).cast("long").alias("shared_shingles")))
+
+
+def _minhash_incremental_oracle() -> str:
+    """From-scratch SQL twin of the index-probing incremental near-dup:
+    md5-seeded minhash signatures for ALL docs, banded keys, candidates
+    restricted to batch x corpus (Knuth split), exact set-Jaccard
+    verify -- certifying that probing the persisted band index equals
+    recomputing everything, the invariant that lets the index be
+    trusted across arrivals."""
+    mh_cols = ",\n           ".join(
+        f"list_min(list_transform(words, w -> md5('{i}:' || w))) AS mh{i}"
+        for i in range(MHC_HASHES))
+    band_rows = "\n    UNION ALL ".join(
+        "SELECT doc_id, in_corpus, {j} AS band, md5({cat}) AS key FROM sig"
+        .format(j=j, cat=" || ".join(f"mh{j * MHC_ROWS + r}"
+                                     for r in range(MHC_ROWS)))
+        for j in range(MHC_BANDS))
+    return f"""
+WITH base AS (
+    SELECT doc_id,
+           list_distinct(list_filter(string_split(lower(text), ' '),
+                                     w -> w <> '')) AS words,
+           (doc_id * {_INC_KNUTH}) % 4294967296 % 10 < 9 AS in_corpus
+    FROM documents
+    WHERE len(list_filter(string_split(lower(text), ' '), w -> w <> '')) > 0
+), sig AS (
+    SELECT doc_id, in_corpus,
+           {mh_cols}
+    FROM base
+), buckets AS (
+    {band_rows}
+), cand AS (
+    SELECT DISTINCT b.doc_id AS batch_doc_id, c.doc_id AS corpus_doc_id
+    FROM buckets b JOIN buckets c
+      ON b.band = c.band AND b.key = c.key
+     AND NOT b.in_corpus AND c.in_corpus
+), verified AS (
+    SELECT cd.batch_doc_id, cd.corpus_doc_id,
+           len(list_intersect(wb.words, wc.words)) AS i,
+           len(list_distinct(wb.words || wc.words)) AS u
+    FROM cand cd
+    JOIN base wb ON wb.doc_id = cd.batch_doc_id
+    JOIN base wc ON wc.doc_id = cd.corpus_doc_id
+)
+SELECT batch_doc_id, corpus_doc_id,
+       floor((1.0 - i * 1.0 / u) * 10000 + 0.5) / 10000 AS jaccard_dist
+FROM verified WHERE 5 * i >= 4 * u
+"""
+
+
+@register("dedup_minhash_incremental", oracle=_minhash_incremental_oracle())
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup: the new batch (Knuth-gated 10%) is
+    checked against a PERSISTED MinHash band index of the accepted
+    corpus (the other 90%) -- dedup_incremental's index pattern lifted
+    from exact fingerprints to LSH. The index stores (band, key,
+    doc_id) = 24 B + 16 B hex per corpus doc x 4 bands, built ONCE
+    (idempotent _SUCCESS gate); each arrival then pays
+    O(batch-signatures + band probe + verify-on-candidates): corpus
+    text is re-read only for the candidate verify join, never
+    re-hashed. md5 seeding (the dedup_minhash_checked family) keeps
+    every stage byte-identical cross-engine, so the WHOLE incremental
+    path -- index contents, probe hits, exact set-Jaccard verdicts --
+    hash-matches the from-scratch SQL twin: incremental == recompute,
+    the invariant that makes a persisted LSH index trustworthy.
+
+    At 100 TB: the band index is the artifact a continuous-ingest
+    near-dedup service maintains (append accepted batch signatures,
+    the stream_dedup_incremental move); probing shuffles the batch's
+    (band, key, id) rows against an index bucketed on the same key."""
+    pin_session_conf(spark)
+    import os as _os
+
+    from recommendation_system_spark_ml_spark.session import scratch_path
+
+    docs = load(spark, sf_dir, "documents")
+    base = (docs.select(
+        "doc_id",
+        F.array_distinct(F.filter(_words(), lambda w: w != ""))
+        .alias("words"),
+        ((F.col("doc_id") * _INC_KNUTH) % 4294967296 % 10 < 9)
+        .alias("in_corpus"))
+        .where(F.size("words") > 0))
+
+    def seeded(i):
+        return lambda w: F.md5(F.concat(F.lit(f"{i}:"), w))
+
+    def band_rows(side):
+        mh = [F.array_min(F.transform("words", seeded(i))).alias(f"mh{i}")
+              for i in range(MHC_HASHES)]
+        sig = side.select("doc_id", *mh)
+        bands = F.array(*[
+            F.struct(F.lit(j).alias("band"),
+                     F.md5(F.concat(*[F.col(f"mh{j * MHC_ROWS + r}")
+                                      for r in range(MHC_ROWS)]))
+                     .alias("key"))
+            for j in range(MHC_BANDS)])
+        return (sig.select("doc_id", F.explode(bands).alias("b"))
+                .select("doc_id", F.col("b.band").alias("band"),
+                        F.col("b.key").alias("key")))
+
+    index_path = scratch_path(sf_dir, "minhash_band_index")
+    if not _os.path.exists(_os.path.join(index_path, "_SUCCESS")):
+        (band_rows(base.where("in_corpus"))
+         .write.mode("overwrite").parquet(index_path))
+    idx = (spark.read.parquet(index_path)
+           .select(F.col("doc_id").alias("corpus_doc_id"), "band", "key"))
+    cand = (band_rows(base.where(~F.col("in_corpus")))
+            .withColumnRenamed("doc_id", "batch_doc_id")
+            .join(idx, ["band", "key"])
+            .select("batch_doc_id", "corpus_doc_id")
+            .dropDuplicates(["batch_doc_id", "corpus_doc_id"]))
+    wb = base.select(F.col("doc_id").alias("batch_doc_id"),
+                     F.col("words").alias("wb"))
+    wc = base.select(F.col("doc_id").alias("corpus_doc_id"),
+                     F.col("words").alias("wc"))
+    i_ = F.size(F.array_intersect("wb", "wc"))
+    u_ = F.size(F.array_union("wb", "wc"))
+    return (cand.join(wb, "batch_doc_id").join(wc, "corpus_doc_id")
+            .where(5 * i_ >= 4 * u_)
+            .select("batch_doc_id", "corpus_doc_id",
+                    (F.floor((1.0 - i_ * 1.0 / u_) * 10000 + 0.5) / 10000)
+                    .alias("jaccard_dist")))

@@ -130,6 +130,7 @@ _EXPENSIVE = frozenset({
     "ml_als_cv", "ml_als_cv_full", "ml_movielens_report",
     "ml_kmeans_elbow", "ml_cluster_predictor", "ml_als_rmse",
     "dedup_minhash_checked", "dedup_simhash_checked",
+    "dedup_minhash_incremental",
     "dedup_containment", "dedup_canonical",
 })
 
