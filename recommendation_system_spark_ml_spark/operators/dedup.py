@@ -1530,6 +1530,11 @@ def pipeline_contamination_matrix(spark: SparkSession,
             .agg(F.count(F.lit(1)).cast("long").alias("shared_shingles")))
 
 
+MHI_MAX_BUCKET = 256  # stop-bucket cap: corpus band buckets larger than
+                      # this are excluded from probing (recall tradeoff;
+                      # exact-dup floods belong to dedup_exact upstream)
+
+
 def _minhash_incremental_oracle() -> str:
     """From-scratch SQL twin of the index-probing incremental near-dup:
     md5-seeded minhash signatures for ALL docs, banded keys, candidates
@@ -1559,11 +1564,16 @@ WITH base AS (
     FROM base
 ), buckets AS (
     {band_rows}
+), hot AS (
+    SELECT band, key FROM buckets WHERE in_corpus
+    GROUP BY 1, 2 HAVING count(*) > {MHI_MAX_BUCKET}
 ), cand AS (
     SELECT DISTINCT b.doc_id AS batch_doc_id, c.doc_id AS corpus_doc_id
     FROM buckets b JOIN buckets c
       ON b.band = c.band AND b.key = c.key
      AND NOT b.in_corpus AND c.in_corpus
+    WHERE NOT EXISTS (SELECT 1 FROM hot h
+                      WHERE h.band = b.band AND h.key = b.key)
 ), verified AS (
     SELECT cd.batch_doc_id, cd.corpus_doc_id,
            len(list_intersect(wb.words, wc.words)) AS i,
@@ -1635,8 +1645,20 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
          .write.mode("overwrite").parquet(index_path))
     idx = (spark.read.parquet(index_path)
            .select(F.col("doc_id").alias("corpus_doc_id"), "band", "key"))
+    # stop-bucket guard (the dedup_containment CONTAIN_MAX_DF move, and
+    # the reason the 10x scale curve no longer goes quadratic on the
+    # saturated fixture): a corpus band bucket larger than
+    # MHI_MAX_BUCKET is boilerplate/exact-dup flood -- probing it costs
+    # |batch-hits| x |bucket| pairs for near-zero marginal recall
+    # (those dup groups belong to exact dedup upstream). The oracle
+    # applies the IDENTICAL cap, so parity is exact.
+    hot = (idx.groupBy("band", "key")
+           .agg(F.count(F.lit(1)).alias("n"))
+           .where(F.col("n") > MHI_MAX_BUCKET)
+           .select("band", "key"))
     cand = (band_rows(base.where(~F.col("in_corpus")))
             .withColumnRenamed("doc_id", "batch_doc_id")
+            .join(hot, ["band", "key"], "left_anti")
             .join(idx, ["band", "key"])
             .select("batch_doc_id", "corpus_doc_id")
             .dropDuplicates(["batch_doc_id", "corpus_doc_id"]))

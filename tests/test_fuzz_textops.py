@@ -33,7 +33,7 @@ _FUZZED = ("text_gopher_rules", "dedup_containment",
            # prefixes, 1-token docs, repeated-token bags);
            # contamination + A-ES ride the same corpus
            "dedup_jaccard_prefix", "pipeline_contamination_matrix",
-           "sample_weighted_aes")
+           "sample_weighted_aes", "dedup_minhash_incremental")
 
 
 @st.composite

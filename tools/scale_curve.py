@@ -87,6 +87,7 @@ CURVE_QUERIES = (
     "sample_weighted_aes",    # map expression + TakeOrdered heaps
     "analyze_table_stats",    # one-scan multi-distinct Expand
     "stream_dedup_incremental",  # per-batch probe of the persisted index
+    "dedup_minhash_incremental",  # LSH band-index probe: batch-not-corpus cost
 )
 
 
