@@ -298,3 +298,75 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
                            survivors.l_orderkey == build.o_orderkey)
             .select("l_orderkey", "l_linenumber", "l_quantity",
                     "o_totalprice"))
+
+
+_ASOF_NEAREST_TOL_US = 3_600_000_000  # 1 hour, in exact integer microseconds
+
+
+@register("join_asof_nearest", oracle=f"""
+WITH c AS (
+    SELECT event_id, user_id, epoch_us(ts) AS tus FROM events
+    WHERE event_type = 'click'
+), p AS (
+    SELECT event_id, user_id, epoch_us(ts) AS tus FROM events
+    WHERE event_type = 'purchase'
+), cand AS (
+    SELECT c.event_id AS click_id, c.user_id,
+           p.event_id AS purchase_id,
+           abs(p.tus - c.tus) AS dist_us, p.tus AS ptus
+    FROM c JOIN p ON p.user_id = c.user_id
+    WHERE abs(p.tus - c.tus) <= {_ASOF_NEAREST_TOL_US}
+)
+SELECT click_id, user_id, purchase_id, CAST(dist_us AS BIGINT) AS dist_us
+FROM (SELECT *, row_number() OVER (
+          PARTITION BY click_id
+          ORDER BY dist_us, ptus, purchase_id) AS rn
+      FROM cand)
+WHERE rn = 1
+""")
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-tolerance as-of join (pandas merge_asof
+    direction='nearest' with a tolerance): each click pairs with the
+    same user's closest-in-time purchase within +-1 h -- the
+    ad-attribution / sensor-alignment variant the backward-only
+    join_asof cannot express. Deterministic winner: (|delta t|, then
+    earlier purchase time, then purchase id) -- a total order, since
+    two purchases may share a timestamp.
+
+    Scale shape: candidates are BANDED to an equi-join, never a
+    range-only join -- each click explodes to its 3 adjacent
+    1-hour-tolerance time bands and joins purchases on
+    (user_id, band), so a pair is considered only if it can be within
+    tolerance (the join_range recipe). The argmin is ONE map-side-
+    combinable min(struct(dist, ts, id)) aggregate -- lexicographic
+    struct ordering IS the tiebreak -- no per-click window. All time
+    arithmetic in exact integer microseconds (unix_micros /
+    epoch_us): no float, no rounding reconciliation. The NTZ->
+    timestamp cast is identity under the UTC-pinned session
+    (pin_session_conf), matching DuckDB's naive epoch_us."""
+    pin_session_conf(spark)
+    ev = load(spark, sf_dir, "events")
+    tol = _ASOF_NEAREST_TOL_US
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"), "user_id",
+                      F.unix_micros(F.col("ts").cast("timestamp")).alias("ctus")))
+    buys = (ev.where(F.col("event_type") == "purchase")
+            .select(F.col("event_id").alias("purchase_id"), "user_id",
+                    F.unix_micros(F.col("ts").cast("timestamp")).alias("ptus"),
+                    F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / tol)
+                    .alias("band")))
+    bands = F.explode(F.array(
+        F.floor(F.col("ctus") / tol) - 1,
+        F.floor(F.col("ctus") / tol),
+        F.floor(F.col("ctus") / tol) + 1)).alias("band")
+    probe = clicks.select("click_id", "user_id", "ctus", bands)
+    d = F.abs(F.col("ptus") - F.col("ctus"))
+    best = F.min(F.struct(d.alias("d"), F.col("ptus"),
+                          F.col("purchase_id")))
+    return (probe.join(buys, ["user_id", "band"])
+            .where(d <= tol)
+            .groupBy("click_id", "user_id")
+            .agg(best.alias("b"))
+            .select("click_id", "user_id",
+                    F.col("b.purchase_id").alias("purchase_id"),
+                    F.col("b.d").cast("long").alias("dist_us")))

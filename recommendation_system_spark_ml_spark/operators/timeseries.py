@@ -317,3 +317,54 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n_events"),
                  (F.floor(F.sum("value") * 10000 + F.lit(0.5)) / 10000)
                  .alias("volume")))
+
+
+@register("ts_seasonal_baseline", oracle="""
+WITH h AS (
+    SELECT user_id,
+           CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hour_id,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM events GROUP BY 1, 2
+)
+SELECT a.user_id,
+       CAST(count(*) AS BIGINT) AS n_scored,
+       CAST(sum(abs(a.cents - p.cents)) AS BIGINT) AS sum_abs_err_cents,
+       floor(CAST(sum(abs(a.cents - p.cents)) AS DOUBLE) / count(*) / 100
+             * 10000 + 0.5) / 10000 AS mae
+FROM h a JOIN h p ON p.user_id = a.user_id AND p.hour_id = a.hour_id - 24
+GROUP BY a.user_id
+""")
+def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast scoring -- the baseline every real
+    forecasting pipeline must beat (M-competition convention): predict
+    each user-hour's value total by the SAME HOUR ONE DAY EARLIER,
+    score MAE per user over the hours where both exist. The
+    lag-by-TIME (not lag-by-row) is an equi-join on
+    (user, hour_id - 24), immune to gaps in the hourly series where a
+    24-row window lag would silently compare the wrong hours.
+
+    Shape: one hourly pre-aggregate (map-side combinable, integer
+    cents), then a self-equi-join on (user_id, hour_id) -- both sides
+    from the SAME aggregate, so AQE reuses the exchange -- and a
+    per-user error rollup. Exact integers until the single final MAE
+    division, floor-quantized identically both engines."""
+    pin_session_conf(spark)
+    ev = load(spark, sf_dir, "events")
+    hour_id = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / 3600000000.0
+    ).cast("long")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    h = (ev.groupBy("user_id", hour_id.alias("hour_id"))
+         .agg(F.sum(cents).alias("cents")))
+    a = h.select("user_id", "hour_id", F.col("cents").alias("ac"))
+    p = h.select("user_id", (F.col("hour_id") + 24).alias("hour_id"),
+                 F.col("cents").alias("pc"))
+    err = F.abs(F.col("ac") - F.col("pc"))
+    return (a.join(p, ["user_id", "hour_id"])
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_scored"),
+                 F.sum(err).cast("long").alias("sum_abs_err_cents"),
+                 (F.floor(F.sum(err).cast("double") / F.count(F.lit(1))
+                          / 100 * 10000 + F.lit(0.5)) / 10000)
+                 .alias("mae")))
