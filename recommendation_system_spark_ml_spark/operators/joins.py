@@ -370,3 +370,73 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("click_id", "user_id",
                     F.col("b.purchase_id").alias("purchase_id"),
                     F.col("b.d").cast("long").alias("dist_us")))
+
+
+_OVL_DAYS = 7           # fulfillment-window length
+_OVL_BAND_S = 7 * 86400  # band width = max interval length -> 2 bands/interval
+
+
+@register("join_interval_overlap", oracle=f"""
+WITH iv AS (
+    SELECT o_custkey, o_orderkey, o_orderdate AS s,
+           o_orderdate + INTERVAL {_OVL_DAYS} DAY AS e
+    FROM orders
+)
+SELECT a.o_custkey AS custkey,
+       a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+       CAST(date_diff('day', greatest(a.s, b.s), least(a.e, b.e))
+            AS BIGINT) AS overlap_days
+FROM iv a JOIN iv b
+  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+ AND a.s <= b.e AND b.s <= a.e
+""")
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP self-join: pairs of the same customer's orders
+    whose {_OVL_DAYS}-day fulfillment windows overlap, with the
+    overlap length in whole days -- the interval x interval shape
+    (meeting conflicts, session-vs-campaign attribution) that
+    join_range's point-in-interval banding does not cover.
+
+    Scale shape: banding generalizes -- with band width >= the max
+    interval length, any overlapping pair shares the band containing
+    a point of the overlap, so each interval explodes to its <= 2
+    covering {_OVL_DAYS}-day bands and candidates come from an
+    equi-join on (custkey, band), deduped ids-first; the exact
+    overlap predicate then verifies. Never a range-only join, never a
+    cross product (plan-gated repo-wide). Date arithmetic stays in
+    whole days -- exact integers both engines."""
+    pin_session_conf(spark)
+    o = load(spark, sf_dir, "orders")
+    iv = o.select(
+        "o_custkey", "o_orderkey",
+        F.col("o_orderdate").alias("s"),
+        F.date_add(F.col("o_orderdate").cast("date"), _OVL_DAYS)
+        .alias("e"))
+    epoch_s = F.unix_timestamp(F.col("s").cast("timestamp"))
+    band0 = F.floor(epoch_s / _OVL_BAND_S)
+    banded = iv.select(
+        "o_custkey", "o_orderkey", "s", "e",
+        F.explode(F.array(band0, band0 + 1)).alias("band"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (a.join(b, (F.col("a.o_custkey") == F.col("b.o_custkey"))
+                   & (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.o_orderkey") < F.col("b.o_orderkey")))
+            .select(F.col("a.o_custkey").alias("custkey"),
+                    F.col("a.o_orderkey").alias("order_a"),
+                    F.col("b.o_orderkey").alias("order_b"),
+                    F.col("a.s").alias("sa"), F.col("a.e").alias("ea"),
+                    F.col("b.s").alias("sb"), F.col("b.e").alias("eb"))
+            .dropDuplicates(["order_a", "order_b"]))
+    ovl = F.datediff(F.least(F.col("ea").cast("date"),
+                             F.col("eb").cast("date")),
+                     F.greatest(F.col("sa").cast("date"),
+                                F.col("sb").cast("date")))
+    return (cand.where((F.col("sa") <= F.col("eb"))
+                       & (F.col("sb") <= F.col("ea")))
+            .select("custkey", "order_a", "order_b",
+                    ovl.cast("long").alias("overlap_days")))
+
+
+join_interval_overlap.__doc__ = join_interval_overlap.__doc__.replace(
+    "{_OVL_DAYS}", str(_OVL_DAYS))

@@ -1713,3 +1713,48 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("rrf"))
             .orderBy(F.col("rrf").desc(), F.col("doc_id"))
             .limit(_RRF_OUT))
+
+
+@register("pipeline_dedup_report", oracle="""
+WITH fp AS (
+    SELECT source, doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+               string_split(lower(text), ' '))), ' ')) AS fp,
+           n_chars
+    FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct,
+       CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_dup_docs,
+       floor(CAST(count(*) - count(DISTINCT fp) AS DOUBLE) / count(*)
+             * 10000 + 0.5) / 10000 AS dup_rate,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM fp GROUP BY source
+""")
+def pipeline_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup accounting -- the curation dashboard row that
+    decides WHERE dedup budget goes (which ingest stream is paying for
+    its duplicates) before any pair-level work runs: docs, distinct
+    bag-fingerprints, duplicate count and rate, total chars, per
+    source. Complements pipeline_funnel_report (stage survival) and
+    pipeline_contamination_matrix (cross-source leakage) with the
+    within-source view.
+
+    Shape: one scan, md5 bag fingerprints map-side, a single
+    (source, distinct fp) aggregate -- count(DISTINCT) plans the
+    two-level partial/final Expand; only 16-byte digests shuffle.
+    Exact integers everywhere except the one floor-quantized rate."""
+    pin_session_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(
+        F.split(F.lower("text"), " "))), " "))
+    n, nd = F.count(F.lit(1)), F.countDistinct("fp")
+    return (docs.select("source", fp.alias("fp"), "n_chars")
+            .groupBy("source")
+            .agg(n.cast("long").alias("n_docs"),
+                 nd.cast("long").alias("n_distinct"),
+                 (n - nd).cast("long").alias("n_dup_docs"),
+                 (F.floor((n - nd).cast("double") / n * 10000
+                          + F.lit(0.5)) / 10000).alias("dup_rate"),
+                 F.sum("n_chars").cast("long").alias("total_chars")))
