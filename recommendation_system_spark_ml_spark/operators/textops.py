@@ -1758,3 +1758,97 @@ def pipeline_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.floor((n - nd).cast("double") / n * 10000
                           + F.lit(0.5)) / 10000).alias("dup_rate"),
                  F.sum("n_chars").cast("long").alias("total_chars")))
+
+
+DOMAIN_QUOTA = 10  # max docs kept per source (RefinedWeb-style cap)
+
+
+@register("pipeline_domain_quota", oracle=f"""
+SELECT source, doc_id, n_chars, CAST(rn AS BIGINT) AS rank_in_source
+FROM (
+    SELECT source, doc_id, n_chars,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY n_chars DESC, doc_id) AS rn
+    FROM documents
+)
+WHERE rn <= {DOMAIN_QUOTA}
+""")
+def pipeline_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota (RefinedWeb-style): keep at most
+    DOMAIN_QUOTA documents per source, best-first, so no single
+    domain dominates the training mix -- the containment twin of
+    pipeline_domain_mixture's proportional sampling (that one hits
+    target FRACTIONS; this one hits hard CAPS). Ranking is the
+    deterministic (n_chars DESC, doc_id) proxy; a deployment plugs in
+    text_quality_model's learned score.
+
+    Scale shape: rank-then-filter compiles to WindowGroupLimit
+    (asserted in tests/test_plans.py) -- Spark pushes the <= K limit
+    BELOW the window's Exchange, so each map task forwards at most K
+    rows per source it sees, and the per-source partitions only ever
+    materialize K candidates per upstream partition, never a hot
+    domain's full row set. That makes the cap safe exactly where it
+    matters: the mega-domain whose millions of pages would otherwise
+    funnel into one window partition."""
+    pin_session_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    w = (Window.partitionBy("source")
+         .orderBy(F.col("n_chars").desc(), F.col("doc_id")))
+    return (docs.select("source", "doc_id", "n_chars",
+                        F.row_number().over(w).alias("rank_in_source"))
+            .where(F.col("rank_in_source") <= DOMAIN_QUOTA)
+            .select("source", "doc_id", "n_chars",
+                    F.col("rank_in_source").cast("long")
+                    .alias("rank_in_source")))
+
+
+SHARD_TARGET_CHARS = 10_000  # target payload bytes per output shard
+
+
+@register("pipeline_shard_manifest", oracle=f"""
+WITH c AS (
+    SELECT doc_id, n_chars,
+           sum(n_chars) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) - n_chars AS start_off
+    FROM documents
+)
+SELECT CAST(floor(start_off / {SHARD_TARGET_CHARS}) AS BIGINT) AS shard_id,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS shard_chars,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM c GROUP BY 1
+""")
+def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-planning manifest: assign documents to fixed-size output
+    shards (~SHARD_TARGET_CHARS payload each, doc_id order preserved)
+    and report each shard's document count, byte total, and id span
+    -- the planning step before a size-balanced parquet/WebDataset
+    export, where "one giant file" and "a million tiny files" are
+    both failure modes. A document belongs to the shard its STARTING
+    byte offset falls in, so shard boundaries never split a document
+    and every engine computing the same prefix sums agrees on the
+    assignment.
+
+    The global running sum is two_level_running_sum over doc_id range
+    buckets (same no-single-reducer recipe as pipeline_token_budget;
+    integer bytes, so the distributed sum is exact and the oracle's
+    naive single-window definition certifies it). The manifest agg is
+    an ordinary partial-aggregated groupBy on shard_id. At 100 TB the
+    only global object is the broadcast per-bucket offset table."""
+    pin_session_conf(spark)
+    from recommendation_system_spark_ml_spark.operators.scale import (
+        two_level_running_sum)
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    cum = two_level_running_sum(
+        docs, F.floor(F.col("doc_id") / 1000).cast("long"),
+        [F.col("doc_id").asc()], F.col("n_chars"), out="cum")
+    shard = F.floor((F.col("cum") - F.col("n_chars"))
+                    / SHARD_TARGET_CHARS).cast("long")
+    return (cum.select(shard.alias("shard_id"), "doc_id", "n_chars")
+            .groupBy("shard_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("shard_chars"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc")))

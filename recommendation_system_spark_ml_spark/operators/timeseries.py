@@ -368,3 +368,82 @@ def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.floor(F.sum(err).cast("double") / F.count(F.lit(1))
                           / 100 * 10000 + F.lit(0.5)) / 10000)
                  .alias("mae")))
+
+
+@register("ts_decompose", oracle="""
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS h, avg(value) AS v
+    FROM events GROUP BY 1
+), t AS (
+    SELECT h, v,
+           CASE WHEN count(*) OVER w = 24 THEN avg(v) OVER w END AS tr
+    FROM hourly
+    WINDOW w AS (ORDER BY h RANGE BETWEEN INTERVAL 11 HOURS PRECEDING
+                 AND INTERVAL 12 HOURS FOLLOWING)
+), s AS (
+    SELECT extract(hour FROM h) AS hod, avg(v - tr) AS s_raw
+    FROM t WHERE tr IS NOT NULL GROUP BY 1
+), sc AS (
+    SELECT hod, s_raw - (SELECT avg(s_raw) FROM s) AS seas FROM s
+)
+SELECT t.h AS bucket_ts, round(t.v, 6) AS v, round(t.tr, 6) AS trend,
+       round(sc.seas, 6) AS seasonal,
+       round(t.v - t.tr - sc.seas, 6) AS resid
+FROM t JOIN sc ON extract(hour FROM t.h) = sc.hod
+""")
+def ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the hourly series
+    (value = trend + seasonal + residual, period 24): centered
+    24-hour moving-average trend, hour-of-day seasonal indices
+    re-centered to sum to zero, residual as the remainder -- the
+    standard pre-step before ts_anomaly_mad-style detection on
+    seasonal data and the batch twin of ts_seasonal_baseline.
+
+    The trend frame is defined in HOUR-RANGE terms (11 preceding ..
+    12 following hours, null unless all 24 slots are observed), so a
+    missing bucket nulls the trend instead of silently sliding the
+    frame over it -- and that definition is what makes the
+    distributed form possible: instead of one global ordered window
+    (single reducer), each hourly row EXPLODES to the <= 24 hour
+    buckets whose frame it serves (the window_sliding_distinct
+    membership recipe), and the trend is a plain partial-aggregated
+    groupBy on the target hour. Post-agg, everything is bounded by
+    the calendar: the seasonal table is 24 rows, its centering mean
+    is one broadcast scalar. The heavy stage -- raw events into
+    hourly buckets -- is an ordinary distributed agg, so data volume
+    scales the map side only, never a reducer's frame. The hourly
+    table feeds four plan branches (trend contributions, the t join,
+    seasonal means, centering), so it is localCheckpoint'ed after
+    the agg: one events scan total, and what the branches re-read is
+    the calendar-bounded bucket table (720 rows/month, 8.8k/decade),
+    never raw events (plan-asserted: no parquet scan survives in
+    the returned plan)."""
+    pin_session_conf(spark)
+    ev = load(spark, sf_dir, "events")
+    hourly = (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+              .agg(F.avg("value").alias("v"))
+              .localCheckpoint())
+    # row at h serves targets t with h in [t-11h, t+12h] <=> t in
+    # [h-12h, h+11h]
+    contrib = hourly.select(
+        "v", F.explode(F.expr(
+            "sequence(h - INTERVAL 12 HOURS, h + INTERVAL 11 HOURS, "
+            "INTERVAL 1 HOUR)")).alias("t"))
+    trend = (contrib.groupBy("t")
+             .agg(F.avg("v").alias("tr"), F.count(F.lit(1)).alias("n"))
+             .select("t", F.when(F.col("n") == 24, F.col("tr"))
+                     .alias("tr")))
+    t = hourly.join(trend, hourly.h == trend.t, "inner").select("h", "v", "tr")
+    s = (t.where(F.col("tr").isNotNull())
+         .groupBy(F.hour("h").alias("hod"))
+         .agg(F.avg(F.col("v") - F.col("tr")).alias("s_raw")))
+    sbar = s.agg(F.avg("s_raw").alias("sbar"))
+    sc = (s.crossJoin(F.broadcast(sbar))
+          .select("hod", (F.col("s_raw") - F.col("sbar")).alias("seas")))
+    return (t.join(F.broadcast(sc), F.hour(t.h) == sc.hod)
+            .select(F.col("h").alias("bucket_ts"),
+                    F.round("v", 6).alias("v"),
+                    F.round("tr", 6).alias("trend"),
+                    F.round("seas", 6).alias("seasonal"),
+                    F.round(F.col("v") - F.col("tr") - F.col("seas"), 6)
+                    .alias("resid")))

@@ -383,3 +383,50 @@ def window_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (wins.join(obs, "w", "left_semi")
             .groupBy(F.col("w").alias("bucket_ts"))
             .agg(F.countDistinct("user_id").alias("users_24h")))
+
+
+ROLLMED_SPAN = 9  # trailing rows per rolling-median frame (bounds state)
+
+
+@register("window_rolling_median", oracle=f"""
+SELECT event_id, user_id,
+       round(median(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN {ROLLMED_SPAN - 1} PRECEDING AND CURRENT ROW), 6)
+           AS roll_median
+FROM events
+""")
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median of `value` over the trailing {span} events per
+    user -- the robust-smoothing twin of ts_ewma (median shrugs off
+    the spikes an EWMA chases). Spark has no median window function,
+    so the frame's values ride a bounded collect_list + array_sort:
+    the sort is over <= {span} elements INSIDE one row's expression
+    evaluation (codegen, no shuffle), and the only Exchange is the
+    per-user window partitioning itself. State per row is O(span),
+    the same bound ts_ewma documents -- a year-long user history
+    never rides a frame. Ordering is total ((ts, event_id), event_id
+    unique), so frame membership -- and the median -- is
+    deterministic across engines.
+
+    Expression hygiene: the sorted frame is bound ONCE in its own
+    projection (SPARK-36718's cost-aware CollapseProject keeps the
+    array_sort from being inlined per reference; the plan test pins
+    a single collect_list in the Window node), and the median uses
+    the branch-free two-index form avg(arr[ceil(n/2)],
+    arr[floor(n/2)+1]) -- the indices coincide for odd n, so the
+    average is exact (x+x)/2 = x, and the even prefixes average the
+    two middles exactly like the oracle's median()."""
+    pin_session_conf(spark)
+    ev = load(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-(ROLLMED_SPAN - 1), W.currentRow))
+    base = ev.select(
+        "event_id", "user_id",
+        F.array_sort(F.collect_list("value").over(w)).alias("arr"))
+    n = F.size(F.col("arr"))
+    # truncating int casts of positive halves: ceil(n/2), floor(n/2)+1
+    med = (F.element_at("arr", ((n + 1) / 2).cast("int"))
+           + F.element_at("arr", (n / 2 + 1).cast("int"))) / 2
+    return base.select("event_id", "user_id",
+                       F.round(med, 6).alias("roll_median"))

@@ -525,3 +525,35 @@ def test_table_stats_single_scan_expand(spark):
     plan = _plan(_specs()["analyze_table_stats"].fn(spark, SF_SMOKE))
     assert "Expand" in plan
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+
+
+def test_domain_quota_rank_limit_is_pushed_below_exchange(spark):
+    """pipeline_domain_quota's row_number()<=K must compile to
+    WindowGroupLimit so a hot mega-domain never materializes more
+    than K candidate rows per upstream partition."""
+    plan = _plan(_specs()["pipeline_domain_quota"].fn(spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan
+
+
+def test_rolling_median_single_keyed_exchange_no_python(spark):
+    """window_rolling_median's in-frame sort is an expression over
+    <= ROLLMED_SPAN elements, not a shuffle or a UDF: exactly one
+    Exchange (the per-user window partitioning), no Python nodes,
+    no global (unpartitioned) sort."""
+    plan = _plan(_specs()["window_rolling_median"].fn(spark, SF_SMOKE))
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "SinglePartition" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("collect_list") == 1  # one window expression
+    assert plan.count("array_sort") == 1    # frame sorted once
+
+
+def test_ts_decompose_trend_is_grouped_not_global_window(spark):
+    """ts_decompose's moving-average trend must run as the explode +
+    groupBy restatement (partial-aggregated, data-parallel), never an
+    unpartitioned ordered Window over the whole series."""
+    plan = _plan(_specs()["ts_decompose"].fn(spark, SF_SMOKE))
+    assert "Window" not in plan          # no global ordered window
+    assert "explode" in plan             # membership restatement
+    assert "Scan parquet" not in plan    # branches read the bounded
+    #                                      checkpointed bucket table
