@@ -864,3 +864,121 @@ def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_STATS_COLS)}, {stack}) AS "
         "(column_name, n_nulls, ndv, min_val, max_val)", "n_rows"
     ).select("column_name", "n_rows", "n_nulls", "ndv", "min_val", "max_val")
+
+
+# Deequ-style expectation suite: (rule_name, SQL predicate a GOOD row
+# satisfies). Shared verbatim by the Spark plan and the DuckDB oracle
+# so both engines count violations of the SAME predicate text.
+_DQ_RULES = (
+    ("quantity_in_range", "l_quantity BETWEEN 1 AND 50"),
+    ("discount_in_range", "l_discount BETWEEN 0.0 AND 0.1"),
+    ("tax_in_range", "l_tax BETWEEN 0.0 AND 0.08"),
+    ("price_positive", "l_extendedprice > 0"),
+    ("returnflag_enum", "l_returnflag IN ('R', 'A', 'N')"),
+    ("linestatus_enum", "l_linestatus IN ('O', 'F')"),
+    ("shipdate_not_null", "l_shipdate IS NOT NULL"),
+    ("no_bulk_discount_abuse",
+     "NOT (l_discount >= 0.08 AND l_quantity >= 45)"),
+)
+
+
+@register("dq_expectations", oracle="\nUNION ALL\n".join(f"""
+SELECT '{name}' AS rule_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN NOT coalesce({pred}, FALSE) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_violations,
+       round(CAST(sum(CASE WHEN NOT coalesce({pred}, FALSE) THEN 1 ELSE 0
+                      END) AS DOUBLE) / count(*), 6) AS violation_rate
+FROM lineitem""" for name, pred in _DQ_RULES))
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation report (the Deequ/Great-Expectations
+    shape): each rule is a predicate a good row satisfies; the report
+    counts violators per rule -- range checks, enum membership,
+    not-null, and one compound business rule. NULL predicate results
+    count as violations (coalesce FALSE), matching audit semantics
+    where "can't evaluate" is "not proven good".
+
+    Shape: ONE scan of lineitem -- every rule rides the same single
+    aggregate as a conditional sum (map-side combinable, 8 longs of
+    state per task), then the finished scalars unpivot via stack(),
+    which is free. The DuckDB twin spells it UNION ALL per rule (8
+    oracle scans, same values) -- the predicate STRINGS are shared
+    verbatim between both engines, so the check certifies the
+    predicate semantics, not two hand-written copies. At 100 TB this
+    is the cheapest full-table audit possible: no shuffle carries row
+    data, only the 8-counter partial aggregates."""
+    pin_session_conf(spark)
+    li = load(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for name, pred in _DQ_RULES:
+        bad = F.when(~F.coalesce(F.expr(pred), F.lit(False)), 1).otherwise(0)
+        aggs.append(F.sum(bad).cast("long").alias(f"{name}__v"))
+    wide = li.agg(*aggs)
+    stack = ", ".join(f"'{n}', {n}__v" for n, _ in _DQ_RULES)
+    return (wide.selectExpr(
+        f"stack({len(_DQ_RULES)}, {stack}) AS (rule_name, n_violations)",
+        "n_rows")
+        .select("rule_name", "n_rows", "n_violations",
+                F.round(F.col("n_violations").cast("double")
+                        / F.col("n_rows"), 6).alias("violation_rate")))
+
+
+@register("agg_mutual_information", oracle="""
+WITH joint AS (
+    SELECT lang, source, count(*) AS n_xy FROM documents GROUP BY 1, 2
+), mx AS (
+    SELECT lang, sum(n_xy) AS n_x FROM joint GROUP BY 1
+), my AS (
+    SELECT source, sum(n_xy) AS n_y FROM joint GROUP BY 1
+), n AS (
+    SELECT sum(n_xy) AS n FROM joint
+)
+SELECT j.lang, j.source, CAST(j.n_xy AS BIGINT) AS n_xy,
+       round(ln(CAST(j.n_xy AS DOUBLE) * n.n / (mx.n_x * my.n_y)), 6)
+           AS pmi,
+       round(CAST(j.n_xy AS DOUBLE) / n.n
+             * ln(CAST(j.n_xy AS DOUBLE) * n.n / (mx.n_x * my.n_y)), 6)
+           AS mi_contrib
+FROM joint j
+JOIN mx ON j.lang = mx.lang
+JOIN my ON j.source = my.source
+CROSS JOIN n
+""")
+def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between the corpus's lang and
+    source columns: per cell, pmi = ln(p(x,y) / (p(x) p(y))) and the
+    cell's contribution p(x,y) * pmi to the total MI -- the
+    association profile a curation pipeline reads to spot
+    domain/language confounds before sampling (summing mi_contrib
+    gives I(lang; source); near-zero PMI everywhere means mixtures
+    can be tuned independently).
+
+    Shape: one groupBy(lang, source) count over documents is the only
+    row-data shuffle; the joint table is vocabulary-sized (|langs| x
+    |sources|, 100 cells here, bounded at any corpus scale) and is
+    localCheckpoint'ed because it feeds four plan branches (cells,
+    both margins, the total) -- ONE documents scan total, and what
+    the branches re-read is the 100-cell table (plan-asserted: no
+    parquet scan survives in the returned plan). Margins join back
+    broadcast. ln only ever sees ratios of exact integer counts, and
+    the expression shape is kept identical in both engines (double
+    cast on n_xy only; integer margin product), so the doubles agree
+    bit-for-bit before round(6) -- the text_unigram_logprob /
+    text_entropy count-domain discipline."""
+    pin_session_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    joint = (docs.groupBy("lang", "source")
+             .agg(F.count(F.lit(1)).alias("n_xy"))
+             .localCheckpoint())
+    mx = joint.groupBy("lang").agg(F.sum("n_xy").alias("n_x"))
+    my = joint.groupBy("source").agg(F.sum("n_xy").alias("n_y"))
+    n = joint.agg(F.sum("n_xy").alias("n"))
+    ratio = (F.col("n_xy").cast("double") * F.col("n")
+             / (F.col("n_x") * F.col("n_y")))
+    return (joint.join(F.broadcast(mx), "lang")
+            .join(F.broadcast(my), "source")
+            .crossJoin(F.broadcast(n))
+            .select("lang", "source", F.col("n_xy").cast("long").alias("n_xy"),
+                    F.round(F.log(ratio), 6).alias("pmi"),
+                    F.round(F.col("n_xy").cast("double") / F.col("n")
+                            * F.log(ratio), 6).alias("mi_contrib")))

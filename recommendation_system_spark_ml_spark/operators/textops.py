@@ -1852,3 +1852,64 @@ def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_chars").cast("long").alias("shard_chars"),
                  F.min("doc_id").alias("first_doc"),
                  F.max("doc_id").alias("last_doc")))
+
+
+TOP_TERMS_K = 3  # TF-IDF keywords kept per document
+
+
+@register("text_top_terms", oracle=f"""
+WITH cnt AS (
+    SELECT doc_id, w, count(*) AS tf
+    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+          FROM documents)
+    WHERE w <> '' GROUP BY 1, 2
+), df AS (
+    SELECT w, count(*) AS df FROM cnt GROUP BY 1
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT c.doc_id, c.w AS term,
+           c.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df) AS score
+    FROM cnt c JOIN df d ON c.w = d.w CROSS JOIN n
+)
+SELECT doc_id, term, round(score, 4) AS tfidf, CAST(rn AS BIGINT) AS rank
+FROM (SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rn
+      FROM scored)
+WHERE rn <= {TOP_TERMS_K}
+""")
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOP_TERMS_K} TF-IDF keywords per document -- text_tfidf's
+    scores fed through a per-doc rank-filter, the keyword-extraction
+    step a labeling or retrieval pipeline runs after scoring. Ties
+    break on the term string, so equal-scored keywords (same tf, same
+    df -- common in small vocabularies) rank identically everywhere.
+
+    Shape: text_tfidf's aggregation plan (map-side-combinable counts;
+    vocabulary-sized df table and the N scalar broadcast back)
+    followed by row_number() <= K, which compiles to WindowGroupLimit
+    (plan-asserted): each map task forwards at most K candidate terms
+    per document it sees BELOW the per-doc Exchange, so long
+    documents never materialize their full term list on the reduce
+    side. Cross-engine float ordering: scores are tf * ln(N/df) with
+    both engines computing the identical expression; distinct
+    (tf, df) pairs separate by far more than a ulp, and equal pairs
+    are bit-equal then term-tiebroken."""
+    pin_session_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    cnt = (docs.select("doc_id",
+                       F.explode(F.split(F.lower("text"), " ")).alias("w"))
+           .where(F.col("w") != "")
+           .groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf")))
+    df = cnt.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (cnt.join(F.broadcast(df), "w").crossJoin(F.broadcast(n_docs))
+              .select("doc_id", F.col("w").alias("term"),
+                      (F.col("tf") * F.log(F.col("n_docs").cast("double")
+                                           / F.col("df"))).alias("score")))
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (scored.select("doc_id", "term", "score",
+                          F.row_number().over(w).alias("rank"))
+            .where(F.col("rank") <= TOP_TERMS_K)
+            .select("doc_id", "term", F.round("score", 4).alias("tfidf"),
+                    F.col("rank").cast("long").alias("rank")))

@@ -447,3 +447,57 @@ def ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("seas", 6).alias("seasonal"),
                     F.round(F.col("v") - F.col("tr") - F.col("seas"), 6)
                     .alias("resid")))
+
+
+ACF_MAX_LAG = 24  # lags probed (one seasonal period of the hourly series)
+
+
+@register("ts_autocorrelation", oracle=f"""
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS h, avg(value) AS v
+    FROM events GROUP BY 1
+), lags AS (
+    SELECT unnest(range(1, {ACF_MAX_LAG + 1})) AS lag_hours
+)
+SELECT l.lag_hours,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(corr(a.v, b.v), 6) AS acf
+FROM lags l
+JOIN hourly a ON TRUE
+JOIN hourly b ON b.h = a.h - to_hours(l.lag_hours)
+GROUP BY 1
+""")
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the hourly mean series at lags
+    1..{ACF_MAX_LAG}: Pearson correlation between the series and its
+    lag-shifted self, one row per lag -- the diagnostic that picks
+    ts_decompose's period and tells ts_seasonal_baseline whether a
+    seasonal naive is even plausible (a daily cycle shows as an acf
+    spike at lag 24).
+
+    Shape: the only data-volume stage is the hourly groupBy (raw
+    events -> calendar-bounded buckets, 720 rows/month, partial-
+    aggregated); everything after is bounded by calendar x lags --
+    the {ACF_MAX_LAG}-row lag table broadcasts, the lag-join is a
+    self-equi-join of the bucket table on timestamp arithmetic, and
+    per-lag corr() is a 6-scalar partial aggregate. No window, no
+    global sort, no driver data. Each lag uses its own pairwise-
+    complete sample (the standard ACF-of-the-overlap estimator),
+    so n_pairs documents the sample the correlation was taken on.
+    corr's co-moment accumulation is float, but the ratio cancels
+    partition-order effects to ~1 ulp; round(6) absorbs it."""
+    pin_session_conf(spark)
+    ev = load(spark, sf_dir, "events")
+    hourly = (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+              .agg(F.avg("value").alias("v"))
+              .localCheckpoint())
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").alias("lag_hours"))
+    a = hourly.select(F.col("h").alias("ah"), F.col("v").alias("av"))
+    b = hourly.select(F.col("h").alias("bh"), F.col("v").alias("bv"))
+    pairs = (a.crossJoin(F.broadcast(lags))
+             .join(b, F.col("bh") == F.expr(
+                 "ah - make_interval(0, 0, 0, 0, lag_hours, 0, 0)")))
+    return (pairs.groupBy("lag_hours")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                 F.round(F.corr("av", "bv"), 6).alias("acf")))

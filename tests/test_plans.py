@@ -557,3 +557,40 @@ def test_ts_decompose_trend_is_grouped_not_global_window(spark):
     assert "explode" in plan             # membership restatement
     assert "Scan parquet" not in plan    # branches read the bounded
     #                                      checkpointed bucket table
+
+
+def test_dq_expectations_single_scan(spark):
+    """All 8 data-quality rules must ride ONE lineitem scan as
+    conditional sums; the per-rule unpivot is a stack() over finished
+    scalars, never a second pass."""
+    import re
+    plan = _plan(_specs()["dq_expectations"].fn(spark, SF_SMOKE))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+
+
+def test_top_terms_rank_limit_is_pushed_below_exchange(spark):
+    """text_top_terms' row_number()<=K must compile to
+    WindowGroupLimit so a long document never materializes its full
+    term list on the reduce side."""
+    plan = _plan(_specs()["text_top_terms"].fn(spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan
+
+
+def test_mutual_information_reads_checkpointed_joint_once(spark):
+    """agg_mutual_information's four branches (cells, margins, total)
+    must re-read the 100-cell checkpointed joint table, never re-scan
+    documents; margins join back broadcast."""
+    plan = _plan(_specs()["agg_mutual_information"].fn(spark, SF_SMOKE))
+    assert "Scan parquet" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_autocorrelation_no_window_no_rescan(spark):
+    """ts_autocorrelation is a broadcast lag-join over the bounded
+    checkpointed bucket table: no ordered Window, no parquet re-scan,
+    no sort-merge join."""
+    plan = _plan(_specs()["ts_autocorrelation"].fn(spark, SF_SMOKE))
+    assert "Window" not in plan
+    assert "Scan parquet" not in plan
+    assert "SortMergeJoin" not in plan
