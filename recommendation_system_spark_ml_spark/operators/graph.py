@@ -175,3 +175,46 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks, _ = _power_iterate(ed, ranks, n_nodes)
     return ranks.select(
         "node", F.round(F.col("rank") * n_nodes, 6).alias("pagerank"))
+
+
+@register("graph_degree_histogram", oracle="""
+WITH e0 AS (
+    SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+), deg AS (
+    SELECT 'part' AS node_type, p AS node, count(*) AS degree
+    FROM e0 GROUP BY 2
+    UNION ALL
+    SELECT 'supplier' AS node_type, s AS node, count(*) AS degree
+    FROM e0 GROUP BY 2
+)
+SELECT node_type, CAST(degree AS BIGINT) AS degree,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY 1, 2
+""")
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part<->supplier bipartite graph
+    (distinct supply relationships), per side -- the first thing to
+    read before running graph_pagerank or dedup_components at scale:
+    a heavy-tailed histogram says which side needs salting and how
+    big the frontier can get; a flat one says the 2-shuffle iteration
+    is safe as-is.
+
+    Shape: one distinct on the edge pair (the same first shuffle
+    graph_pagerank pays), then per-side degree counts and a
+    degree-histogram rollup -- every aggregate partial-combines, the
+    final keyspace is |distinct degrees| x 2. The two sides ride ONE
+    scan: the distinct edge set is computed once and both degree
+    directions derive from it via a union of two tiny groupBys."""
+    pin_session_conf(spark)
+    li = load(spark, sf_dir, "lineitem")
+    e0 = (li.select(F.col("l_partkey").alias("p"),
+                    F.col("l_suppkey").alias("s"))
+          .distinct().localCheckpoint())
+    deg = (e0.groupBy("p").agg(F.count(F.lit(1)).alias("degree"))
+           .select(F.lit("part").alias("node_type"), "degree")
+           .union(
+               e0.groupBy("s").agg(F.count(F.lit(1)).alias("degree"))
+               .select(F.lit("supplier").alias("node_type"), "degree")))
+    return (deg.groupBy("node_type", F.col("degree").cast("long")
+                        .alias("degree"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_nodes")))

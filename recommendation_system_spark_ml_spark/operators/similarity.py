@@ -733,3 +733,36 @@ def sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.round("cos", 4).alias("cosine")))
     with_subs.unpersist()
     return out
+
+
+@register("vec_class_centroids", oracle="""
+SELECT label, CAST(t.i - 1 AS BIGINT) AS dim,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(CAST(embedding[t.i] AS DOUBLE)), 6) AS mean_val
+FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+GROUP BY 1, 2
+""")
+def vec_class_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label class centroids, one row per (label, dimension) --
+    the embedding-QA table behind SemDeDup-style curation and
+    sim_ivf's coarse quantizer: a label whose centroid drifts to the
+    origin has incoherent members; two labels with near-identical
+    centroids will confuse any cosine classifier. Exact means (no
+    sampling), so the table doubles as a golden fixture for the
+    KMeans-seeded paths.
+
+    Shape: posexplode rewrites each vector into (dim, value) pairs
+    map-side -- a 64x row multiply of 12-byte rows, NOT of payloads --
+    and the groupBy(label, dim) aggregate partial-combines before its
+    one Exchange, whose keyspace (|labels| x dim = 640 cells) is
+    bounded at any corpus scale. No UDF, no window, no driver data;
+    the float sum rides doubles and round(6) absorbs partition-order
+    ulps (cells here are ~50-sample means of O(0.1) values)."""
+    pin_session_conf(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    return (emb.select("label", F.posexplode("embedding")
+                       .alias("dim", "x"))
+            .groupBy("label", F.col("dim").cast("long").alias("dim"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"),
+                 F.round(F.avg(F.col("x").cast("double")), 6)
+                 .alias("mean_val")))

@@ -594,3 +594,21 @@ def test_autocorrelation_no_window_no_rescan(spark):
     assert "Window" not in plan
     assert "Scan parquet" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_class_centroids_partial_agg_no_python(spark):
+    """vec_class_centroids' explode rides map-side into a
+    partial-combined aggregate: one Exchange (the 640-cell keyspace),
+    no Python nodes."""
+    import re
+    plan = _plan(_specs()["vec_class_centroids"].fn(spark, SF_SMOKE))
+    assert "EvalPython" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+
+
+def test_degree_histogram_single_edge_materialization(spark):
+    """graph_degree_histogram's two degree directions must derive
+    from ONE checkpointed distinct-edge set, never re-scan lineitem."""
+    plan = _plan(_specs()["graph_degree_histogram"].fn(spark, SF_SMOKE))
+    assert "Scan parquet" not in plan

@@ -88,6 +88,16 @@ CURVE_QUERIES = (
     "analyze_table_stats",    # one-scan multi-distinct Expand
     "stream_dedup_incremental",  # per-batch probe of the persisted index
     "dedup_minhash_incremental",  # LSH band-index probe: batch-not-corpus cost
+    "ts_decompose",           # 24x trend explode + calendar-bounded tail
+    "ts_autocorrelation",     # bucket self-join x 24 broadcast lags
+    "window_rolling_median",  # O(span) frame state, one keyed Exchange
+    "pipeline_shard_manifest",  # two-level running sum, byte offsets
+    "pipeline_domain_quota",  # WindowGroupLimit cap under domain skew
+    "text_top_terms",         # tfidf + WindowGroupLimit keyword cut
+    "vec_class_centroids",    # 64x posexplode partial-combine
+    "dq_expectations",        # one-scan 8-rule conditional-sum audit
+    "agg_mutual_information",  # joint-count shuffle, checkpointed cells
+    "graph_degree_histogram",  # distinct-edge shuffle + bounded rollup
 )
 
 
