@@ -982,3 +982,46 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.log(ratio), 6).alias("pmi"),
                     F.round(F.col("n_xy").cast("double") / F.col("n")
                             * F.log(ratio), 6).alias("mi_contrib")))
+
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_CORR_PAIRS = tuple((a, b) for i, a in enumerate(_CORR_COLS)
+                    for b in _CORR_COLS[i + 1:])
+
+
+@register("agg_corr_matrix", oracle="\nUNION ALL\n".join(f"""
+SELECT '{a}' AS col_a, '{b}' AS col_b,
+       CAST(count(*) AS BIGINT) AS n,
+       round(covar_samp({a}, {b}), 6) AS covariance,
+       round(corr({a}, {b}), 6) AS correlation
+FROM lineitem""" for a, b in _CORR_PAIRS))
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise sample covariance + Pearson correlation of the
+    lineitem measures (the upper triangle, 6 pairs of 4 columns) --
+    the feature-screening read before any model fit: near-unit
+    correlations flag redundant features, and the covariance feeds
+    whitening. Complements analyze_table_stats (per-column moments)
+    with the cross-column ones.
+
+    Shape: all 6 pairs ride ONE scan in a single aggregate --
+    covar_samp and corr are 5-6 scalars of co-moment state each, so
+    a task carries ~70 doubles total regardless of row count, then
+    the finished scalars unpivot via stack(). The DuckDB twin spells
+    it UNION ALL per pair. Both engines accumulate co-moments in
+    partition order, but the estimator ratios cancel order effects
+    to ~1 ulp; round(6) absorbs it (covariances here are O(1e2) with
+    1e-10 absolute error, correlations O(0.01))."""
+    pin_session_conf(spark)
+    li = load(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for a, b in _CORR_PAIRS:
+        tag = f"{a}__{b}"
+        aggs += [F.round(F.covar_samp(a, b), 6).alias(f"{tag}__cov"),
+                 F.round(F.corr(a, b), 6).alias(f"{tag}__cor")]
+    wide = li.agg(*aggs)
+    stack = ", ".join(f"'{a}', '{b}', {a}__{b}__cov, {a}__{b}__cor"
+                      for a, b in _CORR_PAIRS)
+    return (wide.selectExpr(
+        f"stack({len(_CORR_PAIRS)}, {stack}) AS "
+        "(col_a, col_b, covariance, correlation)", "n")
+        .select("col_a", "col_b", "n", "covariance", "correlation"))

@@ -612,3 +612,11 @@ def test_degree_histogram_single_edge_materialization(spark):
     from ONE checkpointed distinct-edge set, never re-scan lineitem."""
     plan = _plan(_specs()["graph_degree_histogram"].fn(spark, SF_SMOKE))
     assert "Scan parquet" not in plan
+
+
+def test_corr_matrix_single_scan(spark):
+    """All 6 pairwise co-moment aggregates must ride ONE lineitem
+    scan; the unpivot is a stack() over finished scalars."""
+    import re
+    plan = _plan(_specs()["agg_corr_matrix"].fn(spark, SF_SMOKE))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
