@@ -478,3 +478,57 @@ def sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
                         keyq.alias("aes_key"))
             .orderBy(F.col("aes_key").desc(), F.col("doc_id"))
             .limit(_AES_K))
+
+
+TIME_SPLIT_TRAIN_FRAC = 0.8  # fraction of the time RANGE (not rows)
+
+
+@register("split_time_based", oracle=f"""
+WITH bounds AS (
+    SELECT epoch_us(min(ts)) + CAST(floor(
+               (epoch_us(max(ts)) - epoch_us(min(ts)))
+               * {TIME_SPLIT_TRAIN_FRAC}) AS BIGINT) AS cut_us
+    FROM events
+)
+SELECT CASE WHEN epoch_us(e.ts) < b.cut_us THEN 'train' ELSE 'test' END
+           AS split,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       min(e.ts) AS first_ts, max(e.ts) AS last_ts
+FROM events e CROSS JOIN bounds b
+GROUP BY 1
+""")
+def split_time_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split report: train on the first
+    {frac:.0%} of the observed TIME RANGE, test on the rest -- the
+    split discipline for anything with temporal drift (recommenders,
+    forecasting, event models), where split_hash's random assignment
+    would leak the future into training. Returns per-split event and
+    user counts plus the actual time spans, so the cut is auditable.
+    The cut is a fraction of the time RANGE, not of rows -- row
+    quantiles would move the boundary whenever volume grows, making
+    reruns non-reproducible.
+
+    Shape: one min/max scan produces the 2-scalar bounds table
+    (broadcast), then one pass assigns splits map-side and
+    aggregates; the exact per-split distinct-user count is the only
+    heavyweight (Expand-based multi-distinct), with the documented
+    approx_count_distinct swap at extreme scale. Timestamp
+    arithmetic is integer microseconds in both engines, so the cut
+    and the hashes are exact."""
+    pin_session_conf(spark)
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.unix_micros(F.min(F.col("ts").cast("timestamp"))).alias("e0"),
+        F.unix_micros(F.max(F.col("ts").cast("timestamp"))).alias("e1")).select(
+        (F.col("e0") + F.floor((F.col("e1") - F.col("e0"))
+                               * TIME_SPLIT_TRAIN_FRAC).cast("long"))
+        .alias("cut_us"))
+    return (ev.crossJoin(F.broadcast(bounds))
+            .select(F.when(F.unix_micros(F.col("ts").cast("timestamp")) < F.col("cut_us"), "train")
+                    .otherwise("test").alias("split"), "user_id", "ts")
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.countDistinct("user_id").cast("long").alias("n_users"),
+                 F.min("ts").alias("first_ts"),
+                 F.max("ts").alias("last_ts")))

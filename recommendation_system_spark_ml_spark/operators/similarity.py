@@ -766,3 +766,49 @@ def vec_class_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"),
                  F.round(F.avg(F.col("x").cast("double")), 6)
                  .alias("mean_val")))
+
+
+@register("vec_normalize", oracle="""
+WITH n AS (
+    SELECT vec_id, label,
+           sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                        x -> x * x))) AS nrm,
+           CAST(embedding AS DOUBLE[]) AS ve
+    FROM embeddings
+)
+SELECT vec_id, label,
+       round(nrm, 6) AS l2_norm,
+       round(list_sum(list_transform(ve, x -> x / nrm)) / len(ve), 6)
+           AS mean_component
+FROM n WHERE nrm > 0
+""")
+def vec_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization pass (the pre-index step every cosine ANN
+    path assumes): per vector, the original norm and the mean
+    component AFTER normalization -- returned as scalars rather than
+    the normalized array because the driver's hash compares scalar
+    columns; the normalized-array form is this same projection minus
+    the final aggregate, and sim_* operators consume it inline.
+    Zero-norm vectors are dropped (they have no direction), matching
+    the oracle filter.
+
+    Shape: pure map-side array expressions (transform/aggregate HOFs
+    over the row's own 64 floats -- interpreted, but O(dim) per row
+    with no constant-factor blowup, unlike the HOF-vs-matmul trap in
+    SCALE.md which is per-row x large-constant); no shuffle at all.
+    Float discipline: both engines square/sum/divide the same double
+    casts in the same order; round(6) absorbs the last-ulp libm
+    sqrt difference."""
+    pin_session_conf(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    ve = F.transform("embedding", lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(ve, F.lit(0.0), lambda a, x: a + x * x))
+    normed = F.transform(ve, lambda x: x / F.col("nrm"))
+    return (emb.select("vec_id", "label", nrm.alias("nrm"), ve.alias("ve"))
+            .where(F.col("nrm") > 0)
+            .select("vec_id", "label",
+                    F.round("nrm", 6).alias("l2_norm"),
+                    F.round(F.aggregate(F.transform(
+                        "ve", lambda x: x / F.col("nrm")),
+                        F.lit(0.0), lambda a, x: a + x)
+                        / F.size("ve"), 6).alias("mean_component")))

@@ -1913,3 +1913,66 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rank") <= TOP_TERMS_K)
             .select("doc_id", "term", F.round("score", 4).alias("tfidf"),
                     F.col("rank").cast("long").alias("rank")))
+
+
+@register("text_lang_confusion", oracle="""
+WITH scores AS (
+    SELECT doc_id, lang,
+           len(list_filter(string_split(lower(text), ' '),
+                           w -> w IN ('the', 'a', 'and', 'of'))) AS s_en,
+           len(list_filter(string_split(lower(text), ' '),
+                           w -> w IN ('el', 'la', 'de', 'y'))) AS s_es,
+           len(list_filter(string_split(lower(text), ' '),
+                           w -> w IN ('le', 'la', 'de', 'et'))) AS s_fr
+    FROM documents
+), pred AS (
+    SELECT lang AS labeled_lang,
+           CASE WHEN s_es > s_en AND s_es >= s_fr THEN 'es'
+                WHEN s_fr > s_en AND s_fr > s_es THEN 'fr'
+                ELSE 'en' END AS predicted_lang
+    FROM scores
+)
+SELECT labeled_lang, predicted_lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(count(*) AS DOUBLE)
+             / sum(count(*)) OVER (PARTITION BY labeled_lang), 6)
+           AS row_frac
+FROM pred GROUP BY 1, 2
+""")
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of text_langid's marker-word classifier
+    against the corpus's lang labels: per (labeled, predicted) cell,
+    document count and row-normalized fraction -- the evaluation
+    report a curation pipeline reads before trusting a language
+    filter (off-diagonal mass = mislabeled or misclassified streams
+    feeding the wrong training mixture).
+
+    Shape: the scorer is text_langid's map-side expression verbatim
+    (size(filter(...)) hits + deterministic argmax -- no UDF); the
+    matrix is one groupBy on the (label, prediction) pair whose
+    keyspace is |langs|^2 (25 cells), and the row normalization is a
+    window over the 25 finished cells, not over documents. At 100 TB
+    the only row-data stage is the map-side scoring scan; everything
+    past the partial agg is bounded by the label vocabulary."""
+    pin_session_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    ws = F.split(F.lower("text"), " ")
+
+    def hits(words):
+        return F.size(F.filter(ws, lambda w: w.isin(*words)))
+
+    s_en, s_es, s_fr = (hits(("the", "a", "and", "of")),
+                        hits(("el", "la", "de", "y")),
+                        hits(("le", "la", "de", "et")))
+    pred = (F.when((s_es > s_en) & (s_es >= s_fr), "es")
+            .when((s_fr > s_en) & (s_fr > s_es), "fr")
+            .otherwise("en"))
+    cells = (docs.select(F.col("lang").alias("labeled_lang"),
+                         pred.alias("predicted_lang"))
+             .groupBy("labeled_lang", "predicted_lang")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+    w = Window.partitionBy("labeled_lang")
+    return cells.select(
+        "labeled_lang", "predicted_lang", "n_docs",
+        F.round(F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6)
+        .alias("row_frac"))

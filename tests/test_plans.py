@@ -620,3 +620,20 @@ def test_corr_matrix_single_scan(spark):
     import re
     plan = _plan(_specs()["agg_corr_matrix"].fn(spark, SF_SMOKE))
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+
+
+def test_vec_normalize_is_map_only(spark):
+    """vec_normalize is pure per-row array expressions: no Exchange,
+    no Python nodes anywhere."""
+    plan = _plan(_specs()["vec_normalize"].fn(spark, SF_SMOKE))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_lang_confusion_normalizes_over_cells_not_rows(spark):
+    """text_lang_confusion's row normalization must window over the
+    25 finished cells, never the document rows: the only row-data
+    stage is the map-side scoring scan feeding a partial agg."""
+    plan = _plan(_specs()["text_lang_confusion"].fn(spark, SF_SMOKE))
+    assert "partial_count" in plan
+    assert "EvalPython" not in plan
