@@ -1025,3 +1025,46 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_CORR_PAIRS)}, {stack}) AS "
         "(col_a, col_b, covariance, correlation)", "n")
         .select("col_a", "col_b", "n", "covariance", "correlation"))
+
+
+@register("agg_gini_concentration", oracle="""
+WITH counts AS (
+    SELECT source, count(*) AS docs FROM documents GROUP BY 1
+), ranked AS (
+    SELECT docs, row_number() OVER (ORDER BY docs, source) AS i FROM counts
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sources,
+       CAST(sum(docs) AS BIGINT) AS total_docs,
+       round(CAST(2 * sum(i * docs) - (count(*) + 1) * sum(docs) AS DOUBLE)
+             / (count(*) * sum(docs)), 6) AS gini
+FROM ranked
+""")
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the per-source document distribution --
+    the one-number corpus-concentration alarm (0 = every source
+    contributes equally, ->1 = one domain owns the corpus) read
+    BEFORE choosing pipeline_domain_quota caps or
+    pipeline_domain_mixture temperatures. Uses the rank formula
+    G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over ascending
+    counts with a deterministic (docs, source) tie order -- every
+    term integer until the single final division, so both engines
+    agree exactly.
+
+    Shape: one partial-combined groupBy(source) count is the only
+    row-data stage; the ranked table is |sources|-sized (bounded at
+    any corpus scale -- domains, not documents), so its window and
+    the final 3-scalar aggregate are metadata-sized."""
+    pin_session_conf(spark)
+    from pyspark.sql import Window as W
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("docs"))
+    ranked = counts.select(
+        "docs", F.row_number().over(
+            W.orderBy(F.col("docs"), F.col("source"))).alias("i"))
+    n, tot = F.count(F.lit(1)), F.sum("docs")
+    return ranked.agg(
+        n.cast("long").alias("n_sources"),
+        tot.cast("long").alias("total_docs"),
+        F.round((2 * F.sum(F.col("i") * F.col("docs"))
+                 - (n + 1) * tot).cast("double") / (n * tot), 6)
+        .alias("gini"))

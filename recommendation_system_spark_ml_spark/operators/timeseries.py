@@ -501,3 +501,68 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pairs.groupBy("lag_hours")
             .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
                  F.round(F.corr("av", "bv"), 6).alias("acf")))
+
+
+@register("ts_changepoint", oracle="""
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS h,
+           sum(CAST(round(value * 100, 0) AS BIGINT)) AS tot
+    FROM events GROUP BY 1
+), c AS (
+    SELECT h, tot,
+           sum(tot) OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum_tot,
+           row_number() OVER (ORDER BY h) AS i
+    FROM hourly
+), t AS (
+    SELECT count(*) AS n, sum(tot) AS s FROM hourly
+)
+SELECT c.h AS bucket_ts,
+       round(CAST(t.n * c.cum_tot - c.i * t.s AS DOUBLE)
+             / t.n / 100, 6) AS cusum,
+       CAST(abs(t.n * c.cum_tot - c.i * t.s) =
+            (SELECT max(abs(t2.n * c2.cum_tot - c2.i * t2.s))
+             FROM c c2 CROSS JOIN t t2) AS INTEGER) AS is_peak
+FROM c CROSS JOIN t
+""")
+def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan over the hourly value totals: the
+    cumulative sum of deviations from the series mean, whose extreme
+    |CUSUM| marks the most likely level-shift hour (Page 1954's
+    detector in its retrospective form) -- the drift alarm next to
+    agg_ks_drift (distributional) and ts_anomaly_mad (pointwise).
+
+    Exactness: hourly totals ride integer cents, and the mean is
+    never divided early -- CUSUM_i = cumsum(tot) - i*mean scaled by
+    n gives S_i = n*cumsum - i*sum, ALL integer, so both engines
+    agree bit-for-bit before the single final division. The global
+    cumulative sum and the row index are two_level_running_sum calls
+    over hour-range buckets (no single-reducer sort, the agg_ks_drift
+    ECDF recipe); everything after the hourly agg is calendar-bounded
+    and the (n, sum, peak) scalars broadcast."""
+    pin_session_conf(spark)
+    from recommendation_system_spark_ml_spark.operators.scale import (
+        two_level_running_sum)
+    ev = load(spark, sf_dir, "events")
+    hourly = (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+              .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+                   .alias("tot"))
+              .localCheckpoint())
+    bucket = F.floor(F.unix_micros(F.col("h").cast("timestamp"))
+                     / 86_400_000_000).cast("long")  # day buckets
+    cum = two_level_running_sum(hourly, bucket, [F.col("h").asc()],
+                                F.col("tot"), out="cum_tot")
+    cum = two_level_running_sum(cum, bucket, [F.col("h").asc()],
+                                F.lit(1), out="i")
+    t = hourly.agg(F.count(F.lit(1)).alias("n"), F.sum("tot").alias("s"))
+    scored = (cum.crossJoin(F.broadcast(t))
+              .select("h", (F.col("n") * F.col("cum_tot")
+                            - F.col("i") * F.col("s")).alias("S"),
+                      "n"))
+    peak = scored.agg(F.max(F.abs(F.col("S"))).alias("peak"))
+    return (scored.crossJoin(F.broadcast(peak))
+            .select(F.col("h").alias("bucket_ts"),
+                    F.round(F.col("S").cast("double") / F.col("n") / 100, 6)
+                    .alias("cusum"),
+                    (F.abs(F.col("S")) == F.col("peak")).cast("int")
+                    .alias("is_peak")))

@@ -637,3 +637,20 @@ def test_lang_confusion_normalizes_over_cells_not_rows(spark):
     plan = _plan(_specs()["text_lang_confusion"].fn(spark, SF_SMOKE))
     assert "partial_count" in plan
     assert "EvalPython" not in plan
+
+
+def test_changepoint_reads_checkpointed_hourly_once(spark):
+    """ts_changepoint's CUSUM branches must re-read the bounded
+    checkpointed hourly table, never re-scan events."""
+    plan = _plan(_specs()["ts_changepoint"].fn(spark, SF_SMOKE))
+    assert "Scan parquet" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_gini_row_stage_is_partial_agg(spark):
+    """agg_gini_concentration's only row-data stage is the
+    partial-combined per-source count; the ranked window runs over
+    the |sources|-sized table."""
+    plan = _plan(_specs()["agg_gini_concentration"].fn(spark, SF_SMOKE))
+    assert "partial_count" in plan
+    assert "EvalPython" not in plan
