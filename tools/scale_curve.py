@@ -98,6 +98,12 @@ CURVE_QUERIES = (
     "dq_expectations",        # one-scan 8-rule conditional-sum audit
     "agg_mutual_information",  # joint-count shuffle, checkpointed cells
     "graph_degree_histogram",  # distinct-edge shuffle + bounded rollup
+    "agg_corr_matrix",        # one-scan co-moment state
+    "text_lang_confusion",    # map-side scoring + 25-cell agg
+    "split_time_based",       # bounds scan + map gate + multi-distinct
+    "vec_normalize",          # map-only array expressions
+    "ts_changepoint",         # two-level integer CUSUM
+    "agg_gini_concentration",  # per-source count + bounded rank window
 )
 
 
