@@ -1010,14 +1010,27 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     it UNION ALL per pair. Both engines accumulate co-moments in
     partition order, but the estimator ratios cancel order effects
     to ~1 ulp; round(6) absorbs it (covariances here are O(1e2) with
-    1e-10 absolute error, correlations O(0.01))."""
+    1e-10 absolute error, correlations O(0.01)).
+
+    Degenerate-input caveat: under ANSI mode (Spark 4's default) the
+    built-in corr/covar_samp THROW DIVIDE_BY_ZERO on a zero-variance
+    column or a single-row table, where DuckDB returns NULL. The
+    TPC-H measures always vary, so the registered query can't hit it;
+    a corpus with a possibly-constant column should route through the
+    guarded two-pass form ts_autocorrelation uses (fuzz-verified
+    there)."""
     pin_session_conf(spark)
     li = load(spark, sf_dir, "lineitem")
     aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    null_d = F.lit(None).cast("double")
     for a, b in _CORR_PAIRS:
         tag = f"{a}__{b}"
-        aggs += [F.round(F.covar_samp(a, b), 6).alias(f"{tag}__cov"),
-                 F.round(F.corr(a, b), 6).alias(f"{tag}__cor")]
+        # nanvl: Spark emits NaN where DuckDB emits NULL on degenerate
+        # samples (n < 2, zero-variance column)
+        aggs += [F.round(F.nanvl(F.covar_samp(a, b), null_d), 6)
+                 .alias(f"{tag}__cov"),
+                 F.round(F.nanvl(F.corr(a, b), null_d), 6)
+                 .alias(f"{tag}__cor")]
     wide = li.agg(*aggs)
     stack = ", ".join(f"'{a}', '{b}', {a}__{b}__cov, {a}__{b}__cor"
                       for a, b in _CORR_PAIRS)

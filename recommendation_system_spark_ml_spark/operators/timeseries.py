@@ -372,8 +372,10 @@ def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ts_decompose", oracle="""
 WITH hourly AS (
-    SELECT date_trunc('hour', ts) AS h, avg(value) AS v
-    FROM events GROUP BY 1
+    SELECT h, v FROM (
+        SELECT date_trunc('hour', ts) AS h, avg(value) AS v
+        FROM events GROUP BY 1
+    ) WHERE v IS NOT NULL
 ), t AS (
     SELECT h, v,
            CASE WHEN count(*) OVER w = 24 THEN avg(v) OVER w END AS tr
@@ -420,8 +422,12 @@ def ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     the returned plan)."""
     pin_session_conf(spark)
     ev = load(spark, sf_dir, "events")
+    # all-NULL buckets are dropped by a filter shared verbatim with
+    # the oracle: a bucket with no usable values is a MISSING bucket
+    # (nulls the trend via the count-24 gate), not a NULL row
     hourly = (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
               .agg(F.avg("value").alias("v"))
+              .where(F.col("v").isNotNull())
               .localCheckpoint())
     # row at h serves targets t with h in [t-11h, t+12h] <=> t in
     # [h-12h, h+11h]
@@ -454,8 +460,10 @@ ACF_MAX_LAG = 24  # lags probed (one seasonal period of the hourly series)
 
 @register("ts_autocorrelation", oracle=f"""
 WITH hourly AS (
-    SELECT date_trunc('hour', ts) AS h, avg(value) AS v
-    FROM events GROUP BY 1
+    SELECT h, v FROM (
+        SELECT date_trunc('hour', ts) AS h, avg(value) AS v
+        FROM events GROUP BY 1
+    ) WHERE v IS NOT NULL
 ), lags AS (
     SELECT unnest(range(1, {ACF_MAX_LAG + 1})) AS lag_hours
 )
@@ -484,12 +492,23 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort, no driver data. Each lag uses its own pairwise-
     complete sample (the standard ACF-of-the-overlap estimator),
     so n_pairs documents the sample the correlation was taken on.
-    corr's co-moment accumulation is float, but the ratio cancels
-    partition-order effects to ~1 ulp; round(6) absorbs it."""
+
+    Degenerate-sample discipline (fuzz-caught): under ANSI mode
+    (Spark 4's default) the built-in corr THROWS DIVIDE_BY_ZERO on a
+    zero-variance side or a single-pair sample, where DuckDB's corr
+    quietly returns NULL -- so the correlation is computed as the
+    two-pass centered form (per-lag means broadcast back, then
+    guarded sxy / sqrt(sxx * syy) only when both variances are
+    positive), which is NULL on exactly DuckDB's NULL cases and
+    numerically agrees with the single-pass co-moments to ~1 ulp
+    (round(6) absorbs it). All-NULL hourly buckets are dropped from
+    the series by a filter shared verbatim with the oracle, so
+    pairwise deletion can't skew the centered means."""
     pin_session_conf(spark)
     ev = load(spark, sf_dir, "events")
     hourly = (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
               .agg(F.avg("value").alias("v"))
+              .where(F.col("v").isNotNull())
               .localCheckpoint())
     lags = spark.range(1, ACF_MAX_LAG + 1).select(
         F.col("id").alias("lag_hours"))
@@ -498,9 +517,19 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (a.crossJoin(F.broadcast(lags))
              .join(b, F.col("bh") == F.expr(
                  "ah - make_interval(0, 0, 0, 0, lag_hours, 0, 0)")))
-    return (pairs.groupBy("lag_hours")
+    means = (pairs.groupBy("lag_hours")
+             .agg(F.avg("av").alias("ma"), F.avg("bv").alias("mb")))
+    da, db = F.col("av") - F.col("ma"), F.col("bv") - F.col("mb")
+    sums = (pairs.join(F.broadcast(means), "lag_hours")
+            .groupBy("lag_hours")
             .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
-                 F.round(F.corr("av", "bv"), 6).alias("acf")))
+                 F.sum(da * db).alias("sxy"),
+                 F.sum(da * da).alias("sxx"),
+                 F.sum(db * db).alias("syy")))
+    acf = F.when((F.col("sxx") > 0) & (F.col("syy") > 0),
+                 F.col("sxy") / F.sqrt(F.col("sxx") * F.col("syy")))
+    return sums.select("lag_hours", "n_pairs",
+                       F.round(acf, 6).alias("acf"))
 
 
 @register("ts_changepoint", oracle="""

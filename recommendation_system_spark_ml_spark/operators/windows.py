@@ -425,8 +425,11 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id",
         F.array_sort(F.collect_list("value").over(w)).alias("arr"))
     n = F.size(F.col("arr"))
-    # truncating int casts of positive halves: ceil(n/2), floor(n/2)+1
-    med = (F.element_at("arr", ((n + 1) / 2).cast("int"))
-           + F.element_at("arr", (n / 2 + 1).cast("int"))) / 2
+    # truncating int casts of positive halves: ceil(n/2), floor(n/2)+1.
+    # collect_list skips NULL values, so an all-NULL frame leaves an
+    # EMPTY array -- guard n > 0 (element_at(_, 0) throws) and emit
+    # NULL, matching the oracle's median-of-no-values.
+    med = F.when(n > 0, (F.element_at("arr", ((n + 1) / 2).cast("int"))
+                         + F.element_at("arr", (n / 2 + 1).cast("int"))) / 2)
     return base.select("event_id", "user_id",
                        F.round(med, 6).alias("roll_median"))

@@ -1,0 +1,145 @@
+"""Property-based cross-engine fuzzing of the round-5 operators:
+random event streams (gaps, NULL values, constant series, single-user
+histories, tiny n) and random corpora (skewed domains, duplicate
+texts, 1-word docs) written to scratch parquet must produce identical
+results from each Spark operator and its DuckDB oracle. The fixture
+data is dense and NULL-free; this widens the input space to the
+degenerate shapes that historically diverge (NaN-vs-NULL corr,
+median of an all-NULL frame, empty seasonal tables, zero-variance
+series)."""
+
+import os
+import tempfile
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tests.conftest import assert_df_matches
+
+_EVENT_OPS = ("window_rolling_median", "ts_decompose",
+              "ts_autocorrelation", "ts_changepoint",
+              "split_time_based", "ts_seasonal_baseline")
+
+_DOC_OPS = ("pipeline_domain_quota", "pipeline_shard_manifest",
+            "text_top_terms", "agg_mutual_information",
+            "agg_gini_concentration", "text_lang_confusion")
+
+
+@st.composite
+def event_tables(draw):
+    """Hostile event shapes: hour gaps (whole missing buckets), NULL
+    and constant values, 2-decimal cents-exact floats, few users."""
+    n = draw(st.integers(5, 120))
+    n_users = draw(st.integers(1, 4))
+    constant = draw(st.booleans())
+    base = 1_704_067_200  # 2024-01-01 UTC
+    rows, t = [], base
+    for i in range(n):
+        # jumps up to ~3h create empty hourly buckets
+        t += draw(st.integers(60, 11_000))
+        if constant:
+            val = 7.25
+        elif draw(st.integers(0, 9)) == 0:
+            val = None
+        else:
+            val = draw(st.integers(-10_000, 10_000)) / 100.0
+        rows.append((i, t, i % n_users, val))
+    return rows
+
+
+def _write_events(rows) -> str:
+    out = tempfile.mkdtemp(prefix="rsml_fuzz_r5ev_")
+    table = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] * 1_000_000 for r in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array(["e" + str(r[0] % 3) for r in rows],
+                               pa.string()),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+    pq.write_table(table, os.path.join(out, "events.parquet"))
+    return out
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=event_tables())
+def test_r5_event_ops_match_oracles_on_hostile_streams(spark, rows):
+    from recommendation_system_spark_ml_spark.registry import all_specs
+
+    specs = all_specs()
+    sf_dir = _write_events(rows)
+    duck = duckdb.connect()
+    try:
+        duck.execute(
+            "CREATE OR REPLACE VIEW events AS SELECT * FROM "
+            f"read_parquet('{os.path.join(sf_dir, 'events.parquet')}')")
+        for name in _EVENT_OPS:
+            got = specs[name].fn(spark, sf_dir)
+            want = duck.execute(specs[name].oracle).df()
+            assert_df_matches(got, want)
+    finally:
+        duck.close()
+
+
+@st.composite
+def doc_tables(draw):
+    """Skewed-domain corpora: one mega-source, singleton sources,
+    duplicate texts, 1-word docs, lang labels the marker classifier
+    never predicts."""
+    vocab = ("the", "a", "of", "el", "la", "de", "le", "et", "zz",
+             "qq", "wordword", "x")
+    langs = ("en", "es", "fr", "de", "zz")
+    n = draw(st.integers(3, 40))
+    docs = []
+    for i in range(n):
+        if docs and draw(st.integers(0, 4)) == 0:
+            text = draw(st.sampled_from(docs))[1]  # exact duplicate
+        else:
+            ln = draw(st.integers(1, 30))
+            text = " ".join(draw(st.sampled_from(vocab))
+                            for _ in range(ln))
+        # skew: ~half of all docs land in src0
+        src = "src0" if draw(st.booleans()) else \
+            f"src{draw(st.integers(1, 6))}"
+        docs.append((i, text, draw(st.sampled_from(langs)), src))
+    return docs
+
+
+def _write_docs(docs) -> str:
+    out = tempfile.mkdtemp(prefix="rsml_fuzz_r5doc_")
+    table = pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array([d[1] for d in docs], pa.string()),
+        "lang": pa.array([d[2] for d in docs], pa.string()),
+        "source": pa.array([d[3] for d in docs], pa.string()),
+        "n_chars": pa.array([len(d[1]) for d in docs], pa.int64()),
+    })
+    pq.write_table(table, os.path.join(out, "documents.parquet"))
+    return out
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=doc_tables())
+def test_r5_doc_ops_match_oracles_on_skewed_corpora(spark, docs):
+    from recommendation_system_spark_ml_spark.registry import all_specs
+
+    specs = all_specs()
+    sf_dir = _write_docs(docs)
+    duck = duckdb.connect()
+    try:
+        duck.execute(
+            "CREATE OR REPLACE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{os.path.join(sf_dir, 'documents.parquet')}')")
+        for name in _DOC_OPS:
+            got = specs[name].fn(spark, sf_dir)
+            want = duck.execute(specs[name].oracle).df()
+            assert_df_matches(got, want)
+    finally:
+        duck.close()
