@@ -1081,3 +1081,64 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((2 * F.sum(F.col("i") * F.col("docs"))
                  - (n + 1) * tot).cast("double") / (n * tot), 6)
         .alias("gini"))
+
+
+@register("agg_weighted_median", oracle="""
+WITH w AS (
+    SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_c,
+           CAST(round(l_quantity, 0) AS BIGINT) AS wt,
+           l_orderkey, l_linenumber
+    FROM lineitem
+), c AS (
+    SELECT price_c, wt,
+           sum(wt) OVER (ORDER BY price_c, l_orderkey, l_linenumber
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cum_wt
+    FROM w
+), t AS (SELECT sum(wt) AS total FROM w)
+SELECT round(CAST(min(c.price_c) AS DOUBLE) / 100, 2)
+           AS weighted_median_price,
+       CAST(t.total AS BIGINT) AS total_weight
+FROM c CROSS JOIN t
+WHERE 2 * c.cum_wt >= t.total
+GROUP BY t.total
+""")
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median of the extended price: the smallest
+    price whose cumulative weight reaches half the total -- the
+    weighted-percentile primitive (billing percentiles, duration
+    SLOs weighted by traffic) that percentile()/approx_percentile
+    cannot express because they weight every row equally.
+
+    Exactness: prices ride integer cents and weights integer units,
+    the threshold test is the cross-multiplied 2*cum >= total (no
+    division anywhere), and the ordering (price, l_orderkey,
+    l_linenumber) is total -- ties among equal prices cannot change
+    the selected VALUE, but a deterministic order makes the cum_wt
+    column itself reproducible. The global cumulative weight is
+    two_level_running_sum over price-range buckets (running sum
+    inside each bucket in parallel + a broadcast per-bucket offset
+    table -- the agg_ks_drift ECDF recipe), so no single-reducer
+    sort exists at any scale; the oracle certifies it against the
+    naive global window."""
+    pin_session_conf(spark)
+    from recommendation_system_spark_ml_spark.operators.scale import (
+        two_level_running_sum)
+    li = load(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        .alias("price_c"),
+        F.round("l_quantity", 0).cast("long").alias("wt"),
+        "l_orderkey", "l_linenumber")
+    cum = two_level_running_sum(
+        li, F.floor(F.col("price_c") / 1_000_000).cast("long"),
+        [F.col("price_c").asc(), F.col("l_orderkey").asc(),
+         F.col("l_linenumber").asc()],
+        F.col("wt"), out="cum_wt")
+    t = li.agg(F.sum("wt").alias("total"))
+    return (cum.crossJoin(F.broadcast(t))
+            .where(2 * F.col("cum_wt") >= F.col("total"))
+            .groupBy("total")
+            .agg(F.round(F.min("price_c").cast("double") / 100, 2)
+                 .alias("weighted_median_price"))
+            .select("weighted_median_price",
+                    F.col("total").cast("long").alias("total_weight")))

@@ -654,3 +654,15 @@ def test_gini_row_stage_is_partial_agg(spark):
     plan = _plan(_specs()["agg_gini_concentration"].fn(spark, SF_SMOKE))
     assert "partial_count" in plan
     assert "EvalPython" not in plan
+
+
+def test_weighted_median_no_single_reducer_rows(spark):
+    """agg_weighted_median's cumulative weight is the two-level
+    recipe: the only SinglePartition exchange is the per-bucket
+    offset table -- row-sized columns never funnel through one
+    reducer, and no global row sort exists."""
+    plan = _plan(_specs()["agg_weighted_median"].fn(spark, SF_SMOKE))
+    for block in plan.split("\n\n"):
+        if "SinglePartition" in block:
+            assert "price_c" not in block or "__bucket" in block, block
+    assert "rangepartitioning" not in plan.lower()
