@@ -1976,3 +1976,63 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "labeled_lang", "predicted_lang", "n_docs",
         F.round(F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6)
         .alias("row_frac"))
+
+
+@register("text_zipf_slope", oracle="""
+WITH tf AS (
+    SELECT w, count(*) AS freq
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+          FROM documents)
+    WHERE w <> '' GROUP BY 1
+), ranked AS (
+    SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, w) AS DOUBLE))
+               AS lr,
+           ln(CAST(freq AS DOUBLE)) AS lf
+    FROM tf
+), m AS (
+    SELECT count(*) AS n, avg(lr) AS mlr, avg(lf) AS mlf FROM ranked
+)
+SELECT CAST(m.n AS BIGINT) AS n_terms,
+       round(CASE WHEN sum((r.lr - m.mlr) * (r.lr - m.mlr)) > 0
+                  THEN sum((r.lr - m.mlr) * (r.lf - m.mlf))
+                       / sum((r.lr - m.mlr) * (r.lr - m.mlr)) END, 6)
+           AS zipf_slope
+FROM ranked r CROSS JOIN m
+GROUP BY m.n
+""")
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent of the corpus: least-squares slope of
+    ln(frequency) against ln(rank) over the term-frequency table --
+    natural language sits near -1, and a corpus that drifts far from
+    it (flat: template/boilerplate floods; steep: degenerate
+    repetition) fails the smell test before any model sees it. The
+    companion corpus-level statistic to text_entropy's per-doc view.
+
+    Shape: the only row-data stage is the term-count groupBy
+    (map-side combinable); everything after lives on the vocabulary
+    table -- bounded by |vocab|, not corpus size. The rank window
+    over the vocab table orders by (freq DESC, w), a total order, so
+    ranks are cross-engine identical. The slope is the centered
+    two-pass form with a guarded division (the ts_autocorrelation
+    ANSI discipline: built-in regr_slope throws DIVIDE_BY_ZERO on a
+    single-term vocabulary where DuckDB returns NULL); ln only sees
+    integer counts and integer ranks."""
+    pin_session_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    tf = (docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+          .where(F.col("w") != "")
+          .groupBy("w").agg(F.count(F.lit(1)).alias("freq")))
+    w = Window.orderBy(F.col("freq").desc(), "w")
+    ranked = tf.select(
+        F.log(F.row_number().over(w).cast("double")).alias("lr"),
+        F.log(F.col("freq").cast("double")).alias("lf"))
+    m = ranked.agg(F.count(F.lit(1)).alias("n"),
+                   F.avg("lr").alias("mlr"), F.avg("lf").alias("mlf"))
+    dr, df_ = F.col("lr") - F.col("mlr"), F.col("lf") - F.col("mlf")
+    return (ranked.crossJoin(F.broadcast(m))
+            .groupBy("n")
+            .agg(F.sum(dr * df_).alias("sxy"), F.sum(dr * dr).alias("sxx"))
+            .select(F.col("n").cast("long").alias("n_terms"),
+                    F.round(F.when(F.col("sxx") > 0,
+                                   F.col("sxy") / F.col("sxx")), 6)
+                    .alias("zipf_slope")))

@@ -25,7 +25,8 @@ _EVENT_OPS = ("window_rolling_median", "ts_decompose",
 
 _DOC_OPS = ("pipeline_domain_quota", "pipeline_shard_manifest",
             "text_top_terms", "agg_mutual_information",
-            "agg_gini_concentration", "text_lang_confusion")
+            "agg_gini_concentration", "text_lang_confusion",
+            "text_zipf_slope")
 
 
 @st.composite
