@@ -433,3 +433,36 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                          + F.element_at("arr", (n / 2 + 1).cast("int"))) / 2)
     return base.select("event_id", "user_id",
                        F.round(med, 6).alias("roll_median"))
+
+
+@register("window_sliding_distinct_hll")
+def window_sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window_sliding_distinct's documented wide-span swap, now code
+    instead of a docstring promise: trailing-24h APPROXIMATE distinct
+    users per hour via mergeable HLL sketches (Datasketches
+    hll_sketch_agg / hll_union_agg). The exact form explodes the
+    deduped (user, hour) MEMBERSHIP table 24x; this form sketches
+    each hour ONCE (one ~KB binary per bucket, built map-side from
+    raw events) and explodes only the calendar-bounded per-hour
+    sketch table -- at 100 TB the slide cost becomes
+    |hours| x span x sketch_bytes, independent of user cardinality,
+    which is the whole point of the swap.
+
+    rows-only by nature (no portable SQL for HLL union); the
+    semantic gate in tests/test_aggregates_approx.py bounds the
+    estimate against the exact operator (default lgConfigK=12 ->
+    ~1.6% standard error; gated at 5%) on every observed window."""
+    pin_session_conf(spark)
+    ev = load(spark, sf_dir, "events")
+    hourly = (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+              .agg(F.hll_sketch_agg("user_id").alias("sk")))
+    wins = hourly.select(
+        "sk",
+        F.explode(F.expr(
+            "sequence(h, h + INTERVAL 23 HOURS, INTERVAL 1 HOUR)"))
+        .alias("w"))
+    obs = hourly.select(F.col("h").alias("w"))
+    return (wins.join(obs, "w", "left_semi")
+            .groupBy(F.col("w").alias("bucket_ts"))
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                 .alias("users_24h_est")))

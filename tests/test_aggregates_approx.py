@@ -117,3 +117,20 @@ def test_kmv_jaccard_error_bound(spark):
     for r in rows:
         err = abs(r.kmv_jaccard - r.exact_jaccard)
         assert err <= 0.25, (r.prio_a, r.prio_b, err)
+
+
+def test_sliding_distinct_hll_tracks_exact(spark):
+    """The HLL sliding-distinct swap must estimate every observed
+    window within 5% of the exact operator (lgConfigK=12 -> ~1.6%
+    standard error) and cover exactly the same window domain."""
+    from tests.conftest import SF_SMOKE
+    from recommendation_system_spark_ml_spark.registry import all_specs
+
+    specs = all_specs()
+    exact = {r.bucket_ts: r.users_24h for r in
+             specs["window_sliding_distinct"].fn(spark, SF_SMOKE).collect()}
+    est = {r.bucket_ts: r.users_24h_est for r in
+           specs["window_sliding_distinct_hll"].fn(spark, SF_SMOKE).collect()}
+    assert set(est) == set(exact)
+    for w, n in exact.items():
+        assert abs(est[w] - n) <= max(2, 0.05 * n), (w, n, est[w])
