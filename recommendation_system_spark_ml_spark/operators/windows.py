@@ -362,9 +362,10 @@ def window_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     is partial-aggregated map-side. The sequence() runs inside each
     row (no calendar cross join -- the ts_gapfill spine rule), and
     emitted windows are semi-joined to observed buckets so the output
-    domain matches the oracle's. At larger spans swap the exact
-    distinct for agg_hll_mergeable's sketch (same explode shape,
-    mergeable partials) -- the documented trade, not a silent cap.
+    domain matches the oracle's. At larger spans swap to the
+    IMPLEMENTED sketch twin window_sliding_distinct_hll (per-hour HLL
+    sketches, slide = union of bounded sketches, 5%-gated against
+    this operator) -- the trade is code, not a silent cap.
     The DuckDB oracle states the same thing as a range join, which is
     exactly the formulation that does NOT scale in Spark (an
     unbounded-growth broadcast range join per window) -- the explode
