@@ -1142,3 +1142,65 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("weighted_median_price"))
             .select("weighted_median_price",
                     F.col("total").cast("long").alias("total_weight")))
+
+
+@register("agg_distribution_shape", oracle="""
+WITH m AS (
+    SELECT l_returnflag, count(*) AS n, avg(l_extendedprice) AS mu
+    FROM lineitem GROUP BY 1
+), c AS (
+    SELECT l.l_returnflag, m.n,
+           sum((l.l_extendedprice - m.mu) * (l.l_extendedprice - m.mu))
+               / m.n AS m2,
+           sum((l.l_extendedprice - m.mu) * (l.l_extendedprice - m.mu)
+               * (l.l_extendedprice - m.mu)) / m.n AS m3,
+           sum((l.l_extendedprice - m.mu) * (l.l_extendedprice - m.mu)
+               * (l.l_extendedprice - m.mu) * (l.l_extendedprice - m.mu))
+               / m.n AS m4
+    FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+    GROUP BY 1, m.n
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       round(CASE WHEN m2 > 0 THEN m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2))
+             END, 6) AS skewness,
+       round(CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3 END, 6)
+           AS excess_kurtosis
+FROM c
+""")
+def agg_distribution_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group skewness and excess kurtosis of the extended price --
+    the distribution-shape read (heavy tail? lopsided?) that decides
+    whether mean-based QA thresholds are even meaningful, completing
+    the moment family next to agg_multi (spread) and agg_corr_matrix
+    (association). Deliberately NOT the built-ins: Spark's
+    skewness()/kurtosis() use population moments while DuckDB's use
+    sample-adjusted ones -- structurally different numbers -- so both
+    engines compute the IDENTICAL explicit centered-moment formula
+    (g1 = m3/m2^1.5, g2 = m4/m2^2 - 3), with the zero-variance group
+    guarded NULL on both sides (the ANSI corr discipline).
+
+    Shape: two-pass centered -- per-group means from one
+    partial-combined agg, broadcast back (|groups| rows), then one
+    aggregate carries all three central-moment sums (~6 doubles of
+    state per group per task). sqrt(m2)^3 rather than pow(m2, 1.5)
+    so both engines take bit-identical libm paths."""
+    pin_session_conf(spark)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice")
+    m = (li.groupBy("l_returnflag")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.avg("l_extendedprice").alias("mu")))
+    d = F.col("l_extendedprice") - F.col("mu")
+    c = (li.join(F.broadcast(m), "l_returnflag")
+         .groupBy("l_returnflag", "n")
+         .agg((F.sum(d * d) / F.col("n")).alias("m2"),
+              (F.sum(d * d * d) / F.col("n")).alias("m3"),
+              (F.sum(d * d * d * d) / F.col("n")).alias("m4")))
+    rt = F.sqrt(F.col("m2"))
+    return c.select(
+        "l_returnflag", F.col("n").cast("long").alias("n"),
+        F.round(F.when(F.col("m2") > 0,
+                       F.col("m3") / (rt * rt * rt)), 6).alias("skewness"),
+        F.round(F.when(F.col("m2") > 0,
+                       F.col("m4") / (F.col("m2") * F.col("m2")) - 3), 6)
+        .alias("excess_kurtosis"))

@@ -258,3 +258,51 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return click_purchase_join(ev.where(F.col("event_type") == "click"),
                                ev.where(F.col("event_type") == "purchase"))
+
+
+TRENDING_K = 3  # event types kept per window
+
+
+def trending_rank(counts: DataFrame) -> DataFrame:
+    """Finishing step of the trending-topk pattern: rank each
+    window's event types by count (ties broken on the type string)
+    and keep the top TRENDING_K. Ranking is not a streamable
+    operation (no window functions mid-stream), so this runs on the
+    SINK side -- over the windowed-count table, which is bounded by
+    |windows| x |event types|, never raw events. The same function
+    finishes both the batch twin and the memory-sink output of the
+    real stream (tests/test_streaming.py), so the ranking semantics
+    are verified identical."""
+    from pyspark.sql import Window as W
+    w = (W.partitionBy("window_start")
+         .orderBy(F.col("n_events").desc(), "event_type"))
+    return (counts.select("window_start", "event_type", "n_events",
+                          F.row_number().over(w).cast("long").alias("rank"))
+            .where(F.col("rank") <= TRENDING_K))
+
+
+@register("stream_topk_trending", oracle=f"""
+WITH c AS (
+    SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
+           event_type, count(*) AS n_events
+    FROM events GROUP BY 1, 2
+)
+SELECT window_start, event_type, n_events, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY window_start
+                                   ORDER BY n_events DESC, event_type) AS rn
+      FROM c)
+WHERE rn <= {TRENDING_K}
+""")
+def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending event types: top-{TRENDING_K} per 10-minute tumbling
+    window by count -- the live-dashboard staple ("what's hot right
+    now"). The windowed count is the streamable half (the same
+    watermarked tumbling aggregate stream_tumbling runs as a real
+    readStream); the rank is trending_rank, applied sink-side over
+    the bounded count table. tests/test_streaming.py pushes the count
+    half through a real readStream -> memory sink and finishes it
+    with the SAME trending_rank, matching this batch plan."""
+    pin_session_conf(spark)
+    counts = tumbling_counts(load(spark, sf_dir, "events")).select(
+        "window_start", "event_type", "n_events")
+    return trending_rank(counts)

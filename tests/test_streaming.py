@@ -327,3 +327,18 @@ def test_incremental_dedup_first_seen_wins_across_batches(spark, tmp_path):
     assert spark.read.parquet(idx).count() == n_idx
     assert {(r.batch_doc_id, r.keeper_doc_id)
             for r in spark.read.parquet(quar).collect()} == {(c, a), (d, b2)}
+
+
+def test_streaming_trending_topk_matches_batch(spark):
+    """Trending top-k: the windowed counts run as a REAL readStream
+    (complete mode -> memory sink); the sink-side trending_rank must
+    reproduce the batch twin exactly."""
+    from recommendation_system_spark_ml_spark.streaming.windows import (
+        trending_rank, tumbling_counts)
+    from recommendation_system_spark_ml_spark.registry import all_specs
+
+    got = trending_rank(
+        _run_stream(spark, tumbling_counts, "t_trending")
+        .select("window_start", "event_type", "n_events")).toPandas()
+    want = all_specs()["stream_topk_trending"].fn(spark, SF_SMOKE)
+    assert_df_matches(want, got)
