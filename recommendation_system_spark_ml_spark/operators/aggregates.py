@@ -1089,6 +1089,7 @@ WITH w AS (
            CAST(round(l_quantity, 0) AS BIGINT) AS wt,
            l_orderkey, l_linenumber
     FROM lineitem
+    WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
 ), c AS (
     SELECT price_c, wt,
            sum(wt) OVER (ORDER BY price_c, l_orderkey, l_linenumber
@@ -1124,11 +1125,16 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_session_conf(spark)
     from recommendation_system_spark_ml_spark.operators.scale import (
         two_level_running_sum)
-    li = load(spark, sf_dir, "lineitem").select(
-        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
-        .alias("price_c"),
-        F.round("l_quantity", 0).cast("long").alias("wt"),
-        "l_orderkey", "l_linenumber")
+    # shared NOT NULL filter (oracle identical): a NULL price would
+    # order NULLS FIRST in Spark but NULLS LAST in DuckDB, silently
+    # shifting the cumulative weights; NULL-weight rows carry nothing
+    li = (load(spark, sf_dir, "lineitem")
+          .where(F.col("l_extendedprice").isNotNull()
+                 & F.col("l_quantity").isNotNull())
+          .select(F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                  .alias("price_c"),
+                  F.round("l_quantity", 0).cast("long").alias("wt"),
+                  "l_orderkey", "l_linenumber"))
     cum = two_level_running_sum(
         li, F.floor(F.col("price_c") / 1_000_000).cast("long"),
         [F.col("price_c").asc(), F.col("l_orderkey").asc(),
@@ -1145,9 +1151,12 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("agg_distribution_shape", oracle="""
-WITH m AS (
+WITH base AS (
+    SELECT l_returnflag, l_extendedprice FROM lineitem
+    WHERE l_extendedprice IS NOT NULL
+), m AS (
     SELECT l_returnflag, count(*) AS n, avg(l_extendedprice) AS mu
-    FROM lineitem GROUP BY 1
+    FROM base GROUP BY 1
 ), c AS (
     SELECT l.l_returnflag, m.n,
            sum((l.l_extendedprice - m.mu) * (l.l_extendedprice - m.mu))
@@ -1157,7 +1166,7 @@ WITH m AS (
            sum((l.l_extendedprice - m.mu) * (l.l_extendedprice - m.mu)
                * (l.l_extendedprice - m.mu) * (l.l_extendedprice - m.mu))
                / m.n AS m4
-    FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+    FROM base l JOIN m ON l.l_returnflag = m.l_returnflag
     GROUP BY 1, m.n
 )
 SELECT l_returnflag, CAST(n AS BIGINT) AS n,
@@ -1185,8 +1194,11 @@ def agg_distribution_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     state per group per task). sqrt(m2)^3 rather than pow(m2, 1.5)
     so both engines take bit-identical libm paths."""
     pin_session_conf(spark)
-    li = load(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_extendedprice")
+    # shared NOT NULL filter: n must count exactly the rows the
+    # moment sums see, on both engines
+    li = (load(spark, sf_dir, "lineitem")
+          .where(F.col("l_extendedprice").isNotNull())
+          .select("l_returnflag", "l_extendedprice"))
     m = (li.groupBy("l_returnflag")
          .agg(F.count(F.lit(1)).alias("n"),
               F.avg("l_extendedprice").alias("mu")))

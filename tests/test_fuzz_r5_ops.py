@@ -21,7 +21,16 @@ from tests.conftest import assert_df_matches
 
 _EVENT_OPS = ("window_rolling_median", "ts_decompose",
               "ts_autocorrelation", "ts_changepoint",
-              "split_time_based", "ts_seasonal_baseline")
+              "split_time_based", "ts_seasonal_baseline",
+              "stream_topk_trending")
+
+# agg_corr_matrix is deliberately absent: its documented caveat is
+# that ANSI corr/covar_samp throw on a constant column, which this
+# generator can produce -- the TPC-H measures its register targets
+# cannot.
+_LINEITEM_OPS = ("dq_expectations", "agg_weighted_median",
+                 "agg_distribution_shape", "graph_degree_histogram",
+                 "analyze_table_stats")
 
 _DOC_OPS = ("pipeline_domain_quota", "pipeline_shard_manifest",
             "text_top_terms", "agg_mutual_information",
@@ -139,6 +148,71 @@ def test_r5_doc_ops_match_oracles_on_skewed_corpora(spark, docs):
             "CREATE OR REPLACE VIEW documents AS SELECT * FROM "
             f"read_parquet('{os.path.join(sf_dir, 'documents.parquet')}')")
         for name in _DOC_OPS:
+            got = specs[name].fn(spark, sf_dir)
+            want = duck.execute(specs[name].oracle).df()
+            assert_df_matches(got, want)
+    finally:
+        duck.close()
+
+
+@st.composite
+def lineitem_tables(draw):
+    """Hostile lineitem shapes: NULLs in every measure and enum,
+    out-of-range values that trip DQ rules, duplicate (orderkey,
+    linenumber) pairs broken by linenumber, tiny n."""
+    n = draw(st.integers(4, 80))
+    rows = []
+    for i in range(n):
+        def maybe(v):
+            return None if draw(st.integers(0, 9)) == 0 else v
+        rows.append((
+            i // 3 + 1, i % 3 + 1,
+            maybe(float(draw(st.integers(-5, 60)))),
+            maybe(draw(st.integers(-1000, 10_000_000)) / 100.0),
+            maybe(draw(st.integers(0, 15)) / 100.0),
+            maybe(draw(st.integers(0, 10)) / 100.0),
+            maybe(draw(st.sampled_from(["R", "A", "N", "X"]))),
+            maybe(draw(st.sampled_from(["O", "F", "Z"]))),
+            maybe(1_600_000_000 + draw(st.integers(0, 10_000_000))),
+        ))
+    return rows
+
+
+def _write_lineitem(rows) -> str:
+    out = tempfile.mkdtemp(prefix="rsml_fuzz_r5li_")
+    table = pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_partkey": pa.array([r[0] * 7 % 50 for r in rows], pa.int64()),
+        "l_suppkey": pa.array([r[0] * 3 % 11 for r in rows], pa.int64()),
+        "l_linenumber": pa.array([r[1] for r in rows], pa.int32()),
+        "l_quantity": pa.array([r[2] for r in rows], pa.float64()),
+        "l_extendedprice": pa.array([r[3] for r in rows], pa.float64()),
+        "l_discount": pa.array([r[4] for r in rows], pa.float64()),
+        "l_tax": pa.array([r[5] for r in rows], pa.float64()),
+        "l_returnflag": pa.array([r[6] for r in rows], pa.string()),
+        "l_linestatus": pa.array([r[7] for r in rows], pa.string()),
+        "l_shipdate": pa.array(
+            [None if r[8] is None else r[8] * 1_000_000 for r in rows],
+            pa.timestamp("us")),
+    })
+    pq.write_table(table, os.path.join(out, "lineitem.parquet"))
+    return out
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=lineitem_tables())
+def test_r5_lineitem_ops_match_oracles_on_nully_tables(spark, rows):
+    from recommendation_system_spark_ml_spark.registry import all_specs
+
+    specs = all_specs()
+    sf_dir = _write_lineitem(rows)
+    duck = duckdb.connect()
+    try:
+        duck.execute(
+            "CREATE OR REPLACE VIEW lineitem AS SELECT * FROM "
+            f"read_parquet('{os.path.join(sf_dir, 'lineitem.parquet')}')")
+        for name in _LINEITEM_OPS:
             got = specs[name].fn(spark, sf_dir)
             want = duck.execute(specs[name].oracle).df()
             assert_df_matches(got, want)
