@@ -104,6 +104,11 @@ CURVE_QUERIES = (
     "vec_normalize",          # map-only array expressions
     "ts_changepoint",         # two-level integer CUSUM
     "agg_gini_concentration",  # per-source count + bounded rank window
+    "agg_weighted_median",    # two-level cumulative weight
+    "text_zipf_slope",        # vocab-bounded two-pass slope
+    "window_sliding_distinct_hll",  # sketch-table explode, not rows
+    "agg_distribution_shape",  # two-pass centered moments
+    "stream_topk_trending",   # windowed counts + bounded rank
 )
 
 
