@@ -595,3 +595,88 @@ def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("cusum"),
                     (F.abs(F.col("S")) == F.col("peak")).cast("int")
                     .alias("is_peak")))
+
+
+XCORR_MAX_LAG = 12  # hours of lead/lag probed in each direction
+
+
+@register("ts_cross_correlation", oracle=f"""
+WITH ha AS (
+    SELECT h, v FROM (
+        SELECT date_trunc('hour', ts) AS h, avg(value) AS v
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ) WHERE v IS NOT NULL
+), hb AS (
+    SELECT h, v FROM (
+        SELECT date_trunc('hour', ts) AS h, avg(value) AS v
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ) WHERE v IS NOT NULL
+), lags AS (
+    SELECT unnest(range(-{XCORR_MAX_LAG}, {XCORR_MAX_LAG + 1})) AS lag_hours
+), pairs AS (
+    SELECT l.lag_hours, a.v AS av, b.v AS bv
+    FROM lags l
+    JOIN ha a ON TRUE
+    JOIN hb b ON b.h = a.h + to_hours(l.lag_hours)
+), m AS (
+    SELECT lag_hours, count(*) AS n, avg(av) AS ma, avg(bv) AS mb
+    FROM pairs GROUP BY 1
+)
+SELECT p.lag_hours, CAST(m.n AS BIGINT) AS n_pairs,
+       round(CASE WHEN sum((p.av - m.ma) * (p.av - m.ma)) > 0
+                  AND sum((p.bv - m.mb) * (p.bv - m.mb)) > 0
+             THEN sum((p.av - m.ma) * (p.bv - m.mb))
+                  / sqrt(sum((p.av - m.ma) * (p.av - m.ma))
+                         * sum((p.bv - m.mb) * (p.bv - m.mb))) END, 6)
+           AS xcorr
+FROM pairs p JOIN m ON p.lag_hours = m.lag_hours
+GROUP BY 1, m.n
+""")
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation between the hourly click and purchase value
+    series at lags -{XCORR_MAX_LAG}..+{XCORR_MAX_LAG}: a peak at
+    positive lag k means clicks LEAD purchases by k hours -- the
+    lead/lag diagnostic behind attribution windows and feature-lag
+    selection, completing the correlation family next to
+    ts_autocorrelation (self) and agg_corr_matrix (cross-column,
+    same row).
+
+    Shape and float discipline are ts_autocorrelation's verbatim:
+    two per-type hourly aggs (calendar-bounded, checkpointed,
+    all-NULL buckets dropped by a filter shared with the oracle), a
+    25-row broadcast lag table, the lag-join on timestamp
+    arithmetic, and the two-pass centered correlation with guarded
+    division (ANSI corr throws where DuckDB NULLs; the centered form
+    is NULL on exactly DuckDB's NULL cases)."""
+    pin_session_conf(spark)
+    ev = load(spark, sf_dir, "events")
+
+    def hourly(etype):
+        return (ev.where(F.col("event_type") == etype)
+                .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+                .agg(F.avg("value").alias("v"))
+                .where(F.col("v").isNotNull())
+                .localCheckpoint())
+
+    a = hourly("click").select(F.col("h").alias("ah"),
+                               F.col("v").alias("av"))
+    b = hourly("purchase").select(F.col("h").alias("bh"),
+                                  F.col("v").alias("bv"))
+    lags = spark.range(-XCORR_MAX_LAG, XCORR_MAX_LAG + 1).select(
+        F.col("id").alias("lag_hours"))
+    pairs = (a.crossJoin(F.broadcast(lags))
+             .join(b, F.col("bh") == F.expr(
+                 "ah + make_interval(0, 0, 0, 0, lag_hours, 0, 0)")))
+    means = (pairs.groupBy("lag_hours")
+             .agg(F.avg("av").alias("ma"), F.avg("bv").alias("mb")))
+    da, db = F.col("av") - F.col("ma"), F.col("bv") - F.col("mb")
+    sums = (pairs.join(F.broadcast(means), "lag_hours")
+            .groupBy("lag_hours")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                 F.sum(da * db).alias("sxy"),
+                 F.sum(da * da).alias("sxx"),
+                 F.sum(db * db).alias("syy")))
+    xcorr = F.when((F.col("sxx") > 0) & (F.col("syy") > 0),
+                   F.col("sxy") / F.sqrt(F.col("sxx") * F.col("syy")))
+    return sums.select("lag_hours", "n_pairs",
+                       F.round(xcorr, 6).alias("xcorr"))

@@ -22,7 +22,7 @@ from tests.conftest import assert_df_matches
 _EVENT_OPS = ("window_rolling_median", "ts_decompose",
               "ts_autocorrelation", "ts_changepoint",
               "split_time_based", "ts_seasonal_baseline",
-              "stream_topk_trending")
+              "stream_topk_trending", "ts_cross_correlation")
 
 # agg_corr_matrix is deliberately absent: its documented caveat is
 # that ANSI corr/covar_samp throw on a constant column, which this
@@ -67,8 +67,11 @@ def _write_events(rows) -> str:
         "ts": pa.array([r[1] * 1_000_000 for r in rows],
                        pa.timestamp("us")),
         "user_id": pa.array([r[2] for r in rows], pa.int64()),
-        "event_type": pa.array(["e" + str(r[0] % 3) for r in rows],
-                               pa.string()),
+        # real event types so type-filtered operators (seasonal
+        # baseline, cross-correlation) exercise non-empty series
+        "event_type": pa.array(
+            [("click", "purchase", "view")[r[0] % 3] for r in rows],
+            pa.string()),
         "value": pa.array([r[3] for r in rows], pa.float64()),
         "props": pa.array(["{}"] * len(rows), pa.string()),
     })
