@@ -221,3 +221,38 @@ def test_r5_lineitem_ops_match_oracles_on_nully_tables(spark, rows):
             assert_df_matches(got, want)
     finally:
         duck.close()
+
+
+# Pre-r5 event-table operators swept by the same hostile generator:
+# these were hardened in their own rounds (shared NOT NULL filters,
+# floor-tie quantization, total orderings) -- this net keeps them that
+# way. join_asof / series_spine / window_lag_diff are absent only
+# because their oracles also read orders, which this generator does
+# not synthesize (the orders-table fuzz nets cover them).
+_EVENT_OPS_PRE_R5 = (
+    "ts_gapfill", "ts_ewma", "ts_anomaly_mad", "ts_resample_ohlc",
+    "sessionize_events", "scd2_history", "window_sliding_distinct",
+    "funnel_events", "retention_cohorts", "pattern_adjacent_conversion",
+    "join_asof_nearest", "window_gaps_islands", "stream_tumbling",
+    "stream_sliding", "stream_session", "agg_ks_drift")
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=event_tables())
+def test_pre_r5_event_ops_match_oracles_on_hostile_streams(spark, rows):
+    from recommendation_system_spark_ml_spark.registry import all_specs
+
+    specs = all_specs()
+    sf_dir = _write_events(rows)
+    duck = duckdb.connect()
+    try:
+        duck.execute(
+            "CREATE OR REPLACE VIEW events AS SELECT * FROM "
+            f"read_parquet('{os.path.join(sf_dir, 'events.parquet')}')")
+        for name in _EVENT_OPS_PRE_R5:
+            got = specs[name].fn(spark, sf_dir)
+            want = duck.execute(specs[name].oracle).df()
+            assert_df_matches(got, want)
+    finally:
+        duck.close()
