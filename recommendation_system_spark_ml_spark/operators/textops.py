@@ -190,8 +190,13 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_session_conf(spark)
     docs = load(spark, sf_dir, "documents")
     # project the word array first -- a split() inside the transform
-    # lambda would re-tokenize the document once per bigram index
-    with_ws = docs.select(F.split(F.lower("text"), " ").alias("ws"))
+    # lambda would re-tokenize the document once per bigram index.
+    # Drop sub-bigram docs BEFORE the expansion (fuzz-caught): on a
+    # 1-word doc sequence(0, -1) steps BACKWARDS in Spark ([0, -1]),
+    # so ws[i + 1] indexes out of bounds under ANSI -- DuckDB's
+    # generate_series(1, 0) is simply empty.
+    with_ws = (docs.select(F.split(F.lower("text"), " ").alias("ws"))
+               .where(F.size("ws") >= 2))
     bigrams = F.expr(
         "transform(sequence(0, size(ws) - 2), "
         "i -> concat(ws[i], ' ', ws[i + 1]))")

@@ -256,3 +256,40 @@ def test_pre_r5_event_ops_match_oracles_on_hostile_streams(spark, rows):
             assert_df_matches(got, want)
     finally:
         duck.close()
+
+
+# Pre-r5 document-table operators swept by the same skewed-corpus
+# generator (complements test_fuzz_textops' adversarial-shape net).
+# This sweep CAUGHT a real crash: text_ngrams on a 1-word doc --
+# Spark's sequence(0, -1) steps backwards, indexing ws[-1+1..] out of
+# bounds under ANSI where DuckDB's generate_series(1, 0) is empty.
+_DOC_OPS_PRE_R5 = (
+    "text_tfidf", "text_tokens", "text_langid", "text_quality",
+    "text_ngrams", "text_corpus_report", "text_repetition",
+    "text_unigram_logprob", "text_pii_redact", "pipeline_decontaminate",
+    "pipeline_chunk_documents", "dedup_exact", "dedup_fingerprint",
+    "pipeline_docs", "dedup_ngram_spans", "text_winnow_fingerprint",
+    "pipeline_curriculum", "pipeline_token_budget",
+    "pipeline_pack_sequences", "pipeline_interleave",
+    "pipeline_end_to_end", "split_leakage_safe", "pipeline_dedup_report")
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=doc_tables())
+def test_pre_r5_doc_ops_match_oracles_on_skewed_corpora(spark, docs):
+    from recommendation_system_spark_ml_spark.registry import all_specs
+
+    specs = all_specs()
+    sf_dir = _write_docs(docs)
+    duck = duckdb.connect()
+    try:
+        duck.execute(
+            "CREATE OR REPLACE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{os.path.join(sf_dir, 'documents.parquet')}')")
+        for name in _DOC_OPS_PRE_R5:
+            got = specs[name].fn(spark, sf_dir)
+            want = duck.execute(specs[name].oracle).df()
+            assert_df_matches(got, want)
+    finally:
+        duck.close()
