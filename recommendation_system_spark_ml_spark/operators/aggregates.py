@@ -163,7 +163,8 @@ def agg_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS c_acctbal
 FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
              row_number() OVER (PARTITION BY c_mktsegment
-                                ORDER BY c_acctbal, c_custkey) AS rn
+                                ORDER BY c_acctbal NULLS LAST,
+                                         c_custkey) AS rn
       FROM customer) WHERE rn = 1
 """)
 def topk_argmin(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -171,7 +172,8 @@ def topk_argmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- deterministic tie-break on the key column."""
     from pyspark.sql import Window as W
     pin_session_conf(spark)
-    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.asc_nulls_last("c_acctbal"), "c_custkey")
     return (load(spark, sf_dir, "customer")
             .select("c_mktsegment", "c_custkey", "c_acctbal")
             .withColumn("rn", F.row_number().over(w))

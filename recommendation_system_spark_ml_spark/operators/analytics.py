@@ -179,14 +179,15 @@ SELECT c_custkey, c_mktsegment,
        round(percent_rank() OVER w, 6) AS pct_rank,
        round(cume_dist() OVER w, 6) AS cum_dist
 FROM customer
-WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal NULLS LAST)
 """)
 def window_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution windows: percent_rank + cume_dist per segment.
     Ties share a value, so results are deterministic without a
     tie-break column. One shuffle on the partition key."""
     pin_session_conf(spark)
-    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.asc_nulls_last("c_acctbal"))
     return (load(spark, sf_dir, "customer")
             .select("c_custkey", "c_mktsegment",
                     F.round(F.percent_rank().over(w), 6).alias("pct_rank"),

@@ -102,9 +102,15 @@ def proj_split_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     as '::'-delimited strings, then split + positional cast back."""
     pin_session_conf(spark)
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    # concat (NULL-propagating, matching the oracle's ||), NOT
+    # concat_ws: concat_ws SKIPS null fields, so a null status would
+    # shift every later field left and the positional parts[2] cast
+    # indexes out of bounds under ANSI (fuzz-caught crash).
     encoded = (load(spark, sf_dir, "orders")
-               .select(F.concat_ws("::", F.col("o_orderkey"), F.col("o_orderstatus"),
-                                   cents).alias("line")))
+               .select(F.concat(F.col("o_orderkey").cast("string"),
+                                F.lit("::"), F.col("o_orderstatus"),
+                                F.lit("::"), cents.cast("string"))
+                       .alias("line")))
     parts = F.split(F.col("line"), "::")
     return encoded.select(
         parts.getItem(0).cast("long").alias("o_orderkey"),

@@ -53,13 +53,15 @@ SELECT o_custkey, o_orderkey,
        round(o_totalprice - coalesce(lag(o_totalprice) OVER w, 0), 2) AS price_diff,
        CAST(datediff('day', lag(o_orderdate) OVER w, o_orderdate) AS INTEGER) AS days_since_prev
 FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_orderdate NULLS LAST, o_orderkey)
 """)
 def window_lag_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5: lag + first-difference + fillna(0) -- the reference's
     SSE.diff().fillna(0) elbow input (MLR.py:49), distributed."""
     pin_session_conf(spark)
-    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.asc_nulls_last("o_orderdate"), "o_orderkey")
     return (load(spark, sf_dir, "orders")
             .select("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate")
             .select("o_custkey", "o_orderkey",
@@ -73,11 +75,13 @@ def window_lag_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("window_frame", oracle="""
 SELECT o_custkey, o_orderkey,
        CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
-            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate NULLS LAST, o_orderkey
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0
        AS running_spend,
        round(avg(o_totalprice)
-             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate NULLS LAST, o_orderkey
                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg_3
 FROM orders
 """)
@@ -85,7 +89,8 @@ def window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit frames: running total (integer-cents exact) + 3-row
     moving average."""
     pin_session_conf(spark)
-    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.asc_nulls_last("o_orderdate"), "o_orderkey")
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
     return (load(spark, sf_dir, "orders")
             .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
@@ -117,7 +122,8 @@ def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("window_ntile", oracle="""
 SELECT c_custkey,
-       CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS balance_quartile
+       CAST(ntile(4) OVER (ORDER BY c_acctbal NULLS LAST, c_custkey)
+            AS INTEGER) AS balance_quartile
 FROM customer
 """)
 def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -137,9 +143,15 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = 4
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     # c_acctbal spans [-999.99, 9999.99]: ~22 buckets of width 500.
+    # NULL balances ride a sentinel bucket ABOVE every real one
+    # (matching the oracle's NULLS LAST): floor(NULL) would make a
+    # NULL bucket key, and the offset equi-join silently drops
+    # NULL-keyed rows (fuzz-caught row loss).
     bucketed = cust.withColumn(
-        "bucket", F.floor(F.col("c_acctbal") / 500).cast("long"))
-    wb = W.partitionBy("bucket").orderBy("c_acctbal", "c_custkey")
+        "bucket", F.coalesce(F.floor(F.col("c_acctbal") / 500),
+                             F.lit(10**9)).cast("long"))
+    wb = W.partitionBy("bucket").orderBy(
+        F.asc_nulls_last("c_acctbal"), "c_custkey")
     within = bucketed.withColumn("rn_in_bucket", F.row_number().over(wb))
     counts = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
     woff = (W.orderBy("bucket")
@@ -165,11 +177,12 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_custkey, o_orderkey,
        round(first_value(o_totalprice) OVER w, 2) AS first_price,
        round(last_value(o_totalprice) OVER (
-           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           PARTITION BY o_custkey ORDER BY o_orderdate NULLS LAST, o_orderkey
            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS last_price,
        CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_orders
 FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_orderdate NULLS LAST, o_orderkey)
 """)
 def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first_value / last_value with explicit frames: each customer's
@@ -180,7 +193,8 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-day orders deterministic. One shuffle on o_custkey serves all
     three windows (same partitioning)."""
     pin_session_conf(spark)
-    wo = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wo = W.partitionBy("o_custkey").orderBy(
+        F.asc_nulls_last("o_orderdate"), "o_orderkey")
     wfull = wo.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     return (load(spark, sf_dir, "orders")
             .select("o_custkey", "o_orderkey",

@@ -293,3 +293,90 @@ def test_pre_r5_doc_ops_match_oracles_on_skewed_corpora(spark, docs):
             assert_df_matches(got, want)
     finally:
         duck.close()
+
+
+# Orders/customer operators under NULL-heavy tables. This net caught
+# SEVEN real divergences in one sweep -- all the same class: Spark
+# orders NULLS FIRST ascending where DuckDB defaults NULLS LAST, so
+# any window/rank ordered on a nullable column silently disagreed
+# (lag_diff, frame, first_last, cume, topk_argmin), window_ntile's
+# NULL-keyed bucket rows vanished through an equi-join, and
+# proj_split_cast's concat_ws SKIPPED null fields, shifting positional
+# casts out of bounds under ANSI. Fixes: explicit NULLS LAST shared
+# with every oracle, a sentinel bucket, NULL-propagating concat.
+_ORDERS_OPS = ("window_lag_diff", "window_frame", "window_ntile",
+               "topk_argmin", "window_first_last", "window_cume",
+               "window_rank", "sort_limit", "proj_split_cast",
+               "filter_pred", "agg_avg_groupby", "agg_cube",
+               "agg_minmax_by", "split_hash", "window_range_frame")
+
+
+@st.composite
+def orders_customer_tables(draw):
+    """NULL-heavy orders + customer pair: every non-key column
+    nullable, duplicate order dates, negative balances."""
+    n = draw(st.integers(5, 60))
+    def maybe(v):
+        return None if draw(st.integers(0, 7)) == 0 else v
+    orders = []
+    for i in range(n):
+        orders.append((
+            i + 1, maybe(draw(st.integers(1, 12))),
+            maybe(draw(st.sampled_from(["O", "F", "P"]))),
+            maybe(draw(st.integers(100, 50_000_000)) / 100.0),
+            maybe(draw(st.integers(8000, 12000)) * 86_400 * 1_000_000),
+            maybe(draw(st.sampled_from(
+                ["1-URGENT", "2-HIGH", "3-MEDIUM"]))),
+        ))
+    cust = []
+    for i in range(draw(st.integers(3, 25))):
+        cust.append((
+            i + 1, maybe("Customer#%09d" % (i + 1)),
+            maybe(draw(st.sampled_from(
+                ["BUILDING", "MACHINERY", "AUTOMOBILE"]))),
+            maybe(draw(st.integers(-99_999, 999_999)) / 100.0),
+        ))
+    return orders, cust
+
+
+def _write_orders_customer(tables) -> str:
+    orders, cust = tables
+    out = tempfile.mkdtemp(prefix="rsml_fuzz_r5ord_")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([r[0] for r in orders], pa.int64()),
+        "o_custkey": pa.array([r[1] for r in orders], pa.int64()),
+        "o_orderstatus": pa.array([r[2] for r in orders], pa.string()),
+        "o_totalprice": pa.array([r[3] for r in orders], pa.float64()),
+        "o_orderdate": pa.array([r[4] for r in orders],
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array([r[5] for r in orders], pa.string()),
+    }), os.path.join(out, "orders.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([r[0] for r in cust], pa.int64()),
+        "c_name": pa.array([r[1] for r in cust], pa.string()),
+        "c_mktsegment": pa.array([r[2] for r in cust], pa.string()),
+        "c_acctbal": pa.array([r[3] for r in cust], pa.float64()),
+    }), os.path.join(out, "customer.parquet"))
+    return out
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(tables=orders_customer_tables())
+def test_orders_ops_match_oracles_on_nully_tables(spark, tables):
+    from recommendation_system_spark_ml_spark.registry import all_specs
+
+    specs = all_specs()
+    sf_dir = _write_orders_customer(tables)
+    duck = duckdb.connect()
+    try:
+        for t in ("orders", "customer"):
+            duck.execute(
+                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{os.path.join(sf_dir, t)}.parquet')")
+        for name in _ORDERS_OPS:
+            got = specs[name].fn(spark, sf_dir)
+            want = duck.execute(specs[name].oracle).df()
+            assert_df_matches(got, want)
+    finally:
+        duck.close()
