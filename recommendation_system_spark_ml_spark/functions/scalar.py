@@ -26,7 +26,7 @@ SELECT p_partkey,
        upper(p_brand) AS brand_upper,
        substring(p_name, 1, 4) AS name_prefix,
        CAST(length(p_name) AS INTEGER) AS name_len,
-       concat(p_brand, ':', p_type) AS brand_type,
+       p_brand || ':' || p_type AS brand_type,
        regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
        replace(p_type, 'STANDARD', 'STD') AS type_short,
        p_name LIKE '%bolt%' AS is_bolt,
@@ -41,7 +41,9 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("p_brand").alias("brand_upper"),
         F.substring("p_name", 1, 4).alias("name_prefix"),
         F.length("p_name").alias("name_len"),
-        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        # concat (NULL-propagating, = the oracle's ||), NOT concat_ws:
+        # concat_ws skips NULL fields AND their separators
+        F.concat("p_brand", F.lit(":"), "p_type").alias("brand_type"),
         F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
         F.replace(F.col("p_type"), F.lit("STANDARD"), F.lit("STD")).alias("type_short"),
         F.col("p_name").like("%bolt%").alias("is_bolt"),
@@ -196,7 +198,7 @@ def udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("fn_map", oracle="""
 SELECT event_id,
        array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
-       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
        CAST(len(json_keys(props)) AS INTEGER) AS n_keys
 FROM events
 """)
@@ -205,12 +207,21 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     once, then map_keys / element_at / size -- the schema-on-read
     pattern for open-ended JSON at scale (parse once, not per field)."""
     pin_session_conf(spark)
-    m = F.from_json("props", "map<string,bigint>")
+    # map<string,STRING>, not bigint: one non-numeric value anywhere in
+    # the object would null the WHOLE map under a bigint schema (while
+    # the oracle's json_keys still sees the keys) -- parse values as
+    # strings, then try_cast the field of interest (fuzz-caught).
+    m = F.from_json("props", "map<string,string>")
     return (load(spark, sf_dir, "events")
             .select("event_id", m.alias("m"))
             .select("event_id",
-                    F.concat_ws(",", F.array_sort(F.map_keys("m"))).alias("keys_csv"),
-                    F.element_at("m", "k").alias("k_val"),
+                    # guard the NULL map: concat_ws returns '' (never
+                    # NULL) on a NULL array, where the oracle's
+                    # array_to_string(NULL) stays NULL
+                    F.when(F.col("m").isNotNull(),
+                           F.concat_ws(",", F.array_sort(F.map_keys("m"))))
+                    .alias("keys_csv"),
+                    F.try_element_at("m", F.lit("k")).cast("bigint").alias("k_val"),
                     F.size(F.map_keys("m")).alias("n_keys")))
 
 
@@ -417,7 +428,7 @@ def udf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT n_nationkey,
        lpad(n_name, 20, '*') AS padded_l,
        rpad(n_name, 20, '.') AS padded_r,
-       trim(concat('  ', n_name, '  ')) AS trimmed,
+       trim('  ' || n_name || '  ') AS trimmed,
        replace(n_name, '_', '-') AS replaced,
        reverse(n_name) AS reversed
 FROM nation

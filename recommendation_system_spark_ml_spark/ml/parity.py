@@ -135,6 +135,14 @@ SELECT p_partkey,
 FROM part
 """)
 def ml_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-hot encoding is definitionally vocabulary-bound: the output
+    COLUMNS are the category set discovered at fit time, so the oracle
+    necessarily enumerates this corpus's six p_type values -- on a
+    different corpus the columns differ by construction (not a
+    divergence; the encoder was 'trained' on different data). NULL
+    categories would add a 'null' pivot column in Spark where a SQL
+    CASE enumeration has nowhere to put them; a NULL-bearing corpus
+    should impute or drop before encoding."""
     pin_session_conf(spark)
     return onehot_parts(spark, sf_dir)
 
@@ -452,6 +460,8 @@ WITH src AS (
            CAST(l_extendedprice AS DOUBLE) AS p,
            CAST(l_discount AS DOUBLE) AS d
     FROM lineitem
+    WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+      AND l_discount IS NOT NULL
 ), stats AS (
     SELECT min(q) AS qmn, max(q) AS qmx,
            min(p) AS pmn, max(p) AS pmx,
@@ -496,7 +506,13 @@ def ml_minmax_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import MinMaxScaler
     from pyspark.ml.functions import vector_to_array
 
+    # shared NOT NULL filter (oracle identical): VectorAssembler's
+    # default handleInvalid='error' aborts the fit on a NULL feature,
+    # and a scaler is fit on observed values anyway (fuzz-caught)
     li = (load(spark, sf_dir, "lineitem")
+          .where(F.col("l_quantity").isNotNull()
+                 & F.col("l_extendedprice").isNotNull()
+                 & F.col("l_discount").isNotNull())
           .select("l_orderkey", "l_linenumber",
                   F.col("l_quantity").cast("double").alias("q"),
                   F.col("l_extendedprice").cast("double").alias("p"),

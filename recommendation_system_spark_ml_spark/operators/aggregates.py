@@ -454,8 +454,13 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial = lambda df: (df.groupBy("mon", "o_orderpriority")  # noqa: E731
                           .agg(F.count(F.lit(1)).alias("n"),
                                F.sum("cents").alias("c")))
+    # the split must be a PARTITION of the rows: a bare mon < cutoff /
+    # mon >= cutoff pair drops NULL-dated orders from BOTH states
+    # (NULL compares as neither) while the full-scan oracle counts
+    # them (fuzz-caught row loss) -- undatable rows ride the delta
     frozen_state = partial(orders.where(F.col("mon") < cutoff))
-    delta_state = partial(orders.where(F.col("mon") >= cutoff))
+    delta_state = partial(orders.where(
+        (F.col("mon") >= cutoff) | F.col("mon").isNull()))
     return (frozen_state.unionByName(delta_state)
             .groupBy("o_orderpriority")
             .agg(F.sum("n").alias("n_orders"),

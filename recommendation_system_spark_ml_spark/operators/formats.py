@@ -37,7 +37,14 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins the comparison either way."""
     pin_session_conf(spark)
     path = _scratch(sf_dir, "customer_csv")
+    # write EXACTLY the read schema's columns in its order: with an
+    # explicit schema Spark maps CSV fields POSITIONALLY (the header
+    # row is only skipped, not matched by name), so writing the whole
+    # table would silently mis-map if the source column order ever
+    # differed (fuzz-caught: a segment string read as DOUBLE -> NULL)
     (load(spark, sf_dir, "customer")
+     .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+             "c_mktsegment")
      .write.mode("overwrite").option("header", True).csv(path))
     schema = ("c_custkey BIGINT, c_name STRING, c_nationkey INT, "
               "c_acctbal DOUBLE, c_mktsegment STRING")
@@ -109,7 +116,8 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("scan_binaryfile", oracle="""
 WITH lines AS (
     SELECT c_custkey,
-           c_custkey || '::' || c_name || '::' || c_mktsegment || chr(10) AS line
+           c_custkey || '::' || coalesce(c_name, '') || '::'
+               || coalesce(c_mktsegment, '') || chr(10) AS line
     FROM customer
 ), blob AS (
     SELECT string_agg(line, '' ORDER BY c_custkey) AS content FROM lines
@@ -137,8 +145,10 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch(sf_dir, "customer_bin")
     (load(spark, sf_dir, "customer")
      .select("c_custkey",
-             F.concat_ws("::", F.col("c_custkey"), F.col("c_name"),
-                         F.col("c_mktsegment")).alias("value"))
+             F.concat(F.col("c_custkey").cast("string"), F.lit("::"),
+                      F.coalesce(F.col("c_name"), F.lit("")), F.lit("::"),
+                      F.coalesce(F.col("c_mktsegment"), F.lit("")))
+             .alias("value"))
      .repartition(1).sortWithinPartitions("c_custkey").select("value")
      .write.mode("overwrite").text(path))
     return (spark.read.format("binaryFile")

@@ -40,8 +40,13 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         for pdf in pdfs:
             n += len(pdf)
             # integer cents: float sums must be associative across
-            # engines, so accumulate exactly like the window oracles do
-            cents += int(pdf["value"].mul(100).round(0).astype("int64").sum())
+            # engines, so accumulate exactly like the window oracles do.
+            # dropna BEFORE the int cast: a NULL value is NaN here and
+            # NaN.astype(int64) raises (fuzz-caught crash); dropping it
+            # matches the oracle's NULL-skipping sum while n keeps
+            # count(*) semantics.
+            cents += int(pdf["value"].dropna().mul(100).round(0)
+                         .astype("int64").sum())
         state.update((n, cents))
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
                             "sum_cents": [cents]})
