@@ -534,9 +534,11 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ts_changepoint", oracle="""
 WITH hourly AS (
-    SELECT date_trunc('hour', ts) AS h,
-           sum(CAST(round(value * 100, 0) AS BIGINT)) AS tot
-    FROM events GROUP BY 1
+    SELECT h, tot FROM (
+        SELECT date_trunc('hour', ts) AS h,
+               sum(CAST(round(value * 100, 0) AS BIGINT)) AS tot
+        FROM events GROUP BY 1
+    ) WHERE tot IS NOT NULL
 ), c AS (
     SELECT h, tot,
            sum(tot) OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING
@@ -573,9 +575,14 @@ def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from recommendation_system_spark_ml_spark.operators.scale import (
         two_level_running_sum)
     ev = load(spark, sf_dir, "events")
+    # drop all-NULL buckets (filter shared verbatim with the oracle):
+    # a NULL bucket total would null the two-level WITHIN-BUCKET
+    # prefix while the oracle's single global window just carries the
+    # previous cumsum past it (fuzz-caught NULL-vs-value divergence)
     hourly = (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
               .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long"))
                    .alias("tot"))
+              .where(F.col("tot").isNotNull())
               .localCheckpoint())
     bucket = F.floor(F.unix_micros(F.col("h").cast("timestamp"))
                      / 86_400_000_000).cast("long")  # day buckets
