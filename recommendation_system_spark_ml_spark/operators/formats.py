@@ -240,7 +240,8 @@ def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("scan_csv_malformed", oracle="""
-SELECT CAST(count(*) FILTER (WHERE n_nationkey % 7 <> 0) AS BIGINT)
+SELECT CAST(count(*) FILTER (WHERE n_nationkey IS NULL
+                                OR n_nationkey % 7 <> 0) AS BIGINT)
            AS n_good,
        CAST(count(*) FILTER (WHERE n_nationkey % 7 = 0) AS BIGINT)
            AS n_corrupt
@@ -261,11 +262,18 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_session_conf(spark)
     path = _scratch(sf_dir, "nation_malformed")
     nation = load(spark, sf_dir, "nation")
-    line = F.concat_ws(
-        ",",
-        F.when(F.col("n_nationkey") % 7 == 0, F.lit("garbage"))
-        .otherwise(F.col("n_nationkey").cast("string")),
-        "n_name", F.col("n_regionkey").cast("string"))
+    # NULL-safe encode: every field rendered (coalesce ''), so the
+    # ONLY corrupt rows are the deliberate garbage ones -- concat_ws
+    # would SKIP a NULL field, shift the line left, and turn an
+    # innocent NULL into a parse failure the oracle can't predict
+    # (fuzz-caught); an empty CSV int field parses as NULL, not error.
+    line = F.concat(
+        F.coalesce(
+            F.when(F.col("n_nationkey") % 7 == 0, F.lit("garbage"))
+            .otherwise(F.col("n_nationkey").cast("string")), F.lit("")),
+        F.lit(","), F.coalesce(F.col("n_name"), F.lit("")),
+        F.lit(","), F.coalesce(F.col("n_regionkey").cast("string"),
+                               F.lit("")))
     nation.select(line.alias("value")).write.mode("overwrite").text(path)
     schema = ("n_nationkey INT, n_name STRING, n_regionkey INT, "
               "_corrupt_record STRING")

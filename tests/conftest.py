@@ -53,7 +53,12 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
             except TypeError:
                 out[c] = out[c].dt.tz_convert("UTC").dt.tz_localize(None)
         elif out[c].dtype == object:
-            out[c] = out[c].astype(str)
+            # uniform NULL sentinel BEFORE stringifying: Spark hands
+            # None where DuckDB hands NaN for the same SQL NULL (e.g.
+            # boolean columns), and astype(str) would render them as
+            # the distinct strings 'None' vs 'nan'
+            out[c] = out[c].map(
+                lambda v: "<NULL>" if pd.isna(v) else str(v))
         elif pd.api.types.is_integer_dtype(out[c]):
             out[c] = out[c].astype("int64")
         elif pd.api.types.is_float_dtype(out[c]):

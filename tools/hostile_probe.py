@@ -1,0 +1,151 @@
+"""Hostile-data probe: NULL-heavy random twins of all ten tables,
+then EVERY oracle-backed registered query compared to its DuckDB
+oracle. This is the sweep that found 16 real latent divergences in
+round 5 (NULL orderings, NULL-key join row loss, concat_ws semantics,
+ANSI crashes, positional CSV mis-mapping) that the NULL-free fixtures
+can never hit. Run it whenever operators are added or NULL handling
+changes: python tools/hostile_probe.py [seed].
+
+Expected steady-state: 2 documented holdouts -- ml_onehot (one-hot
+columns are definitionally the fixture vocabulary) and, under some
+seeds, any future op with a documented degenerate-input caveat
+(agg_corr_matrix's ANSI corr on a constant column).
+"""
+import os
+import random
+import sys
+import tempfile
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+sys.path.insert(0, os.path.join(_ROOT, "tests"))
+import duckdb
+import pyarrow as pa, pyarrow.parquet as pq
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.driver.memory", "24g")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from tests.conftest import assert_df_matches
+from recommendation_system_spark_ml_spark.registry import all_specs
+specs = all_specs()
+random.seed(int(sys.argv[1]) if len(sys.argv) > 1 else 3)
+print("seed:", sys.argv[1] if len(sys.argv) > 1 else 3, flush=True)
+out = tempfile.mkdtemp(prefix="probe_all_")
+
+def maybe(v, p=0.1):
+    return None if random.random() < p else v
+
+def write(name, cols):
+    pq.write_table(pa.table(cols), os.path.join(out, f"{name}.parquet"))
+
+R, N, S, C, P, O = 3, 6, 8, 20, 15, 50
+write("region", {"r_regionkey": pa.array(range(R), pa.int64()),
+                 "r_name": pa.array([maybe(f"REGION{i}") for i in range(R)], pa.string()),
+                 "r_comment": pa.array([maybe("c%d" % i) for i in range(R)], pa.string())})
+write("nation", {"n_nationkey": pa.array(range(N), pa.int64()),
+                 "n_name": pa.array([maybe(f"NATION{i}") for i in range(N)], pa.string()),
+                 "n_regionkey": pa.array([maybe(i % R, 0.05) for i in range(N)], pa.int64()),
+                 "n_comment": pa.array([maybe("nc") for _ in range(N)], pa.string())})
+write("supplier", {"s_suppkey": pa.array(range(1, S+1), pa.int64()),
+                   "s_name": pa.array([maybe("Supplier#%d" % i) for i in range(S)], pa.string()),
+                   "s_nationkey": pa.array([maybe(i % N, 0.05) for i in range(S)], pa.int64()),
+                   "s_acctbal": pa.array([maybe(random.randint(-9999, 99999)/100.0) for _ in range(S)], pa.float64()),
+                   "s_address": pa.array([maybe("addr") for _ in range(S)], pa.string()),
+                   "s_phone": pa.array([maybe("123-456") for _ in range(S)], pa.string()),
+                   "s_comment": pa.array([maybe("sc") for _ in range(S)], pa.string())})
+write("customer", {"c_custkey": pa.array(range(1, C+1), pa.int64()),
+                   "c_name": pa.array([maybe("Customer#%09d" % i) for i in range(C)], pa.string()),
+                   "c_nationkey": pa.array([maybe(i % N, 0.05) for i in range(C)], pa.int64()),
+                   "c_mktsegment": pa.array([maybe(random.choice(["BUILDING","MACHINERY","AUTOMOBILE"])) for _ in range(C)], pa.string()),
+                   "c_acctbal": pa.array([maybe(random.randint(-99999, 999999)/100.0) for _ in range(C)], pa.float64()),
+                   "c_address": pa.array([maybe("ca") for _ in range(C)], pa.string()),
+                   "c_phone": pa.array([maybe("987") for _ in range(C)], pa.string()),
+                   "c_comment": pa.array([maybe("cc") for _ in range(C)], pa.string())})
+write("part", {"p_partkey": pa.array(range(1, P+1), pa.int64()),
+               "p_name": pa.array([maybe(" ".join(random.sample(["red","green","blue","small","large"], 2))) for _ in range(P)], pa.string()),
+               "p_brand": pa.array([maybe("Brand#%d" % random.randint(1,5)) for _ in range(P)], pa.string()),
+               "p_type": pa.array([maybe(random.choice(["ECONOMY BRASS","STANDARD COPPER","PROMO STEEL"])) for _ in range(P)], pa.string()),
+               "p_size": pa.array([maybe(random.randint(1, 50)) for _ in range(P)], pa.int32()),
+               "p_container": pa.array([maybe(random.choice(["SM BOX","LG CASE","MED BAG"])) for _ in range(P)], pa.string()),
+               "p_retailprice": pa.array([maybe(random.randint(100, 200000)/100.0) for _ in range(P)], pa.float64()),
+               "p_mfgr": pa.array([maybe("Mfgr#%d" % random.randint(1,5)) for _ in range(P)], pa.string()),
+               "p_comment": pa.array([maybe("pc") for _ in range(P)], pa.string())})
+write("orders", {"o_orderkey": pa.array(range(1, O+1), pa.int64()),
+                 "o_custkey": pa.array([maybe(random.randint(1, C), 0.08) for _ in range(O)], pa.int64()),
+                 "o_orderstatus": pa.array([maybe(random.choice("OFP")) for _ in range(O)], pa.string()),
+                 "o_totalprice": pa.array([maybe(random.randint(100, 50000000)/100.0) for _ in range(O)], pa.float64()),
+                 "o_orderdate": pa.array([maybe(random.randint(8000, 12000)*86400*1_000_000) for _ in range(O)], pa.timestamp("us")),
+                 "o_orderpriority": pa.array([maybe(random.choice(["1-URGENT","2-HIGH","3-MEDIUM","4-NOT SPECIFIED","5-LOW"])) for _ in range(O)], pa.string()),
+                 "o_comment": pa.array([maybe("oc") for _ in range(O)], pa.string())})
+L = 120
+li_rows = []
+for i in range(L):
+    li_rows.append((random.randint(1, O), random.randint(1, P), random.randint(1, S), i % 7 + 1))
+write("lineitem", {"l_orderkey": pa.array([r[0] for r in li_rows], pa.int64()),
+                   "l_partkey": pa.array([maybe(r[1], 0.05) for r in li_rows], pa.int64()),
+                   "l_suppkey": pa.array([maybe(r[2], 0.05) for r in li_rows], pa.int64()),
+                   "l_linenumber": pa.array([r[3] for r in li_rows], pa.int32()),
+                   "l_quantity": pa.array([maybe(float(random.randint(1, 50))) for _ in range(L)], pa.float64()),
+                   "l_extendedprice": pa.array([maybe(random.randint(100, 10000000)/100.0) for _ in range(L)], pa.float64()),
+                   "l_discount": pa.array([maybe(random.randint(0, 10)/100.0) for _ in range(L)], pa.float64()),
+                   "l_tax": pa.array([maybe(random.randint(0, 8)/100.0) for _ in range(L)], pa.float64()),
+                   "l_returnflag": pa.array([maybe(random.choice("RAN")) for _ in range(L)], pa.string()),
+                   "l_linestatus": pa.array([maybe(random.choice("OF")) for _ in range(L)], pa.string()),
+                   "l_shipdate": pa.array([maybe(random.randint(8000, 12000)*86400*1_000_000) for _ in range(L)], pa.timestamp("us"))})
+E = 90
+t = 1_704_067_200
+ev = []
+for i in range(E):
+    t += random.randint(60, 11000)
+    ev.append((i, t))
+write("events", {"event_id": pa.array([r[0] for r in ev], pa.int64()),
+                 "ts": pa.array([r[1]*1_000_000 for r in ev], pa.timestamp("us")),
+                 "user_id": pa.array([i % 4 for i in range(E)], pa.int64()),
+                 "event_type": pa.array([maybe(random.choice(["click","purchase","view","signup","error"]), 0.06) for _ in range(E)], pa.string()),
+                 "value": pa.array([maybe(random.randint(-10000, 10000)/100.0) for _ in range(E)], pa.float64()),
+                 "props": pa.array([maybe('{"device":"mobile","step":%d}' % random.randint(1,5), 0.15) for _ in range(E)], pa.string())})
+D = 25
+vocab = ["the","a","of","el","la","de","zz","qq","wordword","x"]
+docs = []
+for i in range(D):
+    if docs and random.random() < 0.2:
+        txt = docs[-1][1]
+    else:
+        txt = " ".join(random.choice(vocab) for _ in range(random.randint(1, 25)))
+    docs.append((i, txt))
+write("documents", {"doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                    "text": pa.array([d[1] for d in docs], pa.string()),
+                    "lang": pa.array([random.choice(["en","es","fr"]) for _ in range(D)], pa.string()),
+                    "source": pa.array(["src%d" % random.randint(0, 3) for _ in range(D)], pa.string()),
+                    "n_chars": pa.array([len(d[1]) for d in docs], pa.int64())})
+V = 30
+write("embeddings", {"vec_id": pa.array(range(V), pa.int64()),
+                     "embedding": pa.array([[random.uniform(-1,1) for _ in range(64)] for _ in range(V)],
+                                           pa.list_(pa.float32())),
+                     "label": pa.array([i % 4 for i in range(V)], pa.int32())})
+
+duck = duckdb.connect()
+for tname in ("region nation customer supplier part orders lineitem events documents embeddings").split():
+    duck.execute(f"CREATE VIEW {tname} AS SELECT * FROM read_parquet('{out}/{tname}.parquet')")
+skip = {"ml_onehot"}  # vocabulary-bound by definition (see its docstring)
+results = {"OK": 0}
+fails = []
+for name in sorted(specs):
+    spec = specs[name]
+    if spec.oracle is None or name in skip:
+        continue
+    try:
+        got = spec.fn(spark, out)
+        want = duck.execute(spec.oracle).df()
+        assert_df_matches(got, want)
+        results["OK"] += 1
+    except AssertionError as e:
+        fails.append((name, "MISMATCH", str(e)[:130]))
+    except Exception as e:
+        fails.append((name, type(e).__name__, str(e)[:130]))
+for f in fails:
+    print("FAIL", *f, flush=True)
+print("SUMMARY OK:", results["OK"], "FAIL:", len(fails), flush=True)
+
+if fails:
+    sys.exit(1)
