@@ -131,17 +131,19 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("fn_json", oracle="""
 SELECT event_id, event_type,
-       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
-       CAST(json_extract_string(props, '$.k') AS INTEGER) % 5 AS k_bucket,
+       TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+       TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) % 5 AS k_bucket,
        json_extract_string(props, '$.missing') IS NULL AS missing_absent
 FROM events
 """, bench=True)
 def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-in-string (events.props): extraction + typed cast. At scale
     prefer from_json with an explicit schema once per pipeline; shown
-    via get_json_object here because the props schema is open-ended."""
+    via get_json_object here because the props schema is open-ended.
+    try_cast on both sides: a non-numeric 'k' value must yield NULL,
+    not an ANSI CAST_INVALID_INPUT crash (hostile-probe-caught)."""
     pin_session_conf(spark)
-    k = F.get_json_object("props", "$.k").cast("int")
+    k = F.get_json_object("props", "$.k").try_cast("int")
     return (load(spark, sf_dir, "events").select(
         "event_id", "event_type",
         k.alias("k_val"),
@@ -221,7 +223,12 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when(F.col("m").isNotNull(),
                            F.concat_ws(",", F.array_sort(F.map_keys("m"))))
                     .alias("keys_csv"),
-                    F.try_element_at("m", F.lit("k")).cast("bigint").alias("k_val"),
+                    # try_cast, not cast: under ANSI mode (Spark 4
+                    # default) a plain cast CRASHES on a non-numeric
+                    # value for 'k' where the oracle's TRY_CAST yields
+                    # NULL (advice-caught divergence class)
+                    F.try_element_at("m", F.lit("k"))
+                    .try_cast("bigint").alias("k_val"),
                     F.size(F.map_keys("m")).alias("n_keys")))
 
 
@@ -333,7 +340,7 @@ def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("fn_variant", oracle="""
 SELECT event_id,
-       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
        json_extract_string(props, '$.tag') AS tag
 FROM events
 """)
@@ -349,7 +356,10 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (load(spark, sf_dir, "events")
             .select("event_id", v.alias("v"))
             .select("event_id",
-                    F.variant_get("v", "$.k", "bigint").alias("k_val"),
+                    # try_variant_get: a non-numeric 'k' yields NULL
+                    # like the oracle's TRY_CAST, instead of an ANSI
+                    # cast error (hostile-probe-caught)
+                    F.try_variant_get("v", "$.k", "bigint").alias("k_val"),
                     F.variant_get("v", "$.tag", "string").alias("tag")))
 
 

@@ -205,18 +205,35 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types])
 
 
-@register("agg_approx")  # rows-only: HLL sketch values are engine-specific
+@register("agg_approx", oracle="""
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS approx_within_5pct
+FROM lineitem GROUP BY 1
+""")
 def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) next to the exact count.
-    At 100 TB the sketch is the only affordable distinct: it merges
-    map-side with bounded memory while exact distinct shuffles every
-    key. tests/test_aggregates_approx.py asserts <= 5% relative error
-    (2% rsd configured)."""
+    """approx_count_distinct (HyperLogLog++) GATED against the exact
+    count. At 100 TB the sketch is the only affordable distinct: it
+    merges map-side with bounded memory while exact distinct shuffles
+    every key.
+
+    Oracle-backed via the CONTRACT pattern (r5 verdict task #5: give
+    rows-only queries their strongest checkable form): the sketch
+    VALUE is engine-specific and can never hash-match, but the sketch
+    CONTRACT -- estimate within 5% of exact (2% rsd configured, so
+    5% is a ~2.5-sigma bound) -- is a boolean both engines can state.
+    The oracle asserts TRUE; if the estimate ever drifts out of
+    bound, the driver hash-check goes red. exact_parts rides along as
+    the hash-checked ground truth."""
     pin_session_conf(spark)
+    approx = F.approx_count_distinct("l_partkey", rsd=0.02)
+    exact = F.countDistinct("l_partkey")
     return (load(spark, sf_dir, "lineitem")
             .groupBy("l_returnflag")
-            .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-                 F.countDistinct("l_partkey").alias("exact_parts")))
+            .agg(exact.alias("exact_parts"),
+                 (F.abs(approx - exact)
+                  <= F.greatest(F.lit(1), 0.05 * exact))
+                 .alias("approx_within_5pct")))
 
 
 @register("agg_minmax_by", oracle="""
@@ -304,15 +321,29 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n")))
 
 
-@register("agg_hll_mergeable")  # rows-only: sketch binaries are engine-specific
+@register("agg_hll_mergeable", oracle="""
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_shard,
+       (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) FROM lineitem)
+           AS exact_global,
+       TRUE AS shard_within_5pct,
+       TRUE AS merged_within_5pct
+FROM lineitem GROUP BY 1
+""")
 def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketches (Apache DataSketches, Spark 3.5+): build
     one sketch per returnflag shard, then UNION the shard sketches
     into a global estimate -- the exact workflow a 100 TB rollup uses
     (per-partition/day sketches persisted, merged at query time,
-    never re-scanning the raw data). Output: per-shard estimates plus
-    the merged global next to the exact count for the test's error
-    bound (tests/test_aggregates_approx.py)."""
+    never re-scanning the raw data).
+
+    Oracle-backed via the contract pattern (see agg_approx): sketch
+    binaries are engine-specific, so the output carries the exact
+    counts (hash-checked values) plus two booleans the oracle pins
+    TRUE -- each shard estimate within 5% of its exact count, and
+    the MERGED estimate within 5% of the global exact (certifying
+    the union path, not just per-shard accuracy; default lgConfigK=12
+    is ~1.6% standard error, so 5% is a ~3-sigma bound)."""
     pin_session_conf(spark)
     li = load(spark, sf_dir, "lineitem")
     shards = (li.groupBy("l_returnflag")
@@ -322,20 +353,32 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_union_agg("sk").alias("sk_all"))
         .select(F.hll_sketch_estimate("sk_all").cast("long")
                 .alias("global_estimate")))
-    per_shard = shards.select(
-        "l_returnflag",
-        F.hll_sketch_estimate("sk").cast("long").alias("shard_estimate"),
-        "exact_shard")
     exact_global = li.agg(F.countDistinct("l_partkey").alias("exact_global"))
-    return (per_shard.crossJoin(F.broadcast(merged))
-            .crossJoin(F.broadcast(exact_global)))
+
+    def within(est, exact):
+        return F.abs(est - exact) <= F.greatest(F.lit(1), 0.05 * exact)
+
+    return (shards.crossJoin(F.broadcast(merged))
+            .crossJoin(F.broadcast(exact_global))
+            .select(
+                "l_returnflag", "exact_shard", "exact_global",
+                within(F.hll_sketch_estimate("sk").cast("long"),
+                       F.col("exact_shard")).alias("shard_within_5pct"),
+                within(F.col("global_estimate"), F.col("exact_global"))
+                .alias("merged_within_5pct")))
 
 
 _CMS_DEPTH_SEEDS = (823, 1733, 2741)  # one hash row per seed
 _CMS_WIDTH = 2048
 
 
-@register("agg_count_min_sketch")  # rows-only: hash layout is engine-specific
+@register("agg_count_min_sketch", oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS exact_n,
+       TRUE AS cms_overestimates,
+       TRUE AS cms_within_slack
+FROM orders GROUP BY 1
+""")
 def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch frequency estimates, expression-native: the
     d x w cell grid is built as a (seed, bucket) -> count aggregate
@@ -368,11 +411,22 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("bucket",
                     F.pmod(F.xxhash64("o_orderstatus", "seed"),
                            F.lit(_CMS_WIDTH))))
+    # Contract-pattern oracle (see agg_approx): the cell grid depends
+    # on xxhash64 collisions no other engine reproduces, so the
+    # hash-checked output is exact_n plus the two CMS guarantees as
+    # booleans -- estimate >= exact (one-sided by construction) and
+    # within additive slack max(5, 1% of exact).
     return (probes.join(cells, on=["seed", "bucket"])
             .groupBy("o_orderstatus")
             .agg(F.max("exact_n").alias("exact_n"),
                  F.min("cell").alias("cms_n"))
-            .select("o_orderstatus", "exact_n", "cms_n"))
+            .select("o_orderstatus", "exact_n",
+                    (F.col("cms_n") >= F.col("exact_n"))
+                    .alias("cms_overestimates"),
+                    ((F.col("cms_n") - F.col("exact_n"))
+                     <= F.greatest(F.lit(5),
+                                   (0.01 * F.col("exact_n")).cast("long")))
+                    .alias("cms_within_slack")))
 
 
 @register("agg_mode", oracle="""
@@ -475,15 +529,25 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     and MERGEABLE across partitions. accuracy=10000 bounds the rank
     error at 1/10000; tests assert the approx value lands within the
     exact p49-p51 band (rank-error contract, not value equality --
-    sketch internals are engine-specific, hence rows-only)."""
+    sketch internals are engine-specific, hence rows-only).
+
+    Output shape: ALL SCALAR columns. The multi-quantile call returns
+    array<double>; it is unpacked to p25_approx / p75_approx because
+    the driver's canonicalizer sorts rows via pandas, which cannot
+    hash an ndarray cell -- the array form crashed the r5 harness
+    (the round's only red row) even though the values were right."""
     pin_session_conf(spark)
+    multi = F.expr(
+        "approx_percentile(l_extendedprice, array(0.25, 0.75), 10000)")
     return (load(spark, sf_dir, "lineitem")
             .groupBy("l_returnflag")
             .agg(F.expr("approx_percentile(l_extendedprice, 0.5, 10000)")
                  .alias("p50_approx"),
                  F.expr("percentile(l_extendedprice, 0.5)").alias("p50_exact"),
-                 F.expr("approx_percentile(l_extendedprice,"
-                        " array(0.25, 0.75), 10000)").alias("p25_p75_approx")))
+                 multi.alias("_pq"))
+            .select("l_returnflag", "p50_approx", "p50_exact",
+                    F.col("_pq")[0].alias("p25_approx"),
+                    F.col("_pq")[1].alias("p75_approx")))
 
 
 @register("agg_regression", oracle="""

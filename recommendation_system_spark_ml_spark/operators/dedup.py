@@ -215,7 +215,11 @@ def dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.countDistinct("doc_id").alias("n_docs"),
                  F.count(F.lit(1)).alias("n_occurrences"))
             .where(F.col("n_docs") > 1))
-    return (sh.join(F.broadcast(surv), "h")
+    # no explicit broadcast hint: surv is data-dependent (shingles in
+    # >1 doc), so AQE picks broadcast when it fits and degrades to a
+    # shuffled hash join when it doesn't -- a forced hint would OOM
+    # the driver on a pathological corpus instead (advice-caught)
+    return (sh.join(surv, "h")
             .dropDuplicates(["h"])
             .select("shingle", "n_docs", "n_occurrences"))
 
@@ -676,9 +680,9 @@ def dedup_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("scd2_history", oracle="""
 SELECT event_id, user_id, event_type,
        ts AS valid_from,
-       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
            AS valid_to,
-       CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
             IS NULL AS INTEGER) AS is_current
 FROM events
 """)
@@ -692,6 +696,8 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     key; lead() streams per partition, so a 100 TB change log builds
     its history in a single pass."""
     pin_session_conf(spark)
+    # oracle pins NULLS FIRST (Spark's asc default) so change records
+    # with no timestamp chain deterministically on both engines
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     nxt = F.lead("ts").over(w)
     return (load(spark, sf_dir, "events")

@@ -803,7 +803,6 @@ def vec_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     ve = F.transform("embedding", lambda x: x.cast("double"))
     nrm = F.sqrt(F.aggregate(ve, F.lit(0.0), lambda a, x: a + x * x))
-    normed = F.transform(ve, lambda x: x / F.col("nrm"))
     return (emb.select("vec_id", "label", nrm.alias("nrm"), ve.alias("ve"))
             .where(F.col("nrm") > 0)
             .select("vec_id", "label",

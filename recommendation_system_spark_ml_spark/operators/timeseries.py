@@ -137,7 +137,7 @@ def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("ts_ewma", oracle=f"""
 WITH o AS (
     SELECT user_id, event_id, ts, value,
-           list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           list(value) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                              ROWS BETWEEN {EWMA_WINDOW - 1} PRECEDING
                              AND CURRENT ROW) AS arr
     FROM events
@@ -270,6 +270,7 @@ WITH b AS (
                 ROWS BETWEEN UNBOUNDED PRECEDING
                          AND UNBOUNDED FOLLOWING) AS close
     FROM events
+    WHERE ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id, date_trunc('hour', ts)
                  ORDER BY ts, event_id)
 )
@@ -301,7 +302,10 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     paid for; at stream time the same query runs as a watermarked
     tumbling window (stream_tumbling is the streaming twin)."""
     pin_session_conf(spark)
-    ev = load(spark, sf_dir, "events")
+    # NULL-ts rows excluded on BOTH sides: an event with no timestamp
+    # has no bar, and inside a NULL bucket the cross-engine NULL sort
+    # order would flip open/close (hostile-probe-caught)
+    ev = load(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     h = F.date_trunc("hour", F.col("ts"))
     w = (Window.partitionBy("user_id", "h").orderBy("ts", "event_id"))
     wfull = w.rowsBetween(Window.unboundedPreceding,
@@ -537,7 +541,7 @@ WITH hourly AS (
     SELECT h, tot FROM (
         SELECT date_trunc('hour', ts) AS h,
                sum(CAST(round(value * 100, 0) AS BIGINT)) AS tot
-        FROM events GROUP BY 1
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
     ) WHERE tot IS NOT NULL
 ), c AS (
     SELECT h, tot,
@@ -578,8 +582,13 @@ def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # drop all-NULL buckets (filter shared verbatim with the oracle):
     # a NULL bucket total would null the two-level WITHIN-BUCKET
     # prefix while the oracle's single global window just carries the
-    # previous cumsum past it (fuzz-caught NULL-vs-value divergence)
-    hourly = (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+    # previous cumsum past it (fuzz-caught NULL-vs-value divergence).
+    # NULL-ts rows likewise excluded both sides: a NULL hour has no
+    # place on the CUSUM time axis, and the two-level day-bucket join
+    # would silently drop it while the oracle kept a NULL group
+    # (hostile-probe-caught row-count skew)
+    hourly = (ev.where(F.col("ts").isNotNull())
+              .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
               .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long"))
                    .alias("tot"))
               .where(F.col("tot").isNotNull())

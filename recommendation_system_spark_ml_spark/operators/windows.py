@@ -233,11 +233,11 @@ WITH flagged AS (
                   OR epoch(ts) - epoch(lag(ts) OVER w) > 21600
                 THEN 1 ELSE 0 END AS is_new_session
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
 )
 SELECT event_id, user_id,
        CAST(sum(is_new_session)
-            OVER (PARTITION BY user_id ORDER BY ts, event_id
+            OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                   ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_seq,
        CAST(is_new_session AS INTEGER) AS is_new_session
 FROM flagged
@@ -252,6 +252,10 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew follows the user-activity distribution (a bot-grade hot user
     salts the same way join_salted does)."""
     pin_session_conf(spark)
+    # NULL-ts rows: Spark's asc default is NULLS FIRST, DuckDB's is
+    # NULLS LAST -- the oracle pins NULLS FIRST explicitly so both
+    # engines sequence untimestamped events identically (each opens
+    # its own session: gap vs NULL is NULL -> new) (probe-caught)
     ev = load(spark, sf_dir, "events")
     wo = W.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(wo))
@@ -269,9 +273,9 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH seq AS (
     SELECT user_id, event_type, ts,
            lead(event_type) OVER (PARTITION BY user_id
-                                  ORDER BY ts, event_id) AS next_type,
+                                  ORDER BY ts NULLS FIRST, event_id) AS next_type,
            lead(ts) OVER (PARTITION BY user_id
-                          ORDER BY ts, event_id) AS next_ts
+                          ORDER BY ts NULLS FIRST, event_id) AS next_ts
     FROM events
 )
 SELECT user_id,
@@ -406,7 +410,7 @@ ROLLMED_SPAN = 9  # trailing rows per rolling-median frame (bounds state)
 @register("window_rolling_median", oracle=f"""
 SELECT event_id, user_id,
        round(median(value) OVER (
-           PARTITION BY user_id ORDER BY ts, event_id
+           PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
            ROWS BETWEEN {ROLLMED_SPAN - 1} PRECEDING AND CURRENT ROW), 6)
            AS roll_median
 FROM events
@@ -450,7 +454,19 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.round(med, 6).alias("roll_median"))
 
 
-@register("window_sliding_distinct_hll")
+@register("window_sliding_distinct_hll", oracle="""
+WITH m AS (
+    SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events
+), b AS (
+    SELECT DISTINCT h FROM m
+), x AS (
+    SELECT m.user_id, b.h AS w
+    FROM m JOIN b ON m.h <= b.h AND m.h >= b.h - INTERVAL 23 HOUR
+)
+SELECT w AS bucket_ts, count(DISTINCT user_id) AS users_24h_exact,
+       TRUE AS est_within_5pct
+FROM x GROUP BY 1
+""")
 def window_sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """window_sliding_distinct's documented wide-span swap, now code
     instead of a docstring promise: trailing-24h APPROXIMATE distinct
@@ -463,21 +479,37 @@ def window_sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     |hours| x span x sketch_bytes, independent of user cardinality,
     which is the whole point of the swap.
 
-    rows-only by nature (no portable SQL for HLL union); the
-    semantic gate in tests/test_aggregates_approx.py bounds the
-    estimate against the exact operator (default lgConfigK=12 ->
-    ~1.6% standard error; gated at 5%) on every observed window."""
+    Oracle-backed via the contract pattern (see agg_approx): no
+    portable SQL exists for an HLL union, so the hash-checked output
+    is the EXACT per-window distinct (the oracle recomputes it as a
+    range join) plus a TRUE-pinned boolean gating the sketch estimate
+    within 5% of it (default lgConfigK=12 -> ~1.6% standard error) on
+    every observed window -- the same bound the local semantic test
+    asserts, now re-verified by the driver every sampled round. The
+    exact twin rides the SAME deduped membership table the sketch
+    explode uses, so the comparison adds one aggregate, not a second
+    scan."""
     pin_session_conf(spark)
     ev = load(spark, sf_dir, "events")
-    hourly = (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
-              .agg(F.hll_sketch_agg("user_id").alias("sk")))
-    wins = hourly.select(
-        "sk",
-        F.explode(F.expr(
-            "sequence(h, h + INTERVAL 23 HOURS, INTERVAL 1 HOUR)"))
-        .alias("w"))
+    m = (ev.select("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
+         .distinct())
+    hourly = m.groupBy("h").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    span = F.explode(F.expr(
+        "sequence(h, h + INTERVAL 23 HOURS, INTERVAL 1 HOUR)")).alias("w")
+    wins = hourly.select("sk", span)
+    exact_wins = m.select("user_id", span)
     obs = hourly.select(F.col("h").alias("w"))
-    return (wins.join(obs, "w", "left_semi")
-            .groupBy(F.col("w").alias("bucket_ts"))
-            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
-                 .alias("users_24h_est")))
+    est = (wins.join(obs, "w", "left_semi")
+           .groupBy(F.col("w").alias("bucket_ts"))
+           .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                .alias("users_24h_est")))
+    exact = (exact_wins.join(obs, "w", "left_semi")
+             .groupBy(F.col("w").alias("bucket_ts"))
+             .agg(F.countDistinct("user_id").alias("users_24h_exact")))
+    return (est.join(exact, "bucket_ts")
+            .select("bucket_ts", "users_24h_exact",
+                    (F.abs(F.col("users_24h_est")
+                           - F.col("users_24h_exact"))
+                     <= F.greatest(F.lit(1),
+                                   0.05 * F.col("users_24h_exact")))
+                    .alias("est_within_5pct")))

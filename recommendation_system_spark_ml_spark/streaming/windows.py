@@ -127,9 +127,13 @@ SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
        event_type,
        count(*) AS n_events,
        round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) / 100.0, 2) AS sum_value
-FROM events GROUP BY 1, 2
+FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 """, bench=True)
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-ts contract (all six stream twins): Spark's TimeWindowing
+    rule injects `ts IS NOT NULL` under every window()/session_window()
+    -- an event without an event-time cannot be windowed -- so each
+    oracle filters identically (hostile-probe-caught row-count skew)."""
     pin_session_conf(spark)
     return tumbling_counts(load(spark, sf_dir, "events"))
 
@@ -146,6 +150,7 @@ WITH b AS (
                 ROWS BETWEEN UNBOUNDED PRECEDING
                          AND UNBOUNDED FOLLOWING) AS close
     FROM events
+    WHERE ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id, floor(epoch(ts) / 600)
                  ORDER BY ts, event_id)
 )
@@ -170,6 +175,7 @@ WITH slid AS (
     SELECT CAST(floor(epoch(ts) / 300) * 300 - g * 300 AS BIGINT) AS window_start,
            event_type
     FROM events, (SELECT unnest(generate_series(0, 1)) AS g)
+    WHERE ts IS NOT NULL
 )
 SELECT window_start, event_type, count(*) AS n_events
 FROM slid GROUP BY 1, 2
@@ -187,6 +193,7 @@ WITH flagged AS (
            CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                      > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
     FROM events
+    WHERE ts IS NOT NULL
 ), numbered AS (
     SELECT user_id, ts, value,
            sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
@@ -212,7 +219,7 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
        user_id, event_type,
        CAST(min(event_id) AS BIGINT) AS first_event_id
-FROM events GROUP BY 1, 2, 3
+FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3
 """)
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_session_conf(spark)
@@ -285,7 +292,7 @@ def trending_rank(counts: DataFrame) -> DataFrame:
 WITH c AS (
     SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
            event_type, count(*) AS n_events
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 )
 SELECT window_start, event_type, n_events, CAST(rn AS BIGINT) AS rank
 FROM (SELECT *, row_number() OVER (PARTITION BY window_start

@@ -99,11 +99,18 @@ for i in range(E):
     t += random.randint(60, 11000)
     ev.append((i, t))
 write("events", {"event_id": pa.array([r[0] for r in ev], pa.int64()),
-                 "ts": pa.array([r[1]*1_000_000 for r in ev], pa.timestamp("us")),
+                 "ts": pa.array([maybe(r[1]*1_000_000, 0.08) for r in ev], pa.timestamp("us")),
                  "user_id": pa.array([i % 4 for i in range(E)], pa.int64()),
                  "event_type": pa.array([maybe(random.choice(["click","purchase","view","signup","error"]), 0.06) for _ in range(E)], pa.string()),
                  "value": pa.array([maybe(random.randint(-10000, 10000)/100.0) for _ in range(E)], pa.float64()),
-                 "props": pa.array([maybe('{"device":"mobile","step":%d}' % random.randint(1,5), 0.15) for _ in range(E)], pa.string())})
+                 # 'k' variants exercise fn_map's try_cast: numeric
+                 # string, bare int, and NON-numeric (ANSI-cast trap)
+                 "props": pa.array([maybe(random.choice(
+                     ['{"device":"mobile","step":%d}' % random.randint(1, 5),
+                      '{"k":"%d","step":1}' % random.randint(-99, 99),
+                      '{"k":%d}' % random.randint(-99, 99),
+                      '{"k":"abc"}', '{"k":null}']), 0.15)
+                     for _ in range(E)], pa.string())})
 D = 25
 vocab = ["the","a","of","el","la","de","zz","qq","wordword","x"]
 docs = []

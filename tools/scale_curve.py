@@ -40,7 +40,11 @@ from recommendation_system_spark_ml_spark.session import get_spark
 from recommendation_system_spark_ml_spark.sources.catalog import TABLES
 
 BASE_SF = "/root/testdata/sf0.1"
-MULTS = (1, 3, 10)
+# Override points via env for targeted deep curves, e.g.
+# SPARK_GRAFT_SCALE_MULTS=1,10,30 for the r6 "does the incremental
+# index probe hold at 30x" validation (r5 verdict task #7).
+MULTS = tuple(int(m) for m in os.environ.get(
+    "SPARK_GRAFT_SCALE_MULTS", "1,3,10").split(","))
 REPEAT = 3
 SLOPE_GATE = 1.35  # allow log overhead / constant-cost amortization
 
@@ -160,11 +164,11 @@ def main() -> None:
         mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
         slope = (sum((x - mx) * (y - my) for x, y in zip(xs, ys))
                  / sum((x - mx) ** 2 for x in xs))
-        results[name] = {"t1": round(times[1], 2), "t3": round(times[3], 2),
-                         "t10": round(times[10], 2),
+        results[name] = {**{f"t{m}": round(times[m], 2) for m in MULTS},
                          "slope": round(slope, 2)}
-        print(f"{name:24s} 1x={times[1]:6.2f}s 3x={times[3]:6.2f}s "
-              f"10x={times[10]:6.2f}s slope={slope:5.2f}", flush=True)
+        print(f"{name:24s} "
+              + " ".join(f"{m}x={times[m]:6.2f}s" for m in MULTS)
+              + f" slope={slope:5.2f}", flush=True)
     out_path = "/tmp/rsml_scale_curve/results.json"
     json.dump(results, open(out_path, "w"), indent=1)
     print(f"wrote {out_path}")
