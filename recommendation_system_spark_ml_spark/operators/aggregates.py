@@ -521,33 +521,56 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("c").alias("total_cents")))
 
 
-@register("agg_approx_percentile")  # rows-only: sketch values are engine-specific
+@register("agg_approx_percentile", oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_exact,
+       round(quantile_cont(l_extendedprice, 0.50), 4) AS p50_exact,
+       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_exact,
+       TRUE AS p50_in_rank_band,
+       TRUE AS quartiles_in_rank_band
+FROM lineitem GROUP BY 1
+""")
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile (digest sketch) next to the exact percentile,
-    per return flag: the swap a 100 TB pipeline makes because the exact
-    form buffers every group's values while the sketch is fixed-memory
-    and MERGEABLE across partitions. accuracy=10000 bounds the rank
-    error at 1/10000; tests assert the approx value lands within the
-    exact p49-p51 band (rank-error contract, not value equality --
-    sketch internals are engine-specific, hence rows-only).
+    """approx_percentile (digest sketch) GATED against the exact
+    percentile, per return flag: the swap a 100 TB pipeline makes
+    because the exact form buffers every group's values while the
+    sketch is fixed-memory and MERGEABLE across partitions.
 
-    Output shape: ALL SCALAR columns. The multi-quantile call returns
-    array<double>; it is unpacked to p25_approx / p75_approx because
-    the driver's canonicalizer sorts rows via pandas, which cannot
-    hash an ndarray cell -- the array form crashed the r5 harness
-    (the round's only red row) even though the values were right."""
+    History: the r5 shape returned the raw sketch values, one of them
+    as array<double> -- which crashed the driver canonicalizer (the
+    round's only red row). Now promoted all the way to oracle-backed
+    via the contract pattern (see agg_approx): the hash-checked values
+    are the EXACT p25/p50/p75 (round-4, the agg_percentile recipe both
+    engines agree on), and the sketch answers ride as TRUE-pinned
+    rank-band booleans -- accuracy=10000 bounds rank error at 1/10000,
+    so the approx median must land within the exact p49..p51 value
+    band and each approx quartile within its +/-1pp band (rank-error
+    contract, not value equality: sketch internals are
+    engine-specific). All scalar columns by construction."""
     pin_session_conf(spark)
+
+    def pct(q):
+        return F.expr(f"percentile(l_extendedprice, {q})")
+
     multi = F.expr(
-        "approx_percentile(l_extendedprice, array(0.25, 0.75), 10000)")
-    return (load(spark, sf_dir, "lineitem")
-            .groupBy("l_returnflag")
-            .agg(F.expr("approx_percentile(l_extendedprice, 0.5, 10000)")
-                 .alias("p50_approx"),
-                 F.expr("percentile(l_extendedprice, 0.5)").alias("p50_exact"),
-                 multi.alias("_pq"))
-            .select("l_returnflag", "p50_approx", "p50_exact",
-                    F.col("_pq")[0].alias("p25_approx"),
-                    F.col("_pq")[1].alias("p75_approx")))
+        "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
+    g = (load(spark, sf_dir, "lineitem")
+         .groupBy("l_returnflag")
+         .agg(multi.alias("_pq"),
+              *[pct(q).alias(f"_e{name}") for name, q in
+                (("24", 0.24), ("25", 0.25), ("26", 0.26), ("49", 0.49),
+                 ("50", 0.50), ("51", 0.51), ("74", 0.74), ("75", 0.75),
+                 ("76", 0.76))]))
+    band = lambda est, lo, hi: est.between(F.col(lo), F.col(hi))  # noqa: E731
+    return g.select(
+        "l_returnflag",
+        F.round("_e25", 4).alias("p25_exact"),
+        F.round("_e50", 4).alias("p50_exact"),
+        F.round("_e75", 4).alias("p75_exact"),
+        band(F.col("_pq")[1], "_e49", "_e51").alias("p50_in_rank_band"),
+        (band(F.col("_pq")[0], "_e24", "_e26")
+         & band(F.col("_pq")[2], "_e74", "_e76"))
+        .alias("quartiles_in_rank_band"))
 
 
 @register("agg_regression", oracle="""

