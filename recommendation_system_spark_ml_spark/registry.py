@@ -95,12 +95,15 @@ _DRIVER_EVIDENCE: dict | None = None
 
 
 def _driver_evidence() -> dict:
-    """name -> {"last_green": int round, "crashed": bool}.
+    """name -> {"last_green": int, "last_hash": int, "crashed": bool}.
 
-    green = hash-verified for oracle-backed rows, or a live row count
-    (err None/'no_oracle') for rows-only rows. crashed = the query was
-    sampled in SOME round and produced no usable row (null spark_rows
-    or a real error), with no green row in any LATER round.
+    last_green = latest round with ANY usable row (hash-verified, or a
+    live row count with err None/'no_oracle'); last_hash = latest
+    round with a HASH-verified row specifically -- a query promoted
+    from rows-only to oracle-backed has last_green set but last_hash
+    -1, and must sort as un-evidenced so its first hash check happens
+    promptly. crashed = sampled in some round with no usable row (null
+    spark_rows or a real error) and no green row in any later round.
     """
     global _DRIVER_EVIDENCE
     if _DRIVER_EVIDENCE is not None:
@@ -132,7 +135,10 @@ def _driver_evidence() -> dict:
                           and row.get("hash_match"))
             rows_only_green = (row.get("spark_rows") is not None
                                and row.get("err") in (None, "no_oracle"))
-            slot = ev.setdefault(name, {"last_green": -1, "crashed": False})
+            slot = ev.setdefault(
+                name, {"last_green": -1, "last_hash": -1, "crashed": False})
+            if hash_green:
+                slot["last_hash"] = max(slot["last_hash"], rnd)
             if hash_green or rows_only_green:
                 slot["last_green"] = max(slot["last_green"], rnd)
                 slot["crashed"] = False
@@ -178,17 +184,17 @@ def all_specs() -> dict[str, QuerySpec]:
     ev = _driver_evidence()
 
     def key(n: str):
-        e = ev.get(n, {"last_green": -1, "crashed": False})
+        e = ev.get(n, {"last_green": -1, "last_hash": -1, "crashed": False})
         has_oracle = _REGISTRY[n].oracle is not None
-        if has_oracle and e["last_green"] < 0:
-            pri = 0
+        if has_oracle and e["last_hash"] < 0:
+            pri = 0  # never hash-verified (new query or fresh promotion)
         elif e["crashed"]:
             pri = 1
         elif has_oracle:
             pri = 2
         else:
             pri = 3
-        return (pri, e["last_green"], n in _EXPENSIVE)
+        return (pri, e["last_hash"], n in _EXPENSIVE)
 
     ordered = sorted(_REGISTRY, key=key)
     return {name: _REGISTRY[name] for name in ordered}
