@@ -224,7 +224,40 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 RESIZE_DIM = 32
 
 
-@register("multimodal_resize")  # rows-only: mapInPandas output
+def _mm_resize_oracle() -> str:
+    """The pooling body unrolled portably: byte k = 16*hi + lo nibble
+    from hex(blob) chars 2k-1 / 2k, bucket i = mean of the 1-based
+    slice [i*step+1 .. (i+1)*step] with step = max(n // 32, 1) (DuckDB
+    list slicing clamps exactly like Python's), pooled_mean = the
+    left-assoc sum of the 32 bucket means / 32 -- the identical IEEE
+    tree the Spark-side aggregate folds, floor-quantized at 1e-4."""
+    nib = ("(strpos('0123456789ABCDEF', substr(hx, {p}, 1)) - 1)")
+    byte = (f"{nib.format(p='2*i - 1')} * 16 + {nib.format(p='2*i')}")
+    bucket = ("(coalesce(list_sum(bytes[{a}:{b}]), 0)"
+              " / CAST(greatest(len(bytes[{a}:{b}]), 1) AS DOUBLE))")
+    chain = " + ".join(
+        bucket.format(a=f"{i} * step + 1", b=f"{i + 1} * step")
+        for i in range(RESIZE_DIM))
+    return f"""
+WITH b AS (
+    SELECT doc_id, hex(CAST(text AS BLOB)) AS hx,
+           octet_length(CAST(text AS BLOB)) AS n
+    FROM documents WHERE text IS NOT NULL
+), by AS (
+    SELECT doc_id, n, greatest(n // {RESIZE_DIM}, 1) AS step,
+           list_transform(range(1, CAST(n AS BIGINT) + 1),
+                          i -> {byte}) AS bytes
+    FROM b
+)
+SELECT doc_id, CAST(n AS INTEGER) AS n_bytes,
+       {RESIZE_DIM} AS out_dim,
+       floor(({chain}) / {RESIZE_DIM} * 10000 + 0.5) / 10000
+           AS pooled_mean
+FROM by
+"""
+
+
+@register("multimodal_resize", oracle=_mm_resize_oracle())
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize stage: every payload downsampled to a fixed RESIZE_DIM
     signal by average-pooling equal byte spans -- the 1-D analog of
@@ -233,7 +266,15 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     declared up front. A real image resize swaps the pooling body for
     PIL/cv2 inside the same mapInPandas contract. Self-checks ride
     along: out_dim is constant and the pooled mean preserves the
-    payload's global byte mean (tests assert both)."""
+    payload's global byte mean (tests assert both).
+
+    Oracle-backed (r6 promotion, the multimodal_features recipe): the
+    stub pooling is deterministic byte arithmetic, so DuckDB replays
+    it from hex(blob) nibble pairs and hash-checks the mapInPandas
+    round-trip -- per-bucket integer sums, the Python float division
+    tree, and the fold order of the final mean. NULL payloads are
+    excluded on both sides (undecodable media is quarantined
+    upstream, same contract as multimodal_features)."""
     pin_session_conf(spark)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -251,14 +292,17 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_bytes": [len(p) for p in pdf["payload"]],
             })
 
-    media = media_table(spark, sf_dir).select("doc_id", "payload")
+    media = (media_table(spark, sf_dir)
+             .where(F.col("payload").isNotNull())
+             .select("doc_id", "payload"))
     res = media.mapInPandas(
         batches, schema="doc_id bigint, resized array<double>, n_bytes int")
+    mean = (F.aggregate("resized", F.lit(0.0), lambda a, x: a + x)
+            / RESIZE_DIM)
     return res.select(
         "doc_id", "n_bytes",
         F.size("resized").alias("out_dim"),
-        F.round(F.aggregate("resized", F.lit(0.0), lambda a, x: a + x)
-                / RESIZE_DIM, 4).alias("pooled_mean"))
+        (F.floor(mean * 10000 + F.lit(0.5)) / 10000).alias("pooled_mean"))
 
 
 PHASH_BITS = 64
