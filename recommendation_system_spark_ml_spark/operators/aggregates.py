@@ -546,30 +546,49 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the approx median must land within the exact p49..p51 value
     band and each approx quartile within its +/-1pp band (rank-error
     contract, not value equality: sketch internals are
-    engine-specific). All scalar columns by construction."""
+    engine-specific). All scalar columns by construction.
+
+    Band edges are the OUTER hull of the interpolated percentile and
+    percentile_disc (an actual data value) at each band rank: the
+    sketch always answers with a data value, so on a tiny group the
+    interpolated p49..p51 band can be narrower than the gap between
+    adjacent values and would reject an exact-rank answer
+    (probe-caught at n=2). A group with zero non-NULL prices yields
+    NULL everywhere; the band is pinned TRUE there (nothing to
+    check), matching the oracle's constant."""
     pin_session_conf(spark)
 
     def pct(q):
         return F.expr(f"percentile(l_extendedprice, {q})")
 
+    def disc(q):
+        return F.expr(f"percentile_disc({q}) WITHIN GROUP "
+                      "(ORDER BY l_extendedprice)")
+
     multi = F.expr(
         "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
+    band_qs = ("24", "26", "49", "51", "74", "76")
     g = (load(spark, sf_dir, "lineitem")
          .groupBy("l_returnflag")
          .agg(multi.alias("_pq"),
-              *[pct(q).alias(f"_e{name}") for name, q in
-                (("24", 0.24), ("25", 0.25), ("26", 0.26), ("49", 0.49),
-                 ("50", 0.50), ("51", 0.51), ("74", 0.74), ("75", 0.75),
-                 ("76", 0.76))]))
-    band = lambda est, lo, hi: est.between(F.col(lo), F.col(hi))  # noqa: E731
+              *[pct(int(name) / 100).alias(f"_e{name}")
+                for name in ("25", "50", "75") + band_qs],
+              *[disc(int(name) / 100).alias(f"_d{name}")
+                for name in band_qs]))
+
+    def band(est, lo, hi):
+        return est.between(F.least(F.col(f"_e{lo}"), F.col(f"_d{lo}")),
+                           F.greatest(F.col(f"_e{hi}"), F.col(f"_d{hi}")))
+
     return g.select(
         "l_returnflag",
         F.round("_e25", 4).alias("p25_exact"),
         F.round("_e50", 4).alias("p50_exact"),
         F.round("_e75", 4).alias("p75_exact"),
-        band(F.col("_pq")[1], "_e49", "_e51").alias("p50_in_rank_band"),
-        (band(F.col("_pq")[0], "_e24", "_e26")
-         & band(F.col("_pq")[2], "_e74", "_e76"))
+        F.coalesce(band(F.col("_pq")[1], "49", "51"), F.lit(True))
+        .alias("p50_in_rank_band"),
+        F.coalesce(band(F.col("_pq")[0], "24", "26")
+                   & band(F.col("_pq")[2], "74", "76"), F.lit(True))
         .alias("quartiles_in_rank_band"))
 
 

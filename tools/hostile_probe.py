@@ -4,7 +4,9 @@ oracle. This is the sweep that found 16 real latent divergences in
 round 5 (NULL orderings, NULL-key join row loss, concat_ws semantics,
 ANSI crashes, positional CSV mis-mapping) that the NULL-free fixtures
 can never hit. Run it whenever operators are added or NULL handling
-changes: python tools/hostile_probe.py [seed].
+changes: python tools/hostile_probe.py [seed] [query ...] (extra
+args restrict the sweep to those queries; data generation is
+unchanged so a restricted run sees the same twins).
 
 Expected steady-state: 2 documented holdouts -- ml_onehot (one-hot
 columns are definitionally the fixture vocabulary) and, under some
@@ -137,9 +139,10 @@ for tname in ("region nation customer supplier part orders lineitem events docum
 skip = {"ml_onehot"}  # vocabulary-bound by definition (see its docstring)
 results = {"OK": 0}
 fails = []
+only = set(sys.argv[2:])
 for name in sorted(specs):
     spec = specs[name]
-    if spec.oracle is None or name in skip:
+    if spec.oracle is None or name in skip or (only and name not in only):
         continue
     try:
         got = spec.fn(spark, out)
