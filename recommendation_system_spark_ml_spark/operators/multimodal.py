@@ -306,11 +306,58 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PHASH_BITS = 64
-PHASH_BANDS = 4          # 4 x 16-bit bands -> candidates within r<=? guaranteed
+PHASH_BANDS = 8          # 8 x 8-bit bands -> radius <= 7 EXACT (pigeonhole)
 PHASH_RADIUS = 6         # max Hamming distance for a near-dup verdict
 
 
-@register("multimodal_dedup_phash")  # rows-only: Python pooling inside
+def _mm_phash_oracle() -> str:
+    """dHash replayed portably, then the EXHAUSTIVE pair join: bytes
+    from hex(blob) nibble pairs (the multimodal_resize recipe), 65
+    pooled bucket means with the identical integer-sum / clamped-slice
+    division tree, bit i = (pooled[i+1] > pooled[i]) on exactly-equal
+    IEEE doubles, Hamming = elementwise bit disagreement count. The
+    oracle checks ALL pairs because the Spark side's banding is exact
+    at this radius (see the query docstring)."""
+    nib = "(strpos('0123456789ABCDEF', substr(hx, {p}, 1)) - 1)"
+    byte = f"{nib.format(p='2*i - 1')} * 16 + {nib.format(p='2*i')}"
+    return f"""
+WITH b AS (
+    SELECT doc_id, hex(CAST(text AS BLOB)) AS hx,
+           octet_length(CAST(text AS BLOB)) AS n
+    FROM documents WHERE text IS NOT NULL
+), by AS (
+    SELECT doc_id, greatest(n // {PHASH_BITS + 1}, 1) AS step,
+           list_transform(range(1, CAST(n AS BIGINT) + 1),
+                          i -> {byte}) AS bytes
+    FROM b
+), pooled AS (
+    SELECT doc_id,
+           list_transform(range(0, {PHASH_BITS + 1}), i ->
+               coalesce(list_sum(bytes[CAST(i * step + 1 AS BIGINT):
+                                       CAST((i + 1) * step AS BIGINT)]), 0)
+               / CAST(greatest(len(bytes[CAST(i * step + 1 AS BIGINT):
+                                         CAST((i + 1) * step AS BIGINT)]), 1)
+                      AS DOUBLE)) AS p
+    FROM by
+), bits AS (
+    SELECT doc_id,
+           list_transform(range(0, {PHASH_BITS}), i ->
+               CASE WHEN p[CAST(i + 2 AS BIGINT)] > p[CAST(i + 1 AS BIGINT)]
+                    THEN 1 ELSE 0 END) AS bit
+    FROM pooled
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(list_sum(list_transform(range(1, {PHASH_BITS} + 1), i ->
+            CASE WHEN a.bit[i] <> b.bit[i] THEN 1 ELSE 0 END)) AS INTEGER)
+           AS hamming
+FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+WHERE list_sum(list_transform(range(1, {PHASH_BITS} + 1), i ->
+          CASE WHEN a.bit[i] <> b.bit[i] THEN 1 ELSE 0 END))
+      <= {PHASH_RADIUS}
+"""
+
+
+@register("multimodal_dedup_phash", oracle=_mm_phash_oracle())
 def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-dup detection for media payloads (the
     image-dedup stage of a multimodal training pipeline): dHash over
@@ -322,15 +369,21 @@ def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Division of labor is the module's production contract: DECODE +
     pooling is Python (Arrow mapInPandas, one pass per payload; a real
     deployment swaps in PIL grayscale-resize without touching the
-    plan), while DEDUP is pure JVM -- the 64-bit hash splits into 4
-    16-bit bands (pigeonhole: any pair within radius 6 shares at least
-    one exact band... unless all differing bits spread 2-2-1-1, so
-    radius <= PHASH_BANDS-1 is guaranteed and beyond that is
-    high-probability, same contract as dedup_simhash), candidates come
-    from equi-joins on (band, key) carrying 20 B/row, and the exact
-    bit_count(xor) check runs on candidates only. Identical payloads
-    always collide at distance 0 (tests assert against the exact-dup
-    set; also shuffle-invariance of the whole result)."""
+    plan), while DEDUP is pure JVM -- candidates come from equi-joins
+    on (band, key) carrying 24 B/row, and the exact bit_count(xor)
+    check runs on candidates only.
+
+    Oracle-backed (r6 promotion): with 8 x 8-bit bands the pigeonhole
+    guarantee covers radius 7 (>= PHASH_RADIUS: 6 differing bits can
+    touch at most 6 of 8 bands), so the banded candidate set provably
+    contains EVERY pair within the radius -- the result equals the
+    exhaustive pair set, which DuckDB replays from hex(blob) nibble
+    arithmetic (the multimodal_features recipe, extended through the
+    pair stage). r5's 4 x 16-bit layout only guaranteed radius 3 and
+    was high-probability beyond -- correct as LSH, but not exactly
+    checkable; the 8-band layout buys exactness for ~2x bucket rows,
+    the trade a verification-grade pipeline wants. NULL payloads are
+    quarantined upstream on both sides (the module contract)."""
     pin_session_conf(spark)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -351,7 +404,9 @@ def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": hashes})
 
-    media = media_table(spark, sf_dir).select("doc_id", "payload")
+    media = (media_table(spark, sf_dir)
+             .where(F.col("payload").isNotNull())
+             .select("doc_id", "payload"))
     sigs = media.mapInPandas(batches, schema="doc_id bigint, phash bigint")
 
     band_width = PHASH_BITS // PHASH_BANDS

@@ -52,11 +52,10 @@ def test_resize_fixed_dim_and_mean_preserved(spark):
 
 def test_phash_dedup_matches_independent_reimplementation(spark):
     """Verify against a pure-Python reimplementation of the pooling +
-    dHash: every returned pair's Hamming distance must match the
-    recomputed one, and the banding guarantee must hold -- ANY pair
-    within Hamming distance PHASH_BANDS-1 (pigeonhole: 3 differing
-    bits cannot touch all 4 bands) must be found. Determinism across
-    runs rides along."""
+    dHash: the result must EQUAL the exhaustive pair set within the
+    radius (the 8x8-bit banding guarantee is exact: pigeonhole covers
+    radius PHASH_BANDS-1 = 7 >= PHASH_RADIUS) with matching Hamming
+    distances. Determinism across runs rides along."""
     import duckdb
 
     from recommendation_system_spark_ml_spark.operators.multimodal import (
@@ -82,11 +81,13 @@ def test_phash_dedup_matches_independent_reimplementation(spark):
     for (a, b), h in got.items():
         assert 0 <= h <= PHASH_RADIUS
         assert h == bin(hashes[a] ^ hashes[b]).count("1"), (a, b)
+    assert PHASH_RADIUS <= PHASH_BANDS - 1, "banding no longer exact"
     ids = sorted(hashes)
-    guaranteed = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
-                  if bin(hashes[a] ^ hashes[b]).count("1") < PHASH_BANDS}
-    missing = guaranteed - set(got)
-    assert not missing, f"banding guarantee violated: {missing}"
+    exhaustive = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+                  if bin(hashes[a] ^ hashes[b]).count("1") <= PHASH_RADIUS}
+    assert set(got) == exhaustive, (
+        f"banded result != exhaustive pair set: "
+        f"missing={exhaustive - set(got)} extra={set(got) - exhaustive}")
     again = {(r.doc_a, r.doc_b): r.hamming
              for r in multimodal_dedup_phash(spark, SF_SMOKE).collect()}
     assert again == got
