@@ -295,20 +295,48 @@ def ml_als_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("rank", "reg_param"))
 
 
-@register("ml_als_cv_full")  # rows-only: MLlib CV
+@register("ml_als_cv_full", oracle="""
+WITH g AS (
+    SELECT (r.i * 9 + m.i * 3 + p.i) AS grid_idx,
+           r.v AS rank, m.v AS max_iter, CAST(p.v AS DOUBLE) AS reg_param
+    FROM (VALUES (0, 1), (1, 10), (2, 100)) r(i, v),
+         (VALUES (0, 5), (1, 10), (2, 15)) m(i, v),
+         (VALUES (0, 0.001), (1, 0.01), (2, 0.05)) p(i, v)
+)
+SELECT grid_idx, rank, max_iter, reg_param,
+       CAST(rank = 10 AND max_iter = 15 AND reg_param = 0.05
+            AS INTEGER) AS is_best,
+       TRUE AS rmse_in_band, TRUE AS best_attains_min
+FROM g
+""")
 def ml_als_cv_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8-M10 at full fidelity: the reference's EXACT grid -- rank in
     {1, 10, 100} x maxIter in {5, 10, 15} x regParam in {0.001, 0.01,
     0.05}, 3-fold CV (MLR.py:211-226) -- reproducing the published
     27-row artifact (README.md:73-101) as (grid_idx, rank, max_iter,
-    reg_param, avg_rmse, is_best), best = first minimal avg RMSE
-    exactly like get_cv_ouptut + idxmin (MLR.py:40-44, :63).
+    reg_param, is_best, ...), best = first minimal avg RMSE exactly
+    like get_cv_ouptut + idxmin (MLR.py:40-44, :63).
 
     Runs on a fixed small MovieLens twin (not the sf tables) so 81
     fits + the winning refit stay seconds, not the reference's 2h20m:
     parallelism=8 overlaps fits across the cluster, which is the whole
     structural win -- the grid's cost at any data size is fits/
-    parallelism, and each fit scales out with ALS's block partitioning."""
+    parallelism, and each fit scales out with ALS's block partitioning.
+
+    Oracle-backed (r6 promotion, contract shape): the hashed artifact
+    is the 27-row grid in ParamGridBuilder enumeration order (regParam
+    fastest -- certifies the published table's row order) with the
+    WINNER IDENTITY pinned: the twin reproduces the reference's
+    published best (rank 10, maxIter 15, reg 0.05) with a ~9e-4 gap to
+    the runner-up, three orders above MLlib's ~1e-6 run-to-run
+    summation noise, so a drifting CV pipeline turns this row red.
+    The raw avg_rmse values stay out of the hash (round-4 boundaries
+    sit within noise); they ride as TRUE-pinned contract booleans
+    (finite, inside (0, 100) -- the rank-100 overfit leg reaches ~39
+    -- and the best row attains the grid minimum) and remain fully
+    visible in ml_movielens_report + the golden-band tests. The twin
+    is fixed (sf_dir-independent), so the pinned identity is safe
+    under the hostile-data probe by construction."""
     pin_session_conf(spark)
     import os
     import tempfile
@@ -344,11 +372,16 @@ def ml_als_cv_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(i, pm[als.rank], pm[als.maxIter], float(pm[als.regParam]), float(m))
             for i, (pm, m) in enumerate(zip(grid, cv_model.avgMetrics))]
     best_idx = best_by_min_rmse(rows, 4)[0]
+    min_rmse = min(r[4] for r in rows)
     out = spark.createDataFrame(
         rows, "grid_idx int, rank int, max_iter int, reg_param double, avg_rmse double")
     return (out.withColumn("is_best", (F.col("grid_idx") == best_idx).cast("int"))
-            .select("grid_idx", "rank", "max_iter", "reg_param",
-                    F.round("avg_rmse", 4).alias("avg_rmse"), "is_best")
+            .select("grid_idx", "rank", "max_iter", "reg_param", "is_best",
+                    ((F.col("avg_rmse") > 0) & (F.col("avg_rmse") < 100))
+                    .alias("rmse_in_band"),
+                    ((F.col("is_best") == 0)
+                     | (F.col("avg_rmse") == F.lit(min_rmse)))
+                    .alias("best_attains_min"))
             .orderBy("grid_idx"))
 
 
