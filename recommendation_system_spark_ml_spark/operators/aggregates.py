@@ -1329,3 +1329,80 @@ def agg_distribution_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.when(F.col("m2") > 0,
                        F.col("m4") / (F.col("m2") * F.col("m2")) - 3), 6)
         .alias("excess_kurtosis"))
+
+
+@register("agg_rfm_scores", oracle="""
+WITH p AS (
+    SELECT user_id, epoch_us(ts) AS us,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+    WHERE event_type = 'purchase' AND ts IS NOT NULL AND value IS NOT NULL
+), per_user AS (
+    SELECT user_id,
+           (SELECT max(us) FROM p) - max(us) AS recency_us,
+           CAST(count(*) AS BIGINT) AS frequency,
+           CAST(sum(cents) AS BIGINT) AS monetary_cents
+    FROM p GROUP BY 1
+), scored AS (
+    SELECT user_id, recency_us, frequency, monetary_cents,
+           ntile(5) OVER (ORDER BY recency_us ASC, user_id ASC) AS r_q,
+           ntile(5) OVER (ORDER BY frequency DESC, user_id ASC) AS f_q,
+           ntile(5) OVER (ORDER BY monetary_cents DESC, user_id ASC) AS m_q
+    FROM per_user
+)
+SELECT user_id, recency_us, frequency, monetary_cents,
+       CAST(r_q AS INTEGER) AS r_q, CAST(f_q AS INTEGER) AS f_q,
+       CAST(m_q AS INTEGER) AS m_q,
+       CAST(r_q * 100 + f_q * 10 + m_q AS INTEGER) AS rfm_code
+FROM scored
+""")
+def agg_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile segmentation over
+    purchase events -- the classic customer-value table every growth /
+    churn pipeline derives first. Recency = integer microseconds
+    behind the most recent purchase in the corpus (an in-data anchor,
+    so the result is reproducible -- wall-clock 'now' is not);
+    monetary = integer cents via floor(value*100 + 0.5) written
+    identically in the oracle; quintile 1 = best on each axis
+    (most recent / most frequent / highest spend). Output is
+    all-integer: zero float surface.
+
+    Shape: one scan -> one partial-combined groupBy(user_id); the
+    anchor is a broadcast scalar; ntile then ranks the AGGREGATED
+    per-user table (never event rows) under a TOTAL order (metric,
+    user_id) so ties are deterministic cross-engine. ntile's global
+    window is a single-reducer sort of per-user rows -- fine to ~1e8
+    users; beyond that the documented swap is the two-level global
+    rank recipe (pipeline_curriculum) + the explicit ntile arithmetic
+    on (rank, n). NULL ts/value rows can't be scored and are excluded
+    on both sides."""
+    pin_session_conf(spark)
+    from pyspark.sql.window import Window
+    p = (load(spark, sf_dir, "events")
+         .where((F.col("event_type") == "purchase")
+                & F.col("ts").isNotNull() & F.col("value").isNotNull())
+         .select("user_id",
+                 F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+                 F.floor(F.col("value") * 100 + F.lit(0.5))
+                 .cast("long").alias("cents")))
+    per_user = (p.groupBy("user_id")
+                .agg(F.max("us").alias("last_us"),
+                     F.count(F.lit(1)).cast("long").alias("frequency"),
+                     F.sum("cents").cast("long").alias("monetary_cents")))
+    anchor = p.agg(F.max("us").alias("anchor_us"))
+    scored = (per_user.crossJoin(F.broadcast(anchor))
+              .select("user_id",
+                      (F.col("anchor_us") - F.col("last_us"))
+                      .alias("recency_us"),
+                      "frequency", "monetary_cents"))
+    nt = F.ntile(5)
+    return scored.select(
+        "user_id", "recency_us", "frequency", "monetary_cents",
+        nt.over(Window.orderBy(F.col("recency_us").asc(),
+                               F.col("user_id").asc())).alias("r_q"),
+        nt.over(Window.orderBy(F.col("frequency").desc(),
+                               F.col("user_id").asc())).alias("f_q"),
+        nt.over(Window.orderBy(F.col("monetary_cents").desc(),
+                               F.col("user_id").asc())).alias("m_q"),
+    ).withColumn("rfm_code", (F.col("r_q") * 100 + F.col("f_q") * 10
+                              + F.col("m_q")).cast("int"))

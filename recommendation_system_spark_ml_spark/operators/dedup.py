@@ -1679,3 +1679,66 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("batch_doc_id", "corpus_doc_id",
                     (F.floor((1.0 - i_ * 1.0 / u_) * 10000 + 0.5) / 10000)
                     .alias("jaccard_dist")))
+
+
+@register("dedup_cluster_size_dist", oracle="""
+WITH RECURSIVE
+edges AS (
+    WITH cnt AS (
+        SELECT doc_id, w, count(*) AS c
+        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+              FROM documents)
+        GROUP BY 1, 2
+    ), sizes AS (
+        SELECT doc_id, sum(c) AS n FROM cnt GROUP BY 1
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               sum(least(a.c, b.c)) AS shared
+        FROM cnt a JOIN cnt b ON a.w = b.w AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE CAST(i.shared AS DOUBLE) / (sa.n + sb.n - i.shared) >= 0.8
+),
+undirected AS (
+    SELECT doc_a AS src, doc_b AS dst FROM edges
+    UNION ALL SELECT doc_b, doc_a FROM edges
+),
+reach(doc, comp) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT u.src, r.comp FROM reach r JOIN undirected u ON u.dst = r.doc
+),
+comp AS (
+    SELECT doc AS doc_id, min(comp) AS component FROM reach GROUP BY doc
+),
+csize AS (
+    SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(cluster_size) AS BIGINT) AS n_docs
+FROM csize GROUP BY 1
+""")
+def dedup_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram: how much of the corpus sits in
+    duplicate clusters of each size -- the observability read between
+    pair detection and canonical selection (a fat tail says one
+    template is flooding the corpus and quota caps are needed BEFORE
+    dedup; mostly size-1 says dedup pressure is low). Shares
+    dedup_components' exact pipeline (Jaccard >= 0.8 edges -> min-label
+    propagation, singletons included), then two bounded rollups: the
+    distinct (component, size) table is one row per CLUSTER, the
+    histogram keyspace is |distinct sizes| -- both orders of magnitude
+    below row count at any scale. n_docs sums back to the corpus size,
+    a built-in completeness check the tests assert."""
+    pin_session_conf(spark)
+    comp = dedup_components(spark, sf_dir)
+    per_cluster = (comp.select("component", "component_size").distinct())
+    return (per_cluster
+            .groupBy(F.col("component_size").cast("long")
+                     .alias("cluster_size"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"),
+                 F.sum("component_size").cast("long").alias("n_docs")))

@@ -811,3 +811,72 @@ def vec_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "ve", lambda x: x / F.col("nrm")),
                         F.lit(0.0), lambda a, x: a + x)
                         / F.size("ve"), 6).alias("mean_component")))
+
+
+@register("vec_anisotropy_report", oracle="""
+WITH v AS (
+    SELECT vec_id,
+           CAST(embedding AS DOUBLE[]) AS x,
+           sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                        e -> e * e))) AS nrm
+    FROM embeddings
+), u AS (
+    SELECT vec_id, list_transform(x, e -> e / nrm) AS uv, nrm
+    FROM v WHERE nrm > 0
+), dimsum AS (
+    SELECT CAST(t.i AS BIGINT) AS dim, sum(uv[t.i]) AS s
+    FROM u, unnest(generate_series(1, len(uv))) AS t(i)
+    GROUP BY 1
+), agg AS (
+    SELECT (SELECT count(*) FROM u) AS n,
+           (SELECT avg(nrm) FROM u) AS mean_norm,
+           (SELECT sum(s * s) FROM dimsum) AS sumsq
+)
+SELECT CAST(n AS BIGINT) AS n_vectors,
+       round(mean_norm, 6) AS mean_norm,
+       round(sqrt(sumsq) / n, 6) AS centroid_norm,
+       CASE WHEN n > 1
+            THEN round((sumsq - n) / (CAST(n AS DOUBLE) * (n - 1)), 6)
+            ELSE NULL END AS avg_pairwise_cosine
+FROM agg
+""")
+def vec_anisotropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-isotropy diagnostics (Ethayarajh 2019; Mu & Viswanath
+    2018 'all-but-the-top'): anisotropic embedding spaces -- all
+    vectors leaning into a shared cone -- inflate every cosine and
+    poison ANN recall and SemDeDup thresholds, so a 100 TB curation
+    pipeline reads this one-row report before trusting any similarity
+    threshold. Columns: n_vectors, mean L2 norm, the norm of the mean
+    NORMALIZED vector (0 = isotropic, 1 = degenerate), and the exact
+    average pairwise cosine via the closed form
+    (||sum(u)||^2 - n) / (n * (n - 1)) -- a quadratic-pair quantity
+    from ONE linear scan, no pair join anywhere.
+
+    Shape: map-side norm + normalize expressions, a posexplode into
+    the bounded 64-cell per-dim keyspace (the vec_class_centroids
+    recipe), then two scalar aggregates joined by a broadcast cross of
+    single-row frames. Zero-norm vectors are dropped (no direction),
+    matching the oracle. round(6) absorbs cross-engine partition-order
+    summation ulps; the n=1 corner pins the pairwise term NULL on
+    both sides."""
+    pin_session_conf(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    ve = F.transform("embedding", lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(ve, F.lit(0.0), lambda a, x: a + x * x))
+    base = (emb.select(nrm.alias("nrm"), ve.alias("x"))
+            .where(F.col("nrm") > 0)
+            .select("nrm", F.transform(
+                "x", lambda e: e / F.col("nrm")).alias("uv")))
+    scal = base.agg(F.count(F.lit(1)).alias("n"),
+                    F.avg("nrm").alias("mean_norm"))
+    sumsq = (base.select(F.posexplode("uv").alias("dim", "e"))
+             .groupBy("dim").agg(F.sum("e").alias("s"))
+             .agg(F.sum(F.col("s") * F.col("s")).alias("sumsq")))
+    n = F.col("n")
+    return (scal.crossJoin(F.broadcast(sumsq))
+            .select(n.cast("long").alias("n_vectors"),
+                    F.round("mean_norm", 6).alias("mean_norm"),
+                    F.round(F.sqrt("sumsq") / n, 6).alias("centroid_norm"),
+                    F.when(n > 1, F.round(
+                        (F.col("sumsq") - n) / (n.cast("double") * (n - 1)),
+                        6)).alias("avg_pairwise_cosine")))

@@ -696,3 +696,58 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("sxy") / F.sqrt(F.col("sxx") * F.col("syy")))
     return sums.select("lag_hours", "n_pairs",
                        F.round(xcorr, 6).alias("xcorr"))
+
+
+@register("ts_calendar_profile", oracle="""
+WITH cells AS (
+    SELECT CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS INTEGER) AS dow,
+           CAST((epoch_us(ts) // 3600000000) % 24 AS INTEGER) AS hour,
+           user_id
+    FROM events WHERE ts IS NOT NULL
+), agg AS (
+    SELECT dow, hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM cells GROUP BY 1, 2
+)
+SELECT dow, hour, n_events, n_users,
+       CAST(row_number() OVER (PARTITION BY dow
+                               ORDER BY n_events DESC, hour ASC) = 1
+            AS INTEGER) AS is_dow_peak
+FROM agg
+""")
+def ts_calendar_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour-of-day activity profile with per-day peak
+    hours -- the seasonality read behind capacity planning and behind
+    picking ts_decompose's period (a flat profile says don't bother;
+    a strong daily ridge says period 24). The calendar cell derives
+    from INTEGER microsecond arithmetic (epoch day 0 = Thursday, so
+    dow = (epoch_day + 4) % 7 with Sunday = 0) -- timezone-free and
+    bit-identical cross-engine, never via engine-specific dayofweek()
+    (Spark counts Sunday = 1, DuckDB Sunday = 0). NULL timestamps are
+    unplaceable and excluded on both sides.
+
+    Shape: one scan, one groupBy over a keyspace bounded at 168 cells
+    at any data size (the distinct-user count partial-aggregates per
+    cell), and the peak window ranks 24 finished cells per day --
+    post-agg, never document rows. All-integer output: no float
+    surface at all."""
+    pin_session_conf(spark)
+    # `div` = integer division on longs: a double `/` + cast truncation
+    # can land one off at exact multiples (ulp below k), DuckDB's `//`
+    # cannot.
+    day = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")
+    hr = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000")
+    cells = (load(spark, sf_dir, "events")
+             .where(F.col("ts").isNotNull())
+             .select(((day + 4) % 7).cast("int").alias("dow"),
+                     (hr % 24).cast("int").alias("hour"),
+                     "user_id"))
+    agg = (cells.groupBy("dow", "hour")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.countDistinct("user_id").cast("long").alias("n_users")))
+    w = Window.partitionBy("dow").orderBy(F.col("n_events").desc(),
+                                          F.col("hour").asc())
+    return agg.select("dow", "hour", "n_events", "n_users",
+                      (F.row_number().over(w) == 1).cast("int")
+                      .alias("is_dow_peak"))
