@@ -1406,3 +1406,100 @@ def agg_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.col("user_id").asc())).alias("m_q"),
     ).withColumn("rfm_code", (F.col("r_q") * 100 + F.col("f_q") * 10
                               + F.col("m_q")).cast("int"))
+
+
+BASKET_MIN_ITEM_ORDERS = 2   # apriori item-support prune
+BASKET_TOP_K = 200           # headline rows, total-order deterministic
+_BASKET_Q = 1_000_000        # 6-decimal floor quantization, both engines
+
+
+@register("agg_basket_lift", oracle=f"""
+WITH oi AS (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS item
+    FROM lineitem WHERE l_partkey IS NOT NULL
+), n AS (
+    SELECT count(DISTINCT o) AS n_orders FROM oi
+), freq AS (
+    SELECT item, count(*) AS cnt FROM oi GROUP BY 1
+    HAVING count(*) >= {BASKET_MIN_ITEM_ORDERS}
+), fi AS (
+    SELECT oi.o, oi.item FROM oi JOIN freq ON oi.item = freq.item
+), pairs AS (
+    SELECT a.item AS part_a, b.item AS part_b, count(*) AS pair_cnt
+    FROM fi a JOIN fi b ON a.o = b.o AND a.item < b.item
+    GROUP BY 1, 2
+), scored AS (
+    SELECT part_a, part_b, CAST(pair_cnt AS BIGINT) AS pair_cnt,
+           CAST(fa.cnt AS BIGINT) AS cnt_a, CAST(fb.cnt AS BIGINT) AS cnt_b,
+           floor(CAST(pair_cnt AS DOUBLE) / fa.cnt * {_BASKET_Q} + 0.5)
+               / {_BASKET_Q} AS confidence,
+           floor(CAST(pair_cnt AS DOUBLE) * (SELECT n_orders FROM n)
+                 / (CAST(fa.cnt AS DOUBLE) * fb.cnt) * {_BASKET_Q} + 0.5)
+               / {_BASKET_Q} AS lift
+    FROM pairs
+    JOIN freq fa ON pairs.part_a = fa.item
+    JOIN freq fb ON pairs.part_b = fb.item
+)
+SELECT * FROM scored
+ORDER BY lift DESC, part_a ASC, part_b ASC
+LIMIT {BASKET_TOP_K}
+""")
+def agg_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining (Agrawal & Srikant 1994, the
+    apriori first pass): the top-{BASKET_TOP_K} co-purchased part
+    pairs by lift, with support counts and confidence(a -> b). The
+    recommender primitive next to ALS: lift > 1 pairs seed 'bought
+    together' candidates with zero model training.
+
+    100 TB shape, in order: (1) item-support prune BEFORE any pair
+    generation -- the apriori downward-closure step; infrequent items
+    (< {BASKET_MIN_ITEM_ORDERS} orders) cannot form frequent pairs,
+    so they never reach the join; (2) pair generation is a self-join
+    on the ORDER key, fan-out bounded by lines-per-order (TPC-H <= 7
+    -> <= 21 id-only pairs per order); (3) per-item counts join back
+    onto the AGGREGATED pair table (|frequent items| rows, broadcast-
+    eligible); (4) the top-k is TakeOrderedAndProject -- per-partition
+    heaps, no global sort. Lift and confidence floor-quantize at 1e-6
+    BEFORE the ordering on both engines, and the (lift, part_a,
+    part_b) order is total, so the cut is cross-engine deterministic.
+    NULL part keys carry no item identity and are excluded up front."""
+    pin_session_conf(spark)
+    oi = (load(spark, sf_dir, "lineitem")
+          .where(F.col("l_partkey").isNotNull())
+          .select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("item"))
+          .distinct())
+    n_orders = oi.select(F.countDistinct("o").alias("n_orders"))
+    freq = (oi.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
+            .where(F.col("cnt") >= BASKET_MIN_ITEM_ORDERS))
+    fi = oi.join(F.broadcast(freq.select("item")), "item").select("o", "item")
+    a, b = fi.alias("a"), fi.alias("b")
+    pairs = (a.join(b, (F.col("a.o") == F.col("b.o"))
+                    & (F.col("a.item") < F.col("b.item")))
+             .groupBy(F.col("a.item").alias("part_a"),
+                      F.col("b.item").alias("part_b"))
+             .agg(F.count(F.lit(1)).alias("pair_cnt")))
+    fa = freq.select(F.col("item").alias("part_a"),
+                     F.col("cnt").alias("cnt_a"))
+    fb = freq.select(F.col("item").alias("part_b"),
+                     F.col("cnt").alias("cnt_b"))
+    scored = (pairs.join(F.broadcast(fa), "part_a")
+              .join(F.broadcast(fb), "part_b")
+              .crossJoin(F.broadcast(n_orders)))
+
+    def q6(c):
+        return F.floor(c * _BASKET_Q + F.lit(0.5)) / _BASKET_Q
+
+    scored = scored.select(
+        "part_a", "part_b",
+        F.col("pair_cnt").cast("long").alias("pair_cnt"),
+        F.col("cnt_a").cast("long").alias("cnt_a"),
+        F.col("cnt_b").cast("long").alias("cnt_b"),
+        q6(F.col("pair_cnt").cast("double") / F.col("cnt_a"))
+        .alias("confidence"),
+        q6(F.col("pair_cnt").cast("double") * F.col("n_orders")
+           / (F.col("cnt_a").cast("double") * F.col("cnt_b")))
+        .alias("lift"))
+    return (scored.orderBy(F.col("lift").desc(), F.col("part_a").asc(),
+                           F.col("part_b").asc())
+            .limit(BASKET_TOP_K))

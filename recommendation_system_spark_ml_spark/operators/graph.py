@@ -218,3 +218,85 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (deg.groupBy("node_type", F.col("degree").cast("long")
                         .alias("degree"))
             .agg(F.count(F.lit(1)).cast("long").alias("n_nodes")))
+
+
+@register("graph_triangle_count", oracle="""
+WITH oi AS (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS item
+    FROM lineitem WHERE l_partkey IS NOT NULL
+), e AS (
+    SELECT DISTINCT a.item AS u, b.item AS v
+    FROM oi a JOIN oi b ON a.o = b.o AND a.item < b.item
+), deg AS (
+    SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v FROM e
+    ) GROUP BY 1
+), oriented AS (
+    SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
+           CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t
+    FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+), tri AS (
+    SELECT e1.s AS x, e1.t AS y, e2.t AS z
+    FROM oriented e1
+    JOIN oriented e2 ON e1.t = e2.s
+    JOIN oriented e3 ON e3.s = e1.s AND e3.t = e2.t
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+)
+GROUP BY 1
+""")
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the part co-order graph (parts
+    are adjacent when some order contains both) -- the clustering-
+    coefficient / community-density primitive next to graph_pagerank's
+    centrality and dedup_components' connectivity. Edge generation is
+    the bounded-fan-out self-join on the order key (<= 21 id pairs per
+    TPC-H order, never a projection of a hub).
+
+    The triangle join runs on the DEGREE-ORDERED orientation (each
+    undirected edge points from its (degree, id)-smaller endpoint), the
+    standard trick (Chiba-Nishizeki / Schank-Wagner) that bounds wedge
+    work by sum(outdeg^2) = O(E^1.5) instead of sum(deg^2), which a
+    hub node makes quadratic -- at 100 TB this is the difference
+    between a skew-killed shuffle and a balanced one. Each triangle is
+    found exactly once (its orientation is acyclic), then credited to
+    all three corners; everything shuffles 16-byte id pairs, counts
+    are integers, and the oracle replays the identical orientation via
+    tuple comparison."""
+    pin_session_conf(spark)
+    oi = (load(spark, sf_dir, "lineitem")
+          .where(F.col("l_partkey").isNotNull())
+          .select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("item"))
+          .distinct())
+    a, b = oi.alias("a"), oi.alias("b")
+    e = (a.join(b, (F.col("a.o") == F.col("b.o"))
+                & (F.col("a.item") < F.col("b.item")))
+         .select(F.col("a.item").alias("u"), F.col("b.item").alias("v"))
+         .distinct())
+    deg = (e.select(F.col("u").alias("node"))
+           .union(e.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    u_first = (F.struct("du", "u") < F.struct("dv", "v"))
+    oriented = (e.join(du, "u").join(dv, "v")
+                .select(F.when(u_first, F.col("u")).otherwise(F.col("v"))
+                        .alias("s"),
+                        F.when(u_first, F.col("v")).otherwise(F.col("u"))
+                        .alias("t"))
+                .localCheckpoint(eager=True))
+    e1 = oriented.select(F.col("s").alias("x"), F.col("t").alias("y"))
+    e2 = oriented.select(F.col("s").alias("y"), F.col("t").alias("z"))
+    e3 = oriented.select(F.col("s").alias("x"), F.col("t").alias("z"))
+    tri = (e1.join(e2, "y").join(e3, ["x", "z"])
+           .select("x", "y", "z"))
+    corners = (tri.select(F.col("x").alias("node"))
+               .union(tri.select(F.col("y").alias("node")))
+               .union(tri.select(F.col("z").alias("node"))))
+    return (corners.groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))

@@ -2041,3 +2041,147 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.when(F.col("sxx") > 0,
                                    F.col("sxy") / F.col("sxx")), 6)
                     .alias("zipf_slope")))
+
+
+@register("pipeline_tokenizer_fertility", oracle=f"""
+WITH t AS (
+    SELECT source, lang,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+           CAST(len(regexp_extract_all(lower(text), '{_BPE_RE}'))
+                AS BIGINT) AS bpe,
+           CAST(length(text) AS BIGINT) AS chars,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS bytes
+    FROM documents WHERE text IS NOT NULL
+)
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ws) AS BIGINT) AS ws_tokens,
+       CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+       round(CAST(sum(bpe) AS DOUBLE) / nullif(sum(ws), 0), 6)
+           AS fertility,
+       round(CAST(sum(chars) AS DOUBLE) / nullif(sum(bpe), 0), 6)
+           AS chars_per_token,
+       round(CAST(sum(bytes) AS DOUBLE) / nullif(sum(bpe), 0), 6)
+           AS bytes_per_token
+FROM t GROUP BY 1, 2
+""")
+def pipeline_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per (source, lang): subword (BPE-ish)
+    tokens per whitespace word, chars and UTF-8 bytes per token -- the
+    table that prices a training mix in compute terms (a source with
+    fertility 3 costs 3x the sequence length per word; bytes/token is
+    the storage-to-context exchange rate) and flags tokenizer-hostile
+    sources before they burn budget. Shares text_tokens' exact
+    tokenization expressions so the two reports can never disagree.
+
+    Shape: per-doc counts are map-side regexp/length expressions; ONE
+    partial-combined groupBy over the (source, lang) keyspace --
+    bounded by the catalog, not the corpus; ratios divide the integer
+    totals only after aggregation (identical division trees both
+    engines, round 6). Zero-token groups yield NULL via nullif on
+    both sides."""
+    pin_session_conf(spark)
+    t = (load(spark, sf_dir, "documents")
+         .where(F.col("text").isNotNull())
+         .select("source", "lang",
+                 F.size(F.split("text", " ")).cast("long").alias("ws"),
+                 F.size(F.regexp_extract_all(
+                     F.lower("text"), F.lit(_BPE_RE), F.lit(0)))
+                 .cast("long").alias("bpe"),
+                 F.length("text").cast("long").alias("chars"),
+                 F.octet_length(F.encode("text", "UTF-8"))
+                 .cast("long").alias("bytes")))
+    g = (t.groupBy("source", "lang")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+              F.sum("ws").alias("ws_tokens"),
+              F.sum("bpe").alias("bpe_tokens"),
+              F.sum("chars").alias("chars_sum"),
+              F.sum("bytes").alias("bytes_sum")))
+    return g.select(
+        "source", "lang", "n_docs", "ws_tokens", "bpe_tokens",
+        F.round(F.col("bpe_tokens").cast("double")
+                / F.nullif(F.col("ws_tokens"), F.lit(0)), 6)
+        .alias("fertility"),
+        F.round(F.col("chars_sum").cast("double")
+                / F.nullif(F.col("bpe_tokens"), F.lit(0)), 6)
+        .alias("chars_per_token"),
+        F.round(F.col("bytes_sum").cast("double")
+                / F.nullif(F.col("bpe_tokens"), F.lit(0)), 6)
+        .alias("bytes_per_token"))
+
+
+@register("text_readability", oracle="""
+WITH c AS (
+    SELECT doc_id,
+           greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS sents,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+'))
+                AS BIGINT) AS words,
+           CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                AS BIGINT) AS syls
+    FROM documents WHERE text IS NOT NULL
+), s AS (
+    SELECT doc_id, CAST(sents AS BIGINT) AS n_sentences, words AS n_words,
+           syls AS n_syllables,
+           CAST(206.835 AS DOUBLE)
+           - CAST(1.015 AS DOUBLE)
+             * (CAST(words AS DOUBLE) / CAST(sents AS DOUBLE))
+           - CAST(84.6 AS DOUBLE)
+             * (CAST(syls AS DOUBLE) / CAST(nullif(words, 0) AS DOUBLE))
+               AS score
+    FROM c
+)
+SELECT doc_id, n_sentences, n_words, n_syllables,
+       round(score, 4) AS flesch_score,
+       CASE WHEN score IS NULL THEN NULL
+            WHEN score >= 60 THEN 'easy'
+            WHEN score >= 30 THEN 'medium'
+            ELSE 'hard' END AS band
+FROM s
+""")
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring (Flesch 1948; the readability gate
+    CC-style corpora run next to Gopher rules): words = letter runs,
+    sentences = terminator runs (min 1), syllables approximated as
+    vowel-group runs -- the standard dictionary-free proxy. The score
+    arithmetic is the published 206.835 - 1.015*(W/S) - 84.6*(SY/W)
+    with every literal cast to DOUBLE on the oracle side (DuckDB
+    parses bare decimals as DECIMAL, whose division tree differs) and
+    the identical association order in both engines; round(4) absorbs
+    nothing structural -- the trees are bit-identical -- it just fixes
+    display width. Banding compares the same computed double, so the
+    band can never disagree with the score. Zero-word docs score NULL
+    (nullif both sides); sentence count is floored at 1 (headline-only
+    docs are one sentence, and the formula needs S >= 1).
+
+    Shape: pure map-side regexp counting -- no shuffle at all; the
+    counts are integers and the only float surface is the final
+    published formula."""
+    pin_session_conf(spark)
+    lt = F.lower("text")
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"),
+                                    F.lit(0))), F.lit(1))
+    words = F.size(F.regexp_extract_all(lt, F.lit("[a-z]+"), F.lit(0))) \
+        .cast("long")
+    syls = F.size(F.regexp_extract_all(lt, F.lit("[aeiouy]+"), F.lit(0))) \
+        .cast("long")
+    c = (load(spark, sf_dir, "documents")
+         .where(F.col("text").isNotNull())
+         .select("doc_id", sents.alias("sents"), words.alias("words"),
+                 syls.alias("syls")))
+    score = (F.lit(206.835)
+             - F.lit(1.015) * (F.col("words").cast("double")
+                               / F.col("sents").cast("double"))
+             - F.lit(84.6) * (F.col("syls").cast("double")
+                              / F.nullif(F.col("words"), F.lit(0))
+                              .cast("double")))
+    s = c.select("doc_id", F.col("sents").cast("long").alias("n_sentences"),
+                 F.col("words").alias("n_words"),
+                 F.col("syls").alias("n_syllables"), score.alias("score"))
+    return s.select(
+        "doc_id", "n_sentences", "n_words", "n_syllables",
+        F.round("score", 4).alias("flesch_score"),
+        F.when(F.col("score").isNull(), F.lit(None).cast("string"))
+        .when(F.col("score") >= 60, F.lit("easy"))
+        .when(F.col("score") >= 30, F.lit("medium"))
+        .otherwise(F.lit("hard")).alias("band"))

@@ -91,3 +91,103 @@ def test_calendar_profile_shape_and_peaks(spark):
     n_ts = (load(spark, SF_SMOKE, "events")
             .where(F.col("ts").isNotNull()).count())
     assert sum(r.n_events for r in rows) == n_ts
+
+
+def test_triangle_count_matches_brute_force(spark):
+    """Recompute triangles in pure Python from the co-order edge set:
+    per-node counts must match exactly."""
+    from itertools import combinations
+
+    from recommendation_system_spark_ml_spark.operators.graph import (
+        graph_triangle_count)
+    from recommendation_system_spark_ml_spark.sources.catalog import load
+
+    li = (load(spark, SF_SMOKE, "lineitem")
+          .where(F.col("l_partkey").isNotNull())
+          .select("l_orderkey", "l_partkey").distinct().collect())
+    orders = {}
+    for r in li:
+        orders.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    adj = {}
+    for items in orders.values():
+        for u, v in combinations(sorted(items), 2):
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    want = {}
+    for u in adj:
+        for v, w in combinations(sorted(adj[u]), 2):
+            # enumerate each triangle once, from its smallest corner
+            if v > u and w in adj.get(v, ()):
+                for n in (u, v, w):
+                    want[n] = want.get(n, 0) + 1
+    got = {r.node: r.n_triangles
+           for r in graph_triangle_count(spark, SF_SMOKE).collect()}
+    assert got == {n: c for n, c in want.items() if c > 0}
+
+
+def test_basket_lift_brute_force_one_pair(spark):
+    """Recompute support/confidence/lift for the top returned pair
+    straight from the distinct (order, part) table."""
+    from recommendation_system_spark_ml_spark.operators.aggregates import (
+        agg_basket_lift)
+    from recommendation_system_spark_ml_spark.sources.catalog import load
+
+    rows = agg_basket_lift(spark, SF_SMOKE).collect()
+    assert rows and all(0 < r.confidence <= 1 for r in rows)
+    top = rows[0]
+    oi = (load(spark, SF_SMOKE, "lineitem")
+          .where(F.col("l_partkey").isNotNull())
+          .select("l_orderkey", "l_partkey").distinct().collect())
+    baskets = {}
+    for r in oi:
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    n_orders = len(baskets)
+    cnt_a = sum(1 for b in baskets.values() if top.part_a in b)
+    cnt_b = sum(1 for b in baskets.values() if top.part_b in b)
+    pair = sum(1 for b in baskets.values()
+               if top.part_a in b and top.part_b in b)
+    assert (top.cnt_a, top.cnt_b, top.pair_cnt) == (cnt_a, cnt_b, pair)
+    assert top.lift == pytest.approx(pair * n_orders / (cnt_a * cnt_b),
+                                     abs=1e-5)
+
+
+def test_readability_hand_computed_doc(spark):
+    """Score one document by hand through the published formula."""
+    import re
+
+    from recommendation_system_spark_ml_spark.operators.textops import (
+        text_readability)
+    from recommendation_system_spark_ml_spark.sources.catalog import load
+
+    doc = load(spark, SF_SMOKE, "documents").first()
+    row = [r for r in text_readability(spark, SF_SMOKE).collect()
+           if r.doc_id == doc.doc_id][0]
+    sents = max(len(re.findall(r"[.!?]+", doc.text)), 1)
+    words = len(re.findall(r"[a-z]+", doc.text.lower()))
+    syls = len(re.findall(r"[aeiouy]+", doc.text.lower()))
+    assert (row.n_sentences, row.n_words, row.n_syllables) == (
+        sents, words, syls)
+    if words:
+        want = 206.835 - 1.015 * (words / sents) - 84.6 * (syls / words)
+        assert row.flesch_score == pytest.approx(want, abs=1e-3)
+        assert row.band == ("easy" if want >= 60
+                            else "medium" if want >= 30 else "hard")
+
+
+def test_fertility_totals_agree_with_text_tokens(spark):
+    """Summing text_tokens' per-doc counts by (source, lang) must give
+    fertility's group totals -- the two reports share tokenization."""
+    from recommendation_system_spark_ml_spark.operators.textops import (
+        pipeline_tokenizer_fertility, text_tokens)
+    from recommendation_system_spark_ml_spark.sources.catalog import load
+
+    docs = load(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source", "lang")
+    per_doc = text_tokens(spark, SF_SMOKE).join(docs, "doc_id")
+    want = {(r.source, r.lang): (r.ws, r.bpe) for r in
+            (per_doc.groupBy("source", "lang")
+             .agg(F.sum("n_ws_tokens").alias("ws"),
+                  F.sum("n_bpe_tokens").alias("bpe")).collect())}
+    got = {(r.source, r.lang): (r.ws_tokens, r.bpe_tokens)
+           for r in pipeline_tokenizer_fertility(spark, SF_SMOKE).collect()}
+    assert got == want
