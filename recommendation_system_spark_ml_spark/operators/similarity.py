@@ -880,3 +880,253 @@ def vec_anisotropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when(n > 1, F.round(
                         (F.col("sumsq") - n) / (n.cast("double") * (n - 1)),
                         6)).alias("avg_pairwise_cosine")))
+
+
+N_PC_ITER = 8  # fixed power-iteration count, shared with the oracle
+
+
+def _top_pc_oracle() -> str:
+    """The same centered covariance + N_PC_ITER power iterations
+    unrolled as chained CTEs (the graph_pagerank recipe): fixed
+    iteration count makes the whole iterative algorithm deterministic
+    and hash-checkable. Division by a zero norm is nullif-guarded on
+    both sides (a rank-0 covariance, e.g. n = 1, yields NULL loadings
+    rather than NaN). Every per-iteration CTE is MATERIALIZED: each
+    v{{t}} references its w{{t}} twice (projection + norm), so DuckDB's
+    default inlining would re-expand the covariance subtree 2^N times
+    (first seen as a too-many-open-files parquet storm)."""
+    steps = []
+    prev = "v0"
+    for t in range(1, N_PC_ITER + 1):
+        steps.append(f"""w{t} AS MATERIALIZED (
+    SELECT cov.i, sum(cov.c * {prev}.vj) AS wi
+    FROM cov JOIN {prev} ON cov.j = {prev}.j GROUP BY 1
+), n{t} AS MATERIALIZED (
+    SELECT sqrt(sum(wi * wi)) AS nrm FROM w{t}
+), v{t} AS MATERIALIZED (
+    SELECT i AS j, wi / nullif((SELECT nrm FROM n{t}), 0) AS vj FROM w{t}
+)""")
+        prev = f"v{t}"
+    return f"""
+WITH v AS MATERIALIZED (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+), d AS MATERIALIZED (
+    SELECT vec_id, CAST(t.i - 1 AS INTEGER) AS i, x[t.i] AS xi
+    FROM v, unnest(generate_series(1, len(x))) AS t(i)
+), mu AS MATERIALIZED (
+    SELECT i, avg(xi) AS mu FROM d GROUP BY 1
+), c0 AS MATERIALIZED (
+    SELECT d.vec_id, d.i, d.xi - mu.mu AS xc FROM d JOIN mu USING (i)
+), nv AS MATERIALIZED (
+    SELECT count(*) AS n FROM v
+), cov AS MATERIALIZED (
+    SELECT a.i AS i, b.i AS j,
+           sum(a.xc * b.xc) / (SELECT n FROM nv) AS c
+    FROM c0 a JOIN c0 b ON a.vec_id = b.vec_id GROUP BY 1, 2
+), dims AS MATERIALIZED (
+    SELECT count(DISTINCT i) AS d FROM cov
+), v0 AS MATERIALIZED (
+    SELECT i AS j, CAST(1 AS DOUBLE) / sqrt((SELECT d FROM dims)) AS vj
+    FROM (SELECT DISTINCT i FROM cov)
+), {", ".join(steps)}
+SELECT CAST(j AS INTEGER) AS dim, round(vj, 6) AS loading,
+       round((SELECT nrm FROM n{N_PC_ITER}), 4) AS eigenvalue
+FROM v{N_PC_ITER}
+"""
+
+
+@register("vec_top_pc", oracle=_top_pc_oracle())
+def vec_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal component of the embedding cloud by power
+    iteration -- the 'all-but-the-top' (Mu & Viswanath 2018) /
+    anisotropy-correction building block: subtracting this direction
+    is the standard fix when vec_anisotropy_report flags a shared
+    cone. Fixed N_PC_ITER iterations from the deterministic uniform
+    start 1/sqrt(d), so the ENTIRE iterative algorithm is
+    value-checked against the unrolled-CTE oracle (the graph_pagerank
+    pattern) -- convergence is irrelevant to correctness, both engines
+    run the same 8 steps.
+
+    100 TB shape: the covariance is the ONLY data-sized stage -- a
+    posexplode self-join keyed on vec_id (fan-out d^2 per row of
+    8-byte terms) whose groupBy(i, j) partial-combines every task
+    down to the fixed d^2 = 4096-cell keyspace before its one
+    Exchange; cost O(n * d^2) compute, O(tasks * d^2) shuffle,
+    independent of n past the scan. The iteration then runs on the
+    4096-row matrix alone: 8 tiny join+agg rounds with broadcast
+    scalar norms (never row data to the driver). Centering via a
+    broadcast 64-row mean table. round(6) loadings / round(4)
+    eigenvalue absorb cross-engine summation-order ulps; the sign is
+    pinned by the all-positive start."""
+    pin_session_conf(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    ve = F.transform("embedding", lambda x: x.cast("double"))
+    dims = emb.select("vec_id", F.posexplode(ve).alias("i", "xi"))
+    mu = dims.groupBy("i").agg(F.avg("xi").alias("mu"))
+    cent = (dims.join(F.broadcast(mu), "i")
+            .select("vec_id", "i", (F.col("xi") - F.col("mu")).alias("xc")))
+    n = emb.count()  # driver scalar: row count only
+    a, b = cent.alias("a"), cent.alias("b")
+    cov = (a.join(b, "vec_id")
+           .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+           .agg((F.sum(F.col("a.xc") * F.col("b.xc")) / F.lit(n))
+                .alias("c"))
+           .localCheckpoint(eager=True))
+    d = cov.select("i").distinct().count()  # driver scalar: dim count
+    if d == 0:
+        return spark.createDataFrame(
+            [], "dim int, loading double, eigenvalue double")
+    v = (cov.select("i").distinct()
+         .select(F.col("i").alias("j"),
+                 (F.lit(1.0) / F.sqrt(F.lit(float(d)))).alias("vj")))
+    nrm_df = None
+    for _ in range(N_PC_ITER):
+        w = (cov.join(F.broadcast(v), "j")
+             .groupBy("i").agg(F.sum(F.col("c") * F.col("vj")).alias("wi")))
+        nrm_df = w.agg(F.sqrt(F.sum(F.col("wi") * F.col("wi")))
+                       .alias("nrm"))
+        v = (w.crossJoin(F.broadcast(nrm_df))
+             .select(F.col("i").alias("j"),
+                     (F.col("wi") / F.nullif(F.col("nrm"), F.lit(0.0)))
+                     .alias("vj")))
+    return (v.crossJoin(F.broadcast(nrm_df))
+            .select(F.col("j").cast("int").alias("dim"),
+                    F.round("vj", 6).alias("loading"),
+                    F.round("nrm", 4).alias("eigenvalue")))
+
+
+MMR_LAMBDA = 0.7   # relevance weight; 1 - lambda penalizes redundancy
+MMR_POOL = 20      # exact top-k candidate pool fed to the greedy stage
+MMR_K = 5          # final diversified list length
+_MMR_Q = 1_000_000  # 6-decimal floor quantization before any argmax
+
+
+def _mmr_oracle() -> str:
+    """Candidates + pairwise sims in SQL, then the greedy selection
+    unrolled: step t picks argmax of lambda*rel - (1-lambda)*max(sim
+    to selected) over the remainder, ties -> smallest id. Dot products
+    are written as the same ascending-index fold Spark's zip_with +
+    aggregate evaluates, and every similarity is floor-quantized at
+    1e-6 BEFORE any comparison, so the argmax sequence is cross-engine
+    deterministic."""
+    lam, mu = "CAST(0.7 AS DOUBLE)", "CAST(0.3 AS DOUBLE)"
+    steps = ["""s1 AS (
+    SELECT id, rel, {lam} * rel - {mu} * CAST(0 AS DOUBLE) AS score
+    FROM cand ORDER BY score DESC, id ASC LIMIT 1
+), sel1 AS (SELECT id FROM s1)""".format(lam=lam, mu=mu)]
+    for t in range(2, MMR_K + 1):
+        steps.append(f"""s{t} AS (
+    SELECT c.id, c.rel,
+           {lam} * c.rel - {mu} * (
+               SELECT max(s.sim) FROM sims s
+               WHERE (s.ida = c.id AND s.idb IN (SELECT id FROM sel{t - 1}))
+                  OR (s.idb = c.id AND s.ida IN (SELECT id FROM sel{t - 1}))
+           ) AS score
+    FROM cand c WHERE c.id NOT IN (SELECT id FROM sel{t - 1})
+    ORDER BY score DESC, c.id ASC LIMIT 1
+), sel{t} AS (SELECT id FROM sel{t - 1} UNION ALL SELECT id FROM s{t})""")
+    picks = "\nUNION ALL\n".join(
+        f"SELECT {t} AS rank, id AS vec_id, rel AS relevance, "
+        f"floor(score * {_MMR_Q} + 0.5) / {_MMR_Q} AS mmr_score FROM s{t}"
+        for t in range(1, MMR_K + 1))
+    return f"""
+WITH v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x,
+           sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                        e -> e * e))) AS nrm
+    FROM embeddings
+), q AS (
+    SELECT * FROM v WHERE vec_id = 0 AND nrm > 0
+), cand AS (
+    SELECT c.vec_id AS id,
+           floor(list_sum(list_transform(
+                     range(1, CAST(len(c.x) AS BIGINT) + 1),
+                     i -> q.x[i] * c.x[i])) / (q.nrm * c.nrm)
+                 * {_MMR_Q} + 0.5) / {_MMR_Q} AS rel
+    FROM v c, q WHERE c.vec_id <> 0 AND c.nrm > 0
+    ORDER BY rel DESC, id ASC LIMIT {MMR_POOL}
+), cv AS (
+    SELECT cand.id, cand.rel, v.x, v.nrm FROM cand JOIN v ON cand.id = v.vec_id
+), sims AS (
+    SELECT a.id AS ida, b.id AS idb,
+           floor(list_sum(list_transform(
+                     range(1, CAST(len(a.x) AS BIGINT) + 1),
+                     i -> a.x[i] * b.x[i])) / (a.nrm * b.nrm)
+                 * {_MMR_Q} + 0.5) / {_MMR_Q} AS sim
+    FROM cv a JOIN cv b ON a.id < b.id
+), {", ".join(steps)}
+{picks}
+"""
+
+
+@register("sim_mmr_rerank", oracle=_mmr_oracle())
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) -- the diversity stage between retrieval and a context
+    window: from the exact top-{MMR_POOL} cosine candidates for query
+    vec_id = 0, greedily pick {MMR_K} maximizing lambda*relevance -
+    (1-lambda)*max-similarity-to-already-picked, the standard fix for
+    near-duplicate retrieval results all saying the same thing.
+
+    Division of labor at 100 TB: the corpus-sized work -- the exact
+    top-{MMR_POOL} scan (TakeOrderedAndProject per-partition heaps)
+    and the {MMR_POOL}x{MMR_POOL} candidate similarity matrix -- is
+    distributed; the greedy argmax loop then runs driver-side over a
+    PROVABLY BOUNDED set ({MMR_POOL} rows + {MMR_POOL * (MMR_POOL - 1) // 2}
+    pair sims, constants independent of corpus size -- the documented
+    bounded-collect class, like sim_ivf's centroid table). Every
+    cosine is floor-quantized at 1e-6 before any comparison and ties
+    break on id, so the pick sequence is deterministic and the
+    unrolled-greedy oracle hash-matches the whole algorithm."""
+    pin_session_conf(spark)
+    import math as _math
+
+    corpus = _corpus(spark, sf_dir)
+    withn = corpus.select(
+        "vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"))
+    nz = withn.where(F.col("nrm") > 0)
+    q = (nz.where(F.col("vec_id") == 0)
+         .select(F.col("v").alias("qv"), F.col("nrm").alias("qnrm")))
+
+    def q6(c):
+        return F.floor(c * _MMR_Q + F.lit(0.5)) / _MMR_Q
+
+    cand = (nz.where(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+            .select(F.col("vec_id").alias("id"), "v", "nrm",
+                    q6(_dot(F.col("qv"), F.col("v"))
+                       / (F.col("qnrm") * F.col("nrm"))).alias("rel"))
+            .orderBy(F.col("rel").desc(), F.col("id").asc())
+            .limit(MMR_POOL)
+            .localCheckpoint(eager=True))
+    a = cand.select(F.col("id").alias("ida"), F.col("v").alias("va"),
+                    F.col("nrm").alias("na"))
+    b = cand.select(F.col("id").alias("idb"), F.col("v").alias("vb"),
+                    F.col("nrm").alias("nb"))
+    sims = (a.join(b, F.col("ida") < F.col("idb"))
+            .select("ida", "idb",
+                    q6(_dot(F.col("va"), F.col("vb"))
+                       / (F.col("na") * F.col("nb"))).alias("sim")))
+    # bounded collects: MMR_POOL rows + MMR_POOL*(MMR_POOL-1)/2 pairs
+    rel = {r.id: r.rel for r in cand.select("id", "rel").collect()}
+    sim = {}
+    for r in sims.collect():
+        sim[(r.ida, r.idb)] = r.sim
+        sim[(r.idb, r.ida)] = r.sim
+    lam, penalty = 0.7, 0.3
+    selected, out = [], []
+    remaining = dict(rel)
+    for rank in range(1, MMR_K + 1):
+        if not remaining:
+            break
+        best_id, best_score = None, None
+        for cid in sorted(remaining):
+            red = max((sim[(cid, s)] for s in selected), default=0.0)
+            score = lam * remaining[cid] - penalty * red
+            if best_score is None or score > best_score:
+                best_id, best_score = cid, score
+        out.append((rank, best_id, rel[best_id],
+                    _math.floor(best_score * _MMR_Q + 0.5) / _MMR_Q))
+        selected.append(best_id)
+        del remaining[best_id]
+    return spark.createDataFrame(
+        out, "rank int, vec_id bigint, relevance double, mmr_score double")

@@ -191,3 +191,78 @@ def test_fertility_totals_agree_with_text_tokens(spark):
     got = {(r.source, r.lang): (r.ws_tokens, r.bpe_tokens)
            for r in pipeline_tokenizer_fertility(spark, SF_SMOKE).collect()}
     assert got == want
+
+
+def test_top_pc_matches_numpy_power_iteration(spark):
+    """Replicate the fixed 8-step power iteration in numpy from the
+    raw embeddings: loadings must agree to ~1e-6 and the loading
+    vector must be unit-norm; the eigenvalue must match the Rayleigh
+    norm."""
+    import numpy as np
+
+    from recommendation_system_spark_ml_spark.operators.similarity import (
+        N_PC_ITER, vec_top_pc)
+    from recommendation_system_spark_ml_spark.sources.catalog import load
+
+    X = np.array([r.embedding for r in
+                  load(spark, SF_SMOKE, "embeddings").collect()],
+                 dtype=np.float64)
+    C = (X - X.mean(axis=0)).T @ (X - X.mean(axis=0)) / X.shape[0]
+    v = np.full(X.shape[1], 1.0 / math.sqrt(X.shape[1]))
+    nrm = None
+    for _ in range(N_PC_ITER):
+        w = C @ v
+        nrm = math.sqrt(float(w @ w))
+        v = w / nrm
+    rows = sorted(vec_top_pc(spark, SF_SMOKE).collect(),
+                  key=lambda r: r.dim)
+    got = np.array([r.loading for r in rows])
+    assert len(got) == X.shape[1]
+    assert np.abs(got - v).max() < 1e-5
+    assert abs(float(got @ got) - 1.0) < 1e-4
+    assert rows[0].eigenvalue == pytest.approx(nrm, abs=1e-3)
+
+
+def test_mmr_matches_pure_python_greedy(spark):
+    """Replicate candidate pool + greedy selection in numpy/python:
+    the selected ids, order, and scores must match; picks must be
+    distinct and the first pick must be the most relevant candidate."""
+    import numpy as np
+
+    from recommendation_system_spark_ml_spark.operators.similarity import (
+        MMR_K, MMR_POOL, _MMR_Q, sim_mmr_rerank)
+    from recommendation_system_spark_ml_spark.sources.catalog import load
+
+    rows = sorted(sim_mmr_rerank(spark, SF_SMOKE).collect(),
+                  key=lambda r: r.rank)
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in
+            load(spark, SF_SMOKE, "embeddings").collect()}
+    unit = {i: v / np.linalg.norm(v) for i, v in vecs.items()
+            if np.linalg.norm(v) > 0}
+    q = unit[0]
+
+    def q6(x):
+        return math.floor(x * _MMR_Q + 0.5) / _MMR_Q
+
+    rel = {i: q6(float(q @ u)) for i, u in unit.items() if i != 0}
+    pool = sorted(rel, key=lambda i: (-rel[i], i))[:MMR_POOL]
+    selected, want = [], []
+    remaining = set(pool)
+    for rank in range(1, MMR_K + 1):
+        best, best_s = None, None
+        for cid in sorted(remaining):
+            red = max((q6(float(unit[cid] @ unit[s])) for s in selected),
+                      default=0.0)
+            s = 0.7 * rel[cid] - 0.3 * red
+            if best_s is None or s > best_s:
+                best, best_s = cid, s
+        want.append((rank, best, rel[best], q6(best_s)))
+        selected.append(best)
+        remaining.discard(best)
+    got = [(r.rank, r.vec_id, r.relevance, r.mmr_score) for r in rows]
+    assert [g[:2] for g in got] == [w[:2] for w in want]
+    for g, w in zip(got, want):
+        assert g[2] == pytest.approx(w[2], abs=2e-6)
+        assert g[3] == pytest.approx(w[3], abs=2e-6)
+    assert len({g[1] for g in got}) == len(got)
+    assert got[0][1] == max(rel, key=lambda i: (rel[i], -i))
