@@ -666,3 +666,87 @@ def test_weighted_median_no_single_reducer_rows(spark):
         if "SinglePartition" in block:
             assert "price_c" not in block or "__bucket" in block, block
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_basket_lift_topk_heap_and_broadcast_counts(spark):
+    """agg_basket_lift's final cut is TakeOrderedAndProject (per-
+    partition heaps, never a global row sort) and the per-item count
+    joins onto the aggregated pair table broadcast."""
+    plan = _plan(_specs()["agg_basket_lift"].fn(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_triangle_count_no_cartesian_no_python(spark):
+    """graph_triangle_count's wedge and closure joins are hash
+    equi-joins on ids; nothing may fall back to a cartesian."""
+    plan = _plan(_specs()["graph_triangle_count"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_calendar_profile_partial_agg_bounded_window(spark):
+    """ts_calendar_profile partial-aggregates event rows map-side;
+    the peak window ranks finished cells only."""
+    plan = _plan(_specs()["ts_calendar_profile"].fn(spark, SF_SMOKE))
+    assert "partial_count" in plan
+    assert "EvalPython" not in plan
+
+
+def test_rfm_scans_events_once(spark):
+    """agg_rfm_scores reads events for the per-user aggregate and the
+    scalar anchor -- at most two scans of the same pruned columns, no
+    Python, and the ntile windows run over the per-user table."""
+    import re
+    plan = _plan(_specs()["agg_rfm_scores"].fn(spark, SF_SMOKE))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) <= 2, plan
+    assert "EvalPython" not in plan
+
+
+def test_fertility_single_scan_partial_agg(spark):
+    """pipeline_tokenizer_fertility is one scan into one partial-
+    combined groupBy."""
+    import re
+    plan = _plan(_specs()["pipeline_tokenizer_fertility"].fn(spark, SF_SMOKE))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+    assert "partial_count" in plan
+    assert "EvalPython" not in plan
+
+
+def test_readability_is_map_only(spark):
+    """text_readability is pure per-row regexp counting: no Exchange,
+    no Python nodes."""
+    plan = _plan(_specs()["text_readability"].fn(spark, SF_SMOKE))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_anisotropy_bounded_keyspace_no_python(spark):
+    """vec_anisotropy_report's only data-sized shuffle feeds the
+    64-cell per-dim sum (partial-combined); the scalar combine is a
+    broadcast cross of single-row frames."""
+    plan = _plan(_specs()["vec_anisotropy_report"].fn(spark, SF_SMOKE))
+    assert "partial_sum" in plan
+    assert "EvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the scalar cross only
+
+
+def test_top_pc_covariance_partial_aggregates(spark):
+    """vec_top_pc's covariance groupBy(i, j) partial-combines each
+    task to the d^2 keyspace before its Exchange; the iteration joins
+    broadcast the 64-row vector."""
+    plan = _plan(_specs()["vec_top_pc"].fn(spark, SF_SMOKE))
+    assert "partial_sum" in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_phash_candidates_from_equi_join(spark):
+    """multimodal_dedup_phash's pair stage is a (band, key) hash
+    equi-join -- never an all-pairs product -- and the only Python is
+    the Arrow-batched decode."""
+    plan = _plan(_specs()["multimodal_dedup_phash"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
