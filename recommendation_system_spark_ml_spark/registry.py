@@ -70,6 +70,7 @@ _QUERY_MODULES = (
     "recommendation_system_spark_ml_spark.operators.textops",
     "recommendation_system_spark_ml_spark.operators.multimodal",
     "recommendation_system_spark_ml_spark.ml.parity",
+    "recommendation_system_spark_ml_spark.operators.recommend",
 )
 
 

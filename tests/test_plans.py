@@ -750,3 +750,21 @@ def test_phash_candidates_from_equi_join(spark):
     plan = _plan(_specs()["multimodal_dedup_phash"].fn(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_item_item_cf_caps_and_cuts_with_window_group_limit(spark):
+    """ml_item_item_cf's per-user cap and per-item neighbor cut both
+    compile to WindowGroupLimit; the pair stage is a hash equi-join."""
+    plan = _plan(_specs()["ml_item_item_cf"].fn(spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_user_recs_anti_join_and_bounded_cut(spark):
+    """ml_user_topn_recs filters seen items with a left-anti join and
+    cuts per-user lists via WindowGroupLimit."""
+    plan = _plan(_specs()["ml_user_topn_recs"].fn(spark, SF_SMOKE))
+    assert "LeftAnti" in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan

@@ -266,3 +266,74 @@ def test_mmr_matches_pure_python_greedy(spark):
         assert g[3] == pytest.approx(w[3], abs=2e-6)
     assert len({g[1] for g in got}) == len(got)
     assert got[0][1] == max(rel, key=lambda i: (rel[i], -i))
+
+
+def test_item_item_cf_brute_force_one_item(spark):
+    """Recompute one item's neighbor list in pure Python (cosine over
+    co-rating users with the same USER_CAP discipline): ids, co-counts
+    and similarities must match."""
+    from recommendation_system_spark_ml_spark.operators.recommend import (
+        MIN_CO, N_NEIGHBORS, USER_CAP, _CF_Q, ml_item_item_cf)
+    from recommendation_system_spark_ml_spark.ml.parity import ratings_analog
+
+    ratings = [(r.userId, r.movieId, float(r.rating)) for r in
+               ratings_analog(spark, SF_SMOKE).collect()
+               if r.userId is not None and r.movieId is not None
+               and r.rating is not None]
+    by_user = {}
+    for u, i, r in ratings:
+        by_user.setdefault(u, []).append((i, r))
+    capped = {}
+    for u, items in by_user.items():
+        for i, r in sorted(items)[:USER_CAP]:
+            capped.setdefault(i, {})[u] = r
+    rows = ml_item_item_cf(spark, SF_SMOKE).collect()
+    assert rows
+    probe_item = rows[0].item
+    vecs = capped[probe_item]
+    import math as m
+    nrm = {i: m.sqrt(sum(r * r for r in d.values()))
+           for i, d in capped.items()}
+    cands = []
+    for j, d in capped.items():
+        if j == probe_item:
+            continue
+        shared = set(vecs) & set(d)
+        if len(shared) < MIN_CO:
+            continue
+        dot = sum(vecs[u] * d[u] for u in sorted(shared))
+        sim = m.floor(dot / (nrm[probe_item] * nrm[j]) * _CF_Q + 0.5) / _CF_Q
+        cands.append((j, len(shared), sim))
+    want = sorted(cands, key=lambda t: (-t[2], t[0]))[:N_NEIGHBORS]
+    got = sorted(((r.neighbor, r.co_cnt, r.sim) for r in rows
+                  if r.item == probe_item),
+                 key=lambda t: (-t[2], t[0]))
+    assert [w[0] for w in want] == [g[0] for g in got]
+    for w, g in zip(want, got):
+        assert w[1] == g[1]
+        assert g[2] == pytest.approx(w[2], abs=2e-6)
+
+
+def test_user_topn_recs_never_repeat_rated_items(spark):
+    """Recommendations must exclude items the user already rated, rank
+    1..N per user, and predictions stay within the global rating
+    range (they are similarity-weighted averages of real ratings)."""
+    from recommendation_system_spark_ml_spark.operators.recommend import (
+        N_RECS, ml_user_topn_recs)
+    from recommendation_system_spark_ml_spark.ml.parity import ratings_analog
+
+    rated = {(r.userId, r.movieId) for r in
+             ratings_analog(spark, SF_SMOKE).collect()}
+    ratings_vals = [float(r.rating) for r in
+                    ratings_analog(spark, SF_SMOKE).collect()]
+    lo, hi = min(ratings_vals), max(ratings_vals)
+    rows = ml_user_topn_recs(spark, SF_SMOKE).collect()
+    assert rows
+    per_user = {}
+    for r in rows:
+        assert (r.userId, r.movieId) not in rated
+        assert lo - 1e-6 <= r.pred <= hi + 1e-6
+        per_user.setdefault(r.userId, []).append(r.rank)
+    for u, ranks in per_user.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= N_RECS

@@ -113,6 +113,17 @@ CURVE_QUERIES = (
     "window_sliding_distinct_hll",  # sketch-table explode, not rows
     "agg_distribution_shape",  # two-pass centered moments
     "stream_topk_trending",   # windowed counts + bounded rank
+    # --- r6 wave ---
+    "agg_basket_lift",        # apriori prune + bounded per-order pair join
+    "graph_triangle_count",   # degree-ordered wedge join: O(E^1.5) bound
+    "agg_rfm_scores",         # per-user agg + ntile over aggregate
+    "ts_calendar_profile",    # 168-cell partial agg + bounded peak window
+    "pipeline_tokenizer_fertility",  # map regexp counts + catalog keyspace
+    "text_readability",       # map-only regexp scoring
+    "dedup_cluster_size_dist",  # components + two bounded rollups
+    "vec_anisotropy_report",  # 64-cell posexplode + scalar cross
+    "vec_top_pc",             # n*d^2 covariance, d^2-cell combine
+    "sim_mmr_rerank",         # linear top-k scan + bounded greedy
 )
 
 
