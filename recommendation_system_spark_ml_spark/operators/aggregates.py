@@ -1503,3 +1503,258 @@ def agg_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.orderBy(F.col("lift").desc(), F.col("part_a").asc(),
                            F.col("part_b").asc())
             .limit(BASKET_TOP_K))
+
+
+@register("ml_linear_regression_exact", oracle="""
+WITH m AS (
+    SELECT l_returnflag,
+           avg(l_quantity) AS mx1, avg(l_discount) AS mx2,
+           avg(l_extendedprice) AS my,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+      AND l_extendedprice IS NOT NULL
+    GROUP BY 1
+), s AS (
+    SELECT li.l_returnflag,
+           sum((l_quantity - mx1) * (l_quantity - mx1)) AS s11,
+           sum((l_quantity - mx1) * (l_discount - mx2)) AS s12,
+           sum((l_discount - mx2) * (l_discount - mx2)) AS s22,
+           sum((l_quantity - mx1) * (l_extendedprice - my)) AS s1y,
+           sum((l_discount - mx2) * (l_extendedprice - my)) AS s2y,
+           sum((l_extendedprice - my) * (l_extendedprice - my)) AS syy
+    FROM lineitem li JOIN m ON li.l_returnflag IS NOT DISTINCT FROM m.l_returnflag
+    WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+      AND l_extendedprice IS NOT NULL
+    GROUP BY 1
+), solved AS (
+    SELECT s.l_returnflag, m.n,
+           s11 * s22 - s12 * s12 AS det,
+           s1y, s2y, syy, s11, s12, s22, mx1, mx2, my
+    FROM s JOIN m ON s.l_returnflag IS NOT DISTINCT FROM m.l_returnflag
+)
+SELECT l_returnflag, n,
+       round((s1y * s22 - s2y * s12) / nullif(det, 0), 6) AS beta_qty,
+       round((s11 * s2y - s12 * s1y) / nullif(det, 0), 6) AS beta_disc,
+       round(my - (s1y * s22 - s2y * s12) / nullif(det, 0) * mx1
+                - (s11 * s2y - s12 * s1y) / nullif(det, 0) * mx2, 4)
+           AS intercept,
+       round(CASE WHEN syy > 0 AND det <> 0 THEN
+                 1 - (syy - (s1y * s22 - s2y * s12) / det * s1y
+                          - (s11 * s2y - s12 * s1y) / det * s2y) / syy
+             END, 6) AS r2
+FROM solved
+""")
+def ml_linear_regression_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature ordinary least squares SOLVED IN CLOSED FORM per
+    group (price ~ quantity + discount by return flag): centered
+    co-moments from one grouped pass, then Cramer's rule on the 2x2
+    normal equations and the OLS identity SSE = syy - b1*s1y - b2*s2y
+    for r^2 -- no MLlib, no iterations. For small feature counts this
+    IS the 100 TB play: co-moments are map-side-combinable sums (a
+    regression for the cost of a groupBy-sum), while an iterative
+    LinearRegression fit would pay a full pass per epoch.
+
+    Two-pass centered form (means broadcast back, then centered
+    products) rather than raw-moment algebra: raw sums of x*y at 1e8
+    magnitudes cancel catastrophically cross-engine; centered sums
+    keep every intermediate small, and both engines share the
+    identical tree (the agg_corr_matrix discipline). Singular designs
+    (det = 0, e.g. a constant feature) yield NULL coefficients via
+    nullif on both sides; r^2 guards zero variance. Rows with any
+    NULL input are excluded up front (pairwise deletion would skew
+    the means, same rule as agg_corr_matrix); the NULL return-flag
+    group survives via null-safe join equality."""
+    pin_session_conf(spark)
+    li = (load(spark, sf_dir, "lineitem")
+          .where(F.col("l_quantity").isNotNull()
+                 & F.col("l_discount").isNotNull()
+                 & F.col("l_extendedprice").isNotNull())
+          .select("l_returnflag", "l_quantity", "l_discount",
+                  "l_extendedprice"))
+    m = (li.groupBy(F.col("l_returnflag").alias("rf"))
+         .agg(F.avg("l_quantity").alias("mx1"),
+              F.avg("l_discount").alias("mx2"),
+              F.avg("l_extendedprice").alias("my"),
+              F.count(F.lit(1)).cast("long").alias("n")))
+    j = li.join(F.broadcast(m), li["l_returnflag"].eqNullSafe(m["rf"]))
+    cx1 = F.col("l_quantity") - F.col("mx1")
+    cx2 = F.col("l_discount") - F.col("mx2")
+    cy = F.col("l_extendedprice") - F.col("my")
+    s = (j.groupBy("l_returnflag")
+         .agg(F.sum(cx1 * cx1).alias("s11"),
+              F.sum(cx1 * cx2).alias("s12"),
+              F.sum(cx2 * cx2).alias("s22"),
+              F.sum(cx1 * cy).alias("s1y"),
+              F.sum(cx2 * cy).alias("s2y"),
+              F.sum(cy * cy).alias("syy")))
+    solved = (s.join(F.broadcast(m), s["l_returnflag"].eqNullSafe(m["rf"]))
+              .drop("rf")
+              .withColumn("det", F.col("s11") * F.col("s22")
+                          - F.col("s12") * F.col("s12")))
+    b1 = (F.col("s1y") * F.col("s22") - F.col("s2y") * F.col("s12")) \
+        / F.nullif(F.col("det"), F.lit(0.0))
+    b2 = (F.col("s11") * F.col("s2y") - F.col("s12") * F.col("s1y")) \
+        / F.nullif(F.col("det"), F.lit(0.0))
+    b1d = (F.col("s1y") * F.col("s22") - F.col("s2y") * F.col("s12")) \
+        / F.col("det")
+    b2d = (F.col("s11") * F.col("s2y") - F.col("s12") * F.col("s1y")) \
+        / F.col("det")
+    r2 = F.when((F.col("syy") > 0) & (F.col("det") != 0),
+                1 - (F.col("syy") - b1d * F.col("s1y")
+                     - b2d * F.col("s2y")) / F.col("syy"))
+    return solved.select(
+        "l_returnflag", "n",
+        F.round(b1, 6).alias("beta_qty"),
+        F.round(b2, 6).alias("beta_disc"),
+        F.round(F.col("my") - b1 * F.col("mx1") - b2 * F.col("mx2"), 4)
+        .alias("intercept"),
+        F.round(r2, 6).alias("r2"))
+
+
+@register("agg_ab_ttest", oracle="""
+WITH g AS (
+    SELECT event_type, avg(value) AS m, CAST(count(*) AS BIGINT) AS n
+    FROM events
+    WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+    GROUP BY 1
+), v AS (
+    SELECT e.event_type,
+           sum((value - m) * (value - m)) AS ss
+    FROM events e JOIN g ON e.event_type = g.event_type
+    WHERE value IS NOT NULL
+    GROUP BY 1
+), side AS (
+    SELECT g.event_type, g.m, g.n,
+           CASE WHEN g.n > 1 THEN v.ss / (g.n - 1) END AS var
+    FROM g JOIN v ON g.event_type = v.event_type
+), ab AS (
+    SELECT a.n AS n_a, b.n AS n_b,
+           a.m - b.m AS mean_diff,
+           a.var / a.n + b.var / b.n AS se2,
+           a.var / a.n AS qa, b.var / b.n AS qb
+    FROM side a JOIN side b
+      ON a.event_type = 'click' AND b.event_type = 'purchase'
+)
+SELECT n_a, n_b,
+       round(mean_diff, 6) AS mean_diff,
+       round(mean_diff / nullif(sqrt(se2), 0), 6) AS t_stat,
+       round(CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0 THEN
+                 (se2 * se2) / (qa * qa / (n_a - 1) + qb * qb / (n_b - 1))
+             END, 4) AS welch_df
+FROM ab
+""")
+def agg_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test (unequal variances) between click and
+    purchase event values -- the A/B-experiment read-out primitive:
+    t statistic and Welch-Satterthwaite degrees of freedom, exact.
+    Variances use the two-pass centered form (means broadcast back)
+    because ANSI var_samp throws DIVIDE_BY_ZERO on n = 1 where DuckDB
+    returns NULL (the fuzz-caught agg_corr_matrix class); n = 1 sides
+    yield NULL variance -> NULL t on both engines via the same guards.
+
+    Shape: two partial-combined aggregates over one filtered scan pair
+    and a 2x2 scalar join -- a statistical test for the cost of a
+    groupBy; at 100 TB the co-moment state is a handful of doubles per
+    task regardless of row count."""
+    pin_session_conf(spark)
+    ev = (load(spark, sf_dir, "events")
+          .where(F.col("event_type").isin("click", "purchase")
+                 & F.col("value").isNotNull())
+          .select("event_type", "value"))
+    g = (ev.groupBy("event_type")
+         .agg(F.avg("value").alias("m"),
+              F.count(F.lit(1)).cast("long").alias("n")))
+    v = (ev.join(F.broadcast(g), "event_type")
+         .groupBy("event_type")
+         .agg(F.sum((F.col("value") - F.col("m"))
+                    * (F.col("value") - F.col("m"))).alias("ss")))
+    side = (g.join(v, "event_type")
+            .select("event_type", "m", "n",
+                    F.when(F.col("n") > 1,
+                           F.col("ss") / (F.col("n") - 1)).alias("var")))
+    a = side.where(F.col("event_type") == "click") \
+        .select(F.col("m").alias("ma"), F.col("n").alias("n_a"),
+                F.col("var").alias("va"))
+    b = (side.where(F.col("event_type") == "purchase")
+         .select(F.col("m").alias("mb"), F.col("n").alias("n_b"),
+                 F.col("var").alias("vb")))
+    ab = (a.crossJoin(F.broadcast(b))
+          .select("n_a", "n_b",
+                  (F.col("ma") - F.col("mb")).alias("mean_diff"),
+                  (F.col("va") / F.col("n_a") + F.col("vb") / F.col("n_b"))
+                  .alias("se2"),
+                  (F.col("va") / F.col("n_a")).alias("qa"),
+                  (F.col("vb") / F.col("n_b")).alias("qb")))
+    df_w = F.when((F.col("n_a") > 1) & (F.col("n_b") > 1)
+                  & (F.col("se2") > 0),
+                  (F.col("se2") * F.col("se2"))
+                  / (F.col("qa") * F.col("qa") / (F.col("n_a") - 1)
+                     + F.col("qb") * F.col("qb") / (F.col("n_b") - 1)))
+    return ab.select(
+        "n_a", "n_b",
+        F.round("mean_diff", 6).alias("mean_diff"),
+        F.round(F.col("mean_diff")
+                / F.nullif(F.sqrt("se2"), F.lit(0.0)), 6).alias("t_stat"),
+        F.round(df_w, 4).alias("welch_df"))
+
+
+@register("agg_chi_square", oracle="""
+WITH joint AS (
+    SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+    FROM documents GROUP BY 1, 2
+), tot AS (
+    SELECT CAST(sum(o) AS BIGINT) AS n,
+           CAST(count(DISTINCT lang) AS BIGINT) AS r,
+           CAST(count(DISTINCT source) AS BIGINT) AS c
+    FROM joint
+), margins AS (
+    SELECT j.lang, j.source, j.o,
+           rl.rt, cs.ct
+    FROM joint j
+    JOIN (SELECT lang, sum(o) AS rt FROM joint GROUP BY 1) rl
+      ON j.lang = rl.lang
+    JOIN (SELECT source, sum(o) AS ct FROM joint GROUP BY 1) cs
+      ON j.source = cs.source
+)
+SELECT (SELECT n FROM tot) AS n,
+       CAST((SELECT (r - 1) * (c - 1) FROM tot) AS BIGINT) AS dof,
+       round(sum((o - CAST(rt * ct AS DOUBLE) / (SELECT n FROM tot))
+                 * (o - CAST(rt * ct AS DOUBLE) / (SELECT n FROM tot))
+                 / (CAST(rt * ct AS DOUBLE) / (SELECT n FROM tot))), 4)
+           AS chi2
+FROM margins
+""")
+def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared independence test on the lang x source
+    contingency table -- the frequentist twin of
+    agg_mutual_information's information-theoretic read: is language
+    distribution independent of ingest source? Expected counts
+    rt*ct/n stay INTEGER products until one division, so both engines
+    build identical doubles; the statistic is a sum over the bounded
+    |langs| x |sources| cell table, never document rows.
+
+    Shape: one groupBy(lang, source) is the only row-data shuffle;
+    margins and the total derive from the finished joint (the
+    agg_mutual_information recipe); every aggregate partial-combines."""
+    pin_session_conf(spark)
+    joint = (load(spark, sf_dir, "documents")
+             .groupBy("lang", "source")
+             .agg(F.count(F.lit(1)).cast("long").alias("o"))
+             .localCheckpoint(eager=True))
+    tot = joint.agg(F.sum("o").cast("long").alias("n"),
+                    F.countDistinct("lang").cast("long").alias("r"),
+                    F.countDistinct("source").cast("long").alias("c"))
+    rl = joint.groupBy("lang").agg(F.sum("o").alias("rt"))
+    cs = joint.groupBy("source").agg(F.sum("o").alias("ct"))
+    margins = (joint.join(F.broadcast(rl), "lang")
+               .join(F.broadcast(cs), "source")
+               .crossJoin(F.broadcast(tot)))
+    exp = (F.col("rt") * F.col("ct")).cast("double") / F.col("n")
+    return (margins.groupBy("n", "r", "c")
+            .agg(F.round(F.sum((F.col("o") - exp) * (F.col("o") - exp)
+                               / exp), 4).alias("chi2"))
+            .select("n",
+                    ((F.col("r") - 1) * (F.col("c") - 1)).cast("long")
+                    .alias("dof"),
+                    "chi2"))

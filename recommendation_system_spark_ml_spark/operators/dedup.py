@@ -1742,3 +1742,87 @@ def dedup_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("cluster_size"))
             .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"),
                  F.sum("component_size").cast("long").alias("n_docs")))
+
+
+@register("dedup_threshold_sweep", oracle="""
+WITH cnt AS (
+    SELECT doc_id, w, count(*) AS c
+    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+          FROM documents)
+    GROUP BY 1, 2
+), sizes AS (
+    SELECT doc_id, sum(c) AS n FROM cnt GROUP BY 1
+), inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           sum(least(a.c, b.c)) AS shared
+    FROM cnt a JOIN cnt b ON a.w = b.w AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), pairs AS (
+    SELECT i.doc_a, i.doc_b, i.shared,
+           sa.n + sb.n - i.shared AS uni
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+), th AS (
+    SELECT unnest([50, 60, 70, 80, 90]) AS pct
+), qual AS (
+    SELECT th.pct, p.doc_a, p.doc_b
+    FROM pairs p JOIN th ON p.shared * 100 >= th.pct * p.uni
+), members AS (
+    SELECT pct, doc_a AS d FROM qual UNION ALL SELECT pct, doc_b FROM qual
+)
+SELECT CAST(q.pct AS INTEGER) AS threshold_pct,
+       CAST(q.n_pairs AS BIGINT) AS n_pairs,
+       CAST(m.n_docs AS BIGINT) AS n_docs
+FROM (SELECT pct, count(*) AS n_pairs FROM qual GROUP BY 1) q
+JOIN (SELECT pct, count(DISTINCT d) AS n_docs FROM members GROUP BY 1) m
+  ON q.pct = m.pct
+""")
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-threshold sensitivity report: how many near-dup pairs
+    (and how many documents) each candidate threshold 0.5..0.9 would
+    flag -- the calibration read BEFORE committing a dedup threshold
+    (a cliff between 0.7 and 0.8 says the corpus has a distinct
+    near-dup mode; a smooth ramp says the threshold is arbitrary and
+    recall/precision should be measured on planted twins instead).
+
+    Shape: ONE token-blocked pair table (dedup_jaccard's exact shape)
+    serves all five thresholds -- the sweep is a 5-row broadcast
+    joined on the CROSS-MULTIPLIED INTEGER comparison shared*100 >=
+    pct*union, so no float exists anywhere and a threshold with zero
+    qualifying pairs is absent from both engines identically. Counts
+    partial-combine; the distinct-doc rollup runs over qualifying
+    pairs only."""
+    pin_session_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    cnt = (docs.select("doc_id", F.explode(_words()).alias("w"))
+           .where(F.col("w") != "")
+           .groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c")))
+    sizes = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    a, b = cnt.alias("a"), cnt.alias("b")
+    inter = (a.join(b, (F.col("a.w") == F.col("b.w")) &
+                    (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.sum(F.least(F.col("a.c"), F.col("b.c"))).alias("shared")))
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    pairs = (inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+             .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+             .select("doc_a", "doc_b", "shared",
+                     (F.col("sa.n") + F.col("sb.n") - F.col("shared"))
+                     .alias("uni")))
+    th = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in (50, 60, 70, 80, 90)]))
+        .alias("pct"))
+    qual = (pairs.join(F.broadcast(th),
+                       F.col("shared") * 100 >= F.col("pct") * F.col("uni"))
+            .select("pct", "doc_a", "doc_b"))
+    npairs = qual.groupBy("pct").agg(F.count(F.lit(1)).cast("long")
+                                     .alias("n_pairs"))
+    members = (qual.select("pct", F.col("doc_a").alias("d"))
+               .union(qual.select("pct", F.col("doc_b").alias("d"))))
+    ndocs = members.groupBy("pct").agg(
+        F.countDistinct("d").cast("long").alias("n_docs"))
+    return (npairs.join(ndocs, "pct")
+            .select(F.col("pct").cast("int").alias("threshold_pct"),
+                    "n_pairs", "n_docs"))

@@ -300,3 +300,84 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                .union(tri.select(F.col("z").alias("node"))))
     return (corners.groupBy("node")
             .agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
+
+
+K_CORE = 3        # minimum induced degree to survive peeling
+KCORE_ROUNDS = 8  # fixed peeling rounds, shared with the oracle
+
+
+def _kcore_oracle() -> str:
+    """Bounded-round k-core peeling unrolled as MATERIALIZED CTEs
+    (the vec_top_pc lesson: each round references the previous alive
+    set twice, so default inlining re-expands the edge subtree 2^N
+    times). All-integer, so the replay is exact."""
+    steps = []
+    prev = "a0"
+    for t in range(1, KCORE_ROUNDS + 1):
+        steps.append(f"""e{t} AS MATERIALIZED (
+    SELECT und.src, und.dst FROM und
+    JOIN {prev} x ON und.src = x.node
+    JOIN {prev} y ON und.dst = y.node
+), d{t} AS MATERIALIZED (
+    SELECT src AS node, count(*) AS deg FROM e{t} GROUP BY 1
+), a{t} AS MATERIALIZED (
+    SELECT node FROM d{t} WHERE deg >= {K_CORE}
+)""")
+        prev = f"a{t}"
+    return f"""
+WITH e0 AS (
+    SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+                    's' || CAST(l_suppkey AS VARCHAR) AS dst
+    FROM lineitem WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+), und AS MATERIALIZED (
+    SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+), a0 AS MATERIALIZED (
+    SELECT DISTINCT src AS node FROM und
+), {", ".join(steps)}
+SELECT node, CAST(deg AS BIGINT) AS degree
+FROM d{KCORE_ROUNDS} WHERE deg >= {K_CORE}
+"""
+
+
+@register("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round {K_CORE}-core peeling of the part<->supplier
+    graph (Seidman 1983; Batagelj-Zaversnik): iteratively drop nodes
+    whose induced degree falls below {K_CORE} -- the dense-backbone
+    extractor between graph_degree_histogram's skew read and
+    graph_pagerank's centrality (cores locate the substructure where
+    iterative algorithms spend their time). FIXED {KCORE_ROUNDS}
+    peeling rounds rather than peel-to-fixpoint: the round count is
+    part of the algorithm's contract, both engines replay it exactly
+    (the graph_pagerank determinism recipe), and the tests verify the
+    fixpoint separately where the graph converges sooner.
+
+    Per round: one semi-join of the checkpointed edge list against
+    the shrinking alive set (frontier-sized, never corpus-sized
+    growth) and one partial-combined degree count -- 2 shuffles/round
+    like pagerank, all-integer so the unrolled oracle is exact.
+    Lineage cut every 3 rounds."""
+    pin_session_conf(spark)
+    li = (load(spark, sf_dir, "lineitem")
+          .where(F.col("l_partkey").isNotNull()
+                 & F.col("l_suppkey").isNotNull()))
+    half = (li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"))
+        .distinct())
+    und = (half.union(half.select(F.col("dst").alias("src"),
+                                  F.col("src").alias("dst")))
+           .localCheckpoint(eager=True))
+    alive = und.select(F.col("src").alias("node")).distinct()
+    deg = None
+    for t in range(1, KCORE_ROUNDS + 1):
+        x = alive.select(F.col("node").alias("src"))
+        y = alive.select(F.col("node").alias("dst"))
+        e = und.join(x, "src").join(y, "dst")
+        deg = e.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg"))
+        alive = deg.where(F.col("deg") >= K_CORE).select("node")
+        if t % 3 == 0 and t < KCORE_ROUNDS:
+            alive = alive.localCheckpoint(eager=True)
+    return (deg.where(F.col("deg") >= K_CORE)
+            .select("node", F.col("deg").cast("long").alias("degree")))
