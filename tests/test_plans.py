@@ -734,10 +734,13 @@ def test_anisotropy_bounded_keyspace_no_python(spark):
 
 
 def test_top_pc_covariance_partial_aggregates(spark):
-    """vec_top_pc's covariance groupBy(i, j) partial-combines each
-    task to the d^2 keyspace before its Exchange; the iteration joins
-    broadcast the 64-row vector."""
-    plan = _plan(_specs()["vec_top_pc"].fn(spark, SF_SMOKE))
+    """vec_top_pc's data-sized stage -- the covariance cell table --
+    partial-combines each task to the d^2 keyspace before its
+    Exchange; the registered query then iterates driver-side on the
+    bounded collected matrix (its own plan is a LocalTableScan)."""
+    from recommendation_system_spark_ml_spark.operators.similarity import (
+        embedding_covariance)
+    plan = _plan(embedding_covariance(spark, SF_SMOKE))
     assert "partial_sum" in plan
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
