@@ -220,7 +220,7 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_nodes")))
 
 
-@register("graph_triangle_count", oracle="""
+@register("graph_triangle_count", bench=True, oracle="""
 WITH oi AS (
     SELECT DISTINCT l_orderkey AS o, l_partkey AS item
     FROM lineitem WHERE l_partkey IS NOT NULL
