@@ -558,9 +558,6 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     check), matching the oracle's constant."""
     pin_session_conf(spark)
 
-    def pct(q):
-        return F.expr(f"percentile(l_extendedprice, {q})")
-
     def disc(q):
         return F.expr(f"percentile_disc({q}) WITHIN GROUP "
                       "(ORDER BY l_extendedprice)")
@@ -568,13 +565,21 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi = F.expr(
         "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
     band_qs = ("24", "26", "49", "51", "74", "76")
+    exact_qs = ("25", "50", "75") + band_qs
+    # ONE array-percentile buffers the group once for all nine exact
+    # ranks (nine scalar percentile() calls each buffer independently:
+    # measured 14 s -> ~half at sf0.1); percentile_disc has no array
+    # form, so the six band-edge data values keep their own calls.
+    exact_arr = F.expr(
+        "percentile(l_extendedprice, array("
+        + ", ".join(str(int(name) / 100) for name in exact_qs) + "))")
     g = (load(spark, sf_dir, "lineitem")
          .groupBy("l_returnflag")
-         .agg(multi.alias("_pq"),
-              *[pct(int(name) / 100).alias(f"_e{name}")
-                for name in ("25", "50", "75") + band_qs],
+         .agg(multi.alias("_pq"), exact_arr.alias("_ex"),
               *[disc(int(name) / 100).alias(f"_d{name}")
                 for name in band_qs]))
+    g = g.select("*", *[F.element_at("_ex", k + 1).alias(f"_e{name}")
+                        for k, name in enumerate(exact_qs)])
 
     def band(est, lo, hi):
         return est.between(F.least(F.col(f"_e{lo}"), F.col(f"_d{lo}")),

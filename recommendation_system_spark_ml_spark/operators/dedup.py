@@ -1792,7 +1792,13 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     pct*union, so no float exists anywhere and a threshold with zero
     qualifying pairs is absent from both engines identically. Counts
     partial-combine; the distinct-doc rollup runs over qualifying
-    pairs only."""
+    pairs only.
+
+    Cost class: EXHAUSTIVE like its sibling dedup_jaccard (the
+    lowest swept threshold defeats prefix pruning by construction) --
+    at scale this calibration runs on a corpus SAMPLE; tools/
+    perf_sweep.py accordingly measures it at the check SF, same as
+    the other exhaustive oracles."""
     pin_session_conf(spark)
     docs = load(spark, sf_dir, "documents")
     cnt = (docs.select("doc_id", F.explode(_words()).alias("w"))

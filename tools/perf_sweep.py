@@ -31,7 +31,11 @@ from recommendation_system_spark_ml_spark.session import get_spark
 
 # Quadratic-by-design oracle baselines; their scale-path siblings
 # (dedup_jaccard_prefix, sim_ivf) stay in the main sweep.
-EXHAUSTIVE_ORACLES = {"dedup_jaccard", "dedup_embedding"}
+# dedup_threshold_sweep (r6) shares dedup_jaccard's exhaustive pair
+# shape (x5 thresholds): a calibration diagnostic a production run
+# points at a corpus SAMPLE, not the full corpus.
+EXHAUSTIVE_ORACLES = {"dedup_jaccard", "dedup_embedding",
+                      "dedup_threshold_sweep"}
 CHECK_SF_DIR = "/root/testdata/sf0.01"
 REFINE_TOP = 15  # slowest N re-measured; median of 3 reported
 
