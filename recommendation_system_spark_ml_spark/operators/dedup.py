@@ -1832,3 +1832,83 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (npairs.join(ndocs, "pct")
             .select(F.col("pct").cast("int").alias("threshold_pct"),
                     "n_pairs", "n_docs"))
+
+
+_KNUTH_SAMPLE = 2654435761  # shared with operators/relational.py gates
+SAMPLE_BUCKETS = 10
+SAMPLE_KEEP = 3  # deterministic 30% doc sample
+
+
+@register("pipeline_dedup_sample_estimate", oracle=f"""
+WITH s AS (
+    SELECT doc_id, sha256(text) AS fp
+    FROM documents
+    WHERE (doc_id * {_KNUTH_SAMPLE}) % 4294967296 % {SAMPLE_BUCKETS}
+          < {SAMPLE_KEEP}
+), samp AS (
+    SELECT CAST(count(*) AS BIGINT) AS m,
+           CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS dups
+    FROM s
+), corpus AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) - count(DISTINCT sha256(text)) AS BIGINT) AS dups
+    FROM documents
+)
+SELECT samp.m AS n_sample, samp.dups AS n_dup_sample, corpus.n AS n_corpus,
+       round(CAST(samp.dups AS DOUBLE) / nullif(samp.m, 0), 6) AS p_hat,
+       round(CAST(samp.dups AS DOUBLE) / nullif(samp.m, 0)
+             - CAST(1.96 AS DOUBLE)
+               * sqrt(CAST(samp.dups AS DOUBLE) / nullif(samp.m, 0)
+                      * (1 - CAST(samp.dups AS DOUBLE) / nullif(samp.m, 0))
+                      / samp.m), 6) AS ci_lo,
+       round(CAST(samp.dups AS DOUBLE) / nullif(samp.m, 0)
+             + CAST(1.96 AS DOUBLE)
+               * sqrt(CAST(samp.dups AS DOUBLE) / nullif(samp.m, 0)
+                      * (1 - CAST(samp.dups AS DOUBLE) / nullif(samp.m, 0))
+                      / samp.m), 6) AS ci_hi,
+       round(CAST(corpus.dups AS DOUBLE) / nullif(corpus.n, 0), 6)
+           AS exact_rate
+FROM samp, corpus
+""")
+def pipeline_dedup_sample_estimate(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Sample-based duplicate-rate estimation: exact-dup rate (1 -
+    distinct fingerprints / docs) measured on a deterministic 30%
+    Knuth-gated document sample, extrapolated with a Wald 95% CI, the
+    exact corpus rate riding along for calibration -- the cheap first
+    read that decides whether the corpus needs the full dedup pass at
+    all, and the sample-based form the exhaustive calibration
+    diagnostics (dedup_threshold_sweep) take at 100 TB. The gate is
+    the repo's integer Knuth hash (restart-stable, engine-identical);
+    fingerprints are sha256, so sample and corpus counts are exact
+    distinct-aggregates -- at extreme scale both swap to the
+    documented HLL form (analyze_table_stats' trade).
+
+    One scan serves both the sampled and corpus-wide counts; floats
+    appear only in the final Wald formula, written as the identical
+    double tree in both engines."""
+    pin_session_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    gate = ((F.col("doc_id") * F.lit(_KNUTH_SAMPLE))
+            % F.lit(4294967296) % F.lit(SAMPLE_BUCKETS))
+    fp = F.sha2("text", 256)
+    samp = (docs.where(gate < SAMPLE_KEEP)
+            .agg(F.count(F.lit(1)).cast("long").alias("m"),
+                 (F.count(F.lit(1)) - F.countDistinct(fp)).cast("long")
+                 .alias("dups_s")))
+    corpus = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.count(F.lit(1)) - F.countDistinct(fp)).cast("long")
+        .alias("dups_c"))
+    j = samp.crossJoin(F.broadcast(corpus))
+    p = F.col("dups_s").cast("double") / F.nullif(F.col("m"), F.lit(0))
+    half = F.lit(1.96) * F.sqrt(p * (1 - p) / F.col("m"))
+    return j.select(
+        F.col("m").alias("n_sample"),
+        F.col("dups_s").alias("n_dup_sample"),
+        F.col("n").alias("n_corpus"),
+        F.round(p, 6).alias("p_hat"),
+        F.round(p - half, 6).alias("ci_lo"),
+        F.round(p + half, 6).alias("ci_hi"),
+        F.round(F.col("dups_c").cast("double")
+                / F.nullif(F.col("n"), F.lit(0)), 6).alias("exact_rate"))

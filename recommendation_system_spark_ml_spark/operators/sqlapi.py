@@ -368,3 +368,36 @@ def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
         WHERE o_totalprice > price_cutoff
         GROUP BY 1""")
+
+
+@register("sql_named_parameters", oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+WHERE o_totalprice BETWEEN 50000 AND 150000
+  AND o_orderstatus = 'O'
+GROUP BY 1
+""")
+def sql_named_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 named-parameter SQL (spark.sql(query, args=...)): the
+    safe-templating API that replaces string interpolation -- values
+    bind as literals AFTER parsing, so a hostile parameter can never
+    change the query shape (SQL injection is structurally impossible)
+    and Catalyst still constant-folds the bound literal into a
+    pushdown-eligible predicate, exactly like sql_session_variables'
+    DECLARE path. The oracle states the same query with the literals
+    inlined -- certifying that binding is semantically identical to
+    inlining."""
+    pin_session_conf(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        WHERE o_totalprice BETWEEN :lo AND :hi
+          AND o_orderstatus = :status
+        GROUP BY 1""",
+        args={"lo": 50000, "hi": 150000, "status": "O"})

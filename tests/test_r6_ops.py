@@ -337,3 +337,54 @@ def test_user_topn_recs_never_repeat_rated_items(spark):
     for u, ranks in per_user.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= N_RECS
+
+
+def test_dup_sample_estimate_ci_and_exactness(spark):
+    """The sampled estimator must reproduce hand-computed sample/corpus
+    counts from the same Knuth gate, its CI must contain p_hat, and
+    its Wald width must match the formula."""
+    from recommendation_system_spark_ml_spark.operators.dedup import (
+        SAMPLE_BUCKETS, SAMPLE_KEEP, _KNUTH_SAMPLE,
+        pipeline_dedup_sample_estimate)
+    from recommendation_system_spark_ml_spark.sources.catalog import load
+
+    row = pipeline_dedup_sample_estimate(spark, SF_SMOKE).first()
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    import hashlib
+    samp = [d for d in docs
+            if (d.doc_id * _KNUTH_SAMPLE) % 4294967296 % SAMPLE_BUCKETS
+            < SAMPLE_KEEP]
+    fp = lambda t: hashlib.sha256(t.encode()).hexdigest()  # noqa: E731
+    m, dups = len(samp), len(samp) - len({fp(d.text) for d in samp})
+    n, dups_c = len(docs), len(docs) - len({fp(d.text) for d in docs})
+    assert (row.n_sample, row.n_dup_sample, row.n_corpus) == (m, dups, n)
+    assert row.p_hat == pytest.approx(dups / m, abs=1e-5)
+    assert row.exact_rate == pytest.approx(dups_c / n, abs=1e-5)
+    assert row.ci_lo <= row.p_hat <= row.ci_hi
+    want_half = 1.96 * math.sqrt(row.p_hat * (1 - row.p_hat) / m)
+    assert (row.ci_hi - row.ci_lo) == pytest.approx(2 * want_half, abs=1e-4)
+
+
+def test_named_parameters_bind_as_literals(spark):
+    """Parameter binding must be semantically identical to literal
+    inlining, and a string parameter must bind as a VALUE (no
+    injection surface)."""
+    from recommendation_system_spark_ml_spark.operators.sqlapi import (
+        sql_named_parameters)
+    from recommendation_system_spark_ml_spark.sources.catalog import (
+        register_views)
+
+    got = {r.o_orderpriority: (r.n_orders, r.total)
+           for r in sql_named_parameters(spark, SF_SMOKE).collect()}
+    register_views(spark, SF_SMOKE)
+    want = {r.o_orderpriority: (r.n_orders, r.total) for r in spark.sql("""
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        WHERE o_totalprice BETWEEN 50000 AND 150000
+          AND o_orderstatus = 'O' GROUP BY 1""").collect()}
+    assert got == want
+    hostile = spark.sql(
+        "SELECT count(*) AS n FROM orders WHERE o_orderstatus = :s",
+        args={"s": "O' OR '1'='1"}).first()
+    assert hostile.n == 0  # bound as a value, not parsed as SQL
