@@ -291,11 +291,15 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered string aggregation. collect_list order is
     partition-dependent, so sort INSIDE the aggregate result
     (array_sort) before joining -- the only way a list agg can be
-    deterministic on a distributed engine."""
+    deterministic on a distributed engine. A group whose every name is
+    NULL aggregates to NULL, not '' (collect_list drops NULLs, so a
+    bare array_join would emit the empty string where SQL string_agg
+    is NULL -- probe-caught under seed 7)."""
     pin_session_conf(spark)
+    lst = F.array_sort(F.collect_list("n_name"))
     return (load(spark, sf_dir, "nation")
             .groupBy("n_regionkey")
-            .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",")
+            .agg(F.when(F.size(lst) > 0, F.array_join(lst, ","))
                  .alias("nations")))
 
 
