@@ -52,16 +52,26 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip (MovieLensRecommender.py:113-129). Here: write a text
     twin of `region`, read it back with spark.read.text, split + cast
     in one Catalyst plan. No Python workers anywhere.
-    """
+
+    NULL discipline: concat_ws SKIPS null fields (the repo's
+    documented round-trip trap), so a NULL r_name would shrink the
+    line to one field and the positional read would crash under ANSI
+    (probe-caught at seed 31). NULLs ride the classic '\\N' text
+    sentinel: coalesce on write, nullif on read -- the round trip
+    reproduces the table exactly, NULLs included."""
     pin_session_conf(spark)
     path = _scratch(sf_dir, "region_text")
+    sentinel = "\\N"
     (load(spark, sf_dir, "region")
-     .select(F.concat_ws("::", F.col("r_regionkey"), F.col("r_name")).alias("value"))
+     .select(F.concat_ws("::", F.col("r_regionkey"),
+                         F.coalesce(F.col("r_name"), F.lit(sentinel)))
+             .alias("value"))
      .coalesce(1).write.mode("overwrite").text(path))
     parts = F.split(F.col("value"), "::")
     return (spark.read.text(path)
             .select(parts.getItem(0).cast("int").alias("r_regionkey"),
-                    parts.getItem(1).alias("r_name")))
+                    F.nullif(parts.getItem(1), F.lit(sentinel))
+                    .alias("r_name")))
 
 
 @register("sink_parquet", oracle="""
