@@ -295,8 +295,11 @@ WITH c AS (
     FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 )
 SELECT window_start, event_type, n_events, CAST(rn AS BIGINT) AS rank
-FROM (SELECT *, row_number() OVER (PARTITION BY window_start
-                                   ORDER BY n_events DESC, event_type) AS rn
+FROM (SELECT *, row_number() OVER (
+          PARTITION BY window_start
+          -- NULLS FIRST pins DuckDB to Spark's ASC default: a NULL
+          -- event type tying on count must rank identically
+          ORDER BY n_events DESC, event_type NULLS FIRST) AS rn
       FROM c)
 WHERE rn <= {TRENDING_K}
 """)
