@@ -171,6 +171,11 @@ def all_specs() -> dict[str, QuerySpec]:
     # Stable priority order for the driver's ~50-entry prefix sample:
     #   (0) oracle-backed queries with no green row yet (new queries /
     #       fresh oracle promotions), cheap before expensive;
+    #   (0.5) NO-oracle queries that have never appeared in ANY
+    #       CORRECTNESS file (r6 verdict task 1): they can never be
+    #       hash-green, but one driver `spark_rows` row proves they
+    #       run in the driver's environment; after that first row
+    #       they fall back to the rows-only remainder (3);
     #   (1) queries whose LAST sampled run crashed the harness (they
     #       need a clean row to evidence the fix -- r5's
     #       agg_approx_percentile);
@@ -189,6 +194,8 @@ def all_specs() -> dict[str, QuerySpec]:
         has_oracle = _REGISTRY[n].oracle is not None
         if has_oracle and e["last_hash"] < 0:
             pri = 0  # never hash-verified (new query or fresh promotion)
+        elif not has_oracle and n not in ev:
+            pri = 0.5  # never driver-sampled at all: bank one rows row
         elif e["crashed"]:
             pri = 1
         elif has_oracle:

@@ -21,6 +21,8 @@ def test_prefix_is_unverified_then_rotation():
         e = ev.get(n, {"last_green": -1, "last_hash": -1, "crashed": False})
         if specs[n].oracle is not None and e["last_hash"] < 0:
             return 0
+        if specs[n].oracle is None and n not in ev:
+            return 0.5  # never driver-sampled: owes one rows-only row
         if e["crashed"]:
             return 1
         return 2 if specs[n].oracle is not None else 3
@@ -32,10 +34,33 @@ def test_prefix_is_unverified_then_rotation():
     hashed = [ev[n]["last_hash"] for n in names if pri(n) == 2]
     assert hashed == sorted(hashed), "rotation must be oldest-first"
 
-    # rows-only queries (no oracle) all sit at the back
+    # rows-only queries WITH driver evidence all sit at the back
     first_rows_only = next(
         (i for i, n in enumerate(names) if pri(n) == 3), len(names))
     assert all(pri(n) == 3 for n in names[first_rows_only:])
+
+
+def test_never_sampled_rows_only_enter_prefix_once():
+    """A no-oracle query absent from every CORRECTNESS artifact sorts
+    ahead of rotation (it owes one driver spark_rows row); once any
+    artifact records it, it falls back to the rows-only tail."""
+    specs = all_specs()
+    ev = _driver_evidence()
+    names = list(specs)
+    never = [n for n, s in specs.items() if s.oracle is None and n not in ev]
+    sampled_rows_only = [n for n, s in specs.items()
+                         if s.oracle is None and n in ev]
+    if never and sampled_rows_only:
+        worst_never = max(names.index(n) for n in never)
+        best_sampled = min(names.index(n) for n in sampled_rows_only)
+        assert worst_never < best_sampled, (worst_never, best_sampled)
+    # and they precede the hash-verified rotation class entirely
+    rotation = [n for n, s in specs.items()
+                if s.oracle is not None
+                and ev.get(n, {"last_hash": -1})["last_hash"] >= 0]
+    if never and rotation:
+        assert max(names.index(n) for n in never) < min(
+            names.index(n) for n in rotation)
 
 
 def test_promotion_leads_prefix():
