@@ -96,15 +96,20 @@ def main() -> None:
     # Round-robin repeats (full sweep x N, not N back-to-back runs of
     # one query) so a throttling window hits each query at most once
     # per round instead of eating all of one query's samples. Sweeps
-    # run per TIER with a GC barrier between tiers (see ordering note).
+    # run per TIER (see ordering note), and every timed sample gets
+    # its own _quiesce() barrier (r6 verdict task 3: the per-tier
+    # barrier left tpch_q7 +80% / graph_pagerank +34% vs PERF.md's
+    # isolated medians -- a heavy neighbor's shuffle-block garbage was
+    # still being collected inside the NEXT query's timed window; with
+    # the barrier per sample, the GC debt is paid on the barrier).
     samples: dict[str, list[float]] = {name: [] for name in specs}
     tiers: dict[int, dict] = {}
     for name, spec in specs.items():
         tiers.setdefault(tier(name), {})[name] = spec
     for t in sorted(tiers):
-        _quiesce(spark)
         for _ in range(repeat):
             for name, spec in tiers[t].items():
+                _quiesce(spark)
                 t0 = time.perf_counter()
                 spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 samples[name].append(time.perf_counter() - t0)
@@ -121,13 +126,14 @@ def main() -> None:
 
 
 def _quiesce(spark) -> None:
-    """Settle the JVM before a timed tier: drop cached blocks left by
-    warmup/previous tiers and request a full GC, so one tier's heap
-    garbage is collected on the barrier instead of inside another
-    tier's timed samples."""
+    """Settle the JVM before a timed sample: drop cached blocks left
+    by warmup/previous queries and request a full GC, so one query's
+    heap garbage is collected on the barrier instead of inside the
+    next query's timed window. Runs OUTSIDE every timed region; the
+    short settle sleep lets the async parts of the collection land."""
     spark.catalog.clearCache()
     spark.sparkContext._jvm.System.gc()
-    time.sleep(1.0)
+    time.sleep(0.3)
 
 
 def _warm_mllib(spark) -> None:

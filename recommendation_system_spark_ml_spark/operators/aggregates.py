@@ -208,7 +208,7 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("agg_approx", oracle="""
 SELECT l_returnflag,
        CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
-       TRUE AS approx_within_5pct
+       TRUE AS approx_within_10pct
 FROM lineitem GROUP BY 1
 """)
 def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -221,7 +221,9 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only queries their strongest checkable form): the sketch
     VALUE is engine-specific and can never hash-match, but the sketch
     CONTRACT -- estimate within 5% of exact (2% rsd configured, so
-    5% is a ~2.5-sigma bound) -- is a boolean both engines can state.
+    10% is a ~5-sigma bound; r6 ADVICE: 2.5 sigma was a statistical,
+    not guaranteed, bound that adversarial data could legitimately
+    exceed) -- is a boolean both engines can state.
     The oracle asserts TRUE; if the estimate ever drifts out of
     bound, the driver hash-check goes red. exact_parts rides along as
     the hash-checked ground truth."""
@@ -232,8 +234,8 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("l_returnflag")
             .agg(exact.alias("exact_parts"),
                  (F.abs(approx - exact)
-                  <= F.greatest(F.lit(1), 0.05 * exact))
-                 .alias("approx_within_5pct")))
+                  <= F.greatest(F.lit(1), 0.10 * exact))
+                 .alias("approx_within_10pct")))
 
 
 @register("agg_minmax_by", oracle="""
@@ -326,8 +328,8 @@ SELECT l_returnflag,
        CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_shard,
        (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) FROM lineitem)
            AS exact_global,
-       TRUE AS shard_within_5pct,
-       TRUE AS merged_within_5pct
+       TRUE AS shard_within_10pct,
+       TRUE AS merged_within_10pct
 FROM lineitem GROUP BY 1
 """)
 def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -343,7 +345,8 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     TRUE -- each shard estimate within 5% of its exact count, and
     the MERGED estimate within 5% of the global exact (certifying
     the union path, not just per-shard accuracy; default lgConfigK=12
-    is ~1.6% standard error, so 5% is a ~3-sigma bound)."""
+    is ~1.6% standard error, so 10% is a ~6-sigma bound; widened from
+    5% per r6 ADVICE -- the contract must hold on hostile data too)."""
     pin_session_conf(spark)
     li = load(spark, sf_dir, "lineitem")
     shards = (li.groupBy("l_returnflag")
@@ -356,16 +359,16 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_global = li.agg(F.countDistinct("l_partkey").alias("exact_global"))
 
     def within(est, exact):
-        return F.abs(est - exact) <= F.greatest(F.lit(1), 0.05 * exact)
+        return F.abs(est - exact) <= F.greatest(F.lit(1), 0.10 * exact)
 
     return (shards.crossJoin(F.broadcast(merged))
             .crossJoin(F.broadcast(exact_global))
             .select(
                 "l_returnflag", "exact_shard", "exact_global",
                 within(F.hll_sketch_estimate("sk").cast("long"),
-                       F.col("exact_shard")).alias("shard_within_5pct"),
+                       F.col("exact_shard")).alias("shard_within_10pct"),
                 within(F.col("global_estimate"), F.col("exact_global"))
-                .alias("merged_within_5pct")))
+                .alias("merged_within_10pct")))
 
 
 _CMS_DEPTH_SEEDS = (823, 1733, 2741)  # one hash row per seed
@@ -1756,9 +1759,15 @@ def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
                .join(F.broadcast(cs), "source")
                .crossJoin(F.broadcast(tot)))
     exp = (F.col("rt") * F.col("ct")).cast("double") / F.col("n")
-    return (margins.groupBy("n", "r", "c")
-            .agg(F.round(F.sum((F.col("o") - exp) * (F.col("o") - exp)
-                               / exp), 4).alias("chi2"))
+    # Global aggregate, not groupBy(n, r, c): the oracle's final
+    # SELECT always emits exactly one row (chi2 NULL over an empty
+    # margins table -- e.g. an empty documents table, or every joint
+    # cell carrying a NULL lang/source that the margin joins drop);
+    # a groupBy would emit zero rows there, a row-count divergence.
+    chi2 = margins.agg(
+        F.round(F.sum((F.col("o") - exp) * (F.col("o") - exp) / exp), 4)
+        .alias("chi2"))
+    return (chi2.crossJoin(F.broadcast(tot))
             .select("n",
                     ((F.col("r") - 1) * (F.col("c") - 1)).cast("long")
                     .alias("dof"),

@@ -1727,21 +1727,48 @@ def dedup_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate clusters of each size -- the observability read between
     pair detection and canonical selection (a fat tail says one
     template is flooding the corpus and quota caps are needed BEFORE
-    dedup; mostly size-1 says dedup pressure is low). Shares
-    dedup_components' exact pipeline (Jaccard >= 0.8 edges -> min-label
-    propagation, singletons included), then two bounded rollups: the
+    dedup; mostly size-1 says dedup pressure is low). Reads the
+    PERSISTED components artifact (build_components_artifact --
+    Jaccard >= 0.8 edges -> min-label propagation, singletons
+    included, built once per corpus version; r6 verdict task 4: an
+    observability read must not re-run the fixpoint), then two
+    bounded rollups: the
     distinct (component, size) table is one row per CLUSTER, the
     histogram keyspace is |distinct sizes| -- both orders of magnitude
     below row count at any scale. n_docs sums back to the corpus size,
     a built-in completeness check the tests assert."""
     pin_session_conf(spark)
-    comp = dedup_components(spark, sf_dir)
+    comp = spark.read.parquet(build_components_artifact(spark, sf_dir))
     per_cluster = (comp.select("component", "component_size").distinct())
     return (per_cluster
             .groupBy(F.col("component_size").cast("long")
                      .alias("cluster_size"))
             .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"),
                  F.sum("component_size").cast("long").alias("n_docs")))
+
+
+def build_components_artifact(spark: SparkSession, sf_dir: str,
+                              force: bool = False) -> str:
+    """Persist dedup_components' output once per corpus (the
+    build_ivf_index artifact pattern; r6 verdict task 4): the
+    connected-components fixpoint is the expensive stage, and every
+    OBSERVABILITY read downstream (cluster-size histogram, dup-rate
+    dashboards) is a bounded rollup of the finished labeling -- at
+    100 TB you run the propagation once per corpus version and point
+    every report at the artifact, never re-running the loop per read
+    (measured: the histogram recomputing the pipeline showed slope
+    1.30 at 30x; reading the artifact is a scan of one row per doc).
+    Idempotent per process via _SUCCESS, like build_ivf_index."""
+    import os
+
+    from recommendation_system_spark_ml_spark.session import scratch_path
+
+    path = scratch_path(sf_dir, "dedup_components")
+    if not force and os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    (dedup_components(spark, sf_dir)
+     .write.mode("overwrite").parquet(path))
+    return path
 
 
 @register("dedup_threshold_sweep", oracle="""

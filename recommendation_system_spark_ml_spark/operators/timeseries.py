@@ -699,11 +699,23 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("ts_calendar_profile", oracle="""
-WITH cells AS (
-    SELECT CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS INTEGER) AS dow,
-           CAST((epoch_us(ts) // 3600000000) % 24 AS INTEGER) AS hour,
+WITH us AS (
+    SELECT epoch_us(ts) AS u, user_id FROM events WHERE ts IS NOT NULL
+), fd AS (
+    -- exact integer FLOOR division (// truncates toward zero on
+    -- integers in DuckDB, as Spark's div does): subtract the
+    -- positive remainder first so the numerator divides exactly
+    SELECT (u - ((u % 86400000000 + 86400000000) % 86400000000))
+               // 86400000000 AS eday,
+           (u - ((u % 3600000000 + 3600000000) % 3600000000))
+               // 3600000000 AS ehour,
            user_id
-    FROM events WHERE ts IS NOT NULL
+    FROM us
+), cells AS (
+    SELECT CAST(((eday + 4) % 7 + 7) % 7 AS INTEGER) AS dow,
+           CAST((ehour % 24 + 24) % 24 AS INTEGER) AS hour,
+           user_id
+    FROM fd
 ), agg AS (
     SELECT dow, hour,
            CAST(count(*) AS BIGINT) AS n_events,
@@ -722,10 +734,17 @@ def ts_calendar_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     picking ts_decompose's period (a flat profile says don't bother;
     a strong daily ridge says period 24). The calendar cell derives
     from INTEGER microsecond arithmetic (epoch day 0 = Thursday, so
-    dow = (epoch_day + 4) % 7 with Sunday = 0) -- timezone-free and
+    dow = pmod(epoch_day + 4, 7) with Sunday = 0) -- timezone-free and
     bit-identical cross-engine, never via engine-specific dayofweek()
     (Spark counts Sunday = 1, DuckDB Sunday = 0). NULL timestamps are
-    unplaceable and excluded on both sides.
+    unplaceable and excluded on both sides. Pre-1970 timestamps (r6
+    ADVICE): both engines' `%`/`div` follow the dividend's sign, so a
+    negative epoch used to leak a negative dow out of the documented
+    0..6 domain AND misplace the day (truncating div rounds the day
+    number up for negatives). Epoch day/hour are therefore exact
+    integer FLOOR divisions -- (u - pmod(u, D)) div D, the numerator
+    exactly divisible so truncation == floor -- and the cell indices
+    pmod results, keeping dow in 0..6 / hour in 0..23 for ALL epochs.
 
     Shape: one scan, one groupBy over a keyspace bounded at 168 cells
     at any data size (the distinct-user count partial-aggregates per
@@ -735,13 +754,15 @@ def ts_calendar_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_session_conf(spark)
     # `div` = integer division on longs: a double `/` + cast truncation
     # can land one off at exact multiples (ulp below k), DuckDB's `//`
-    # cannot.
-    day = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")
-    hr = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000")
+    # cannot. Subtracting pmod first turns truncating div into exact
+    # floor div, so pre-1970 epochs land on the right calendar day.
+    us = "unix_micros(CAST(ts AS TIMESTAMP))"
+    day = F.expr(f"({us} - pmod({us}, 86400000000)) div 86400000000")
+    hr = F.expr(f"({us} - pmod({us}, 3600000000)) div 3600000000")
     cells = (load(spark, sf_dir, "events")
              .where(F.col("ts").isNotNull())
-             .select(((day + 4) % 7).cast("int").alias("dow"),
-                     (hr % 24).cast("int").alias("hour"),
+             .select(F.pmod(day + 4, F.lit(7)).cast("int").alias("dow"),
+                     F.pmod(hr, F.lit(24)).cast("int").alias("hour"),
                      "user_id"))
     agg = (cells.groupBy("dow", "hour")
            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),

@@ -464,7 +464,7 @@ WITH m AS (
     FROM m JOIN b ON m.h <= b.h AND m.h >= b.h - INTERVAL 23 HOUR
 )
 SELECT w AS bucket_ts, count(DISTINCT user_id) AS users_24h_exact,
-       TRUE AS est_within_5pct
+       TRUE AS est_within_10pct
 FROM x GROUP BY 1
 """)
 def window_sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -511,5 +511,5 @@ def window_sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.abs(F.col("users_24h_est")
                            - F.col("users_24h_exact"))
                      <= F.greatest(F.lit(1),
-                                   0.05 * F.col("users_24h_exact")))
-                    .alias("est_within_5pct")))
+                                   0.10 * F.col("users_24h_exact")))
+                    .alias("est_within_10pct")))

@@ -36,17 +36,20 @@ def test_minhash_finds_near_dup_pairs(spark):
 
 
 def test_ivf_recall_vs_brute_force(spark):
+    from recommendation_system_spark_ml_spark.operators.similarity import (
+        sim_ivf_topk)
     exact = {(r.query_id, r.neighbor_id)
              for r in sim_topk(spark, SF_SMOKE).collect()}
     approx = {(r.query_id, r.neighbor_id)
-              for r in sim_ivf(spark, SF_SMOKE).collect()}
+              for r in sim_ivf_topk(spark, SF_SMOKE).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"IVF recall@5 too low: {recall:.2f}"
 
 
 def test_lsh_pairs_nonempty_and_above_threshold(spark):
-    from recommendation_system_spark_ml_spark.operators.similarity import sim_lsh
-    pairs = sim_lsh(spark, SF_SMOKE)
+    from recommendation_system_spark_ml_spark.operators.similarity import (
+        sim_lsh_pairs)
+    pairs = sim_lsh_pairs(spark, SF_SMOKE)
     rows = pairs.collect()
     assert len(rows) > 0
     assert all(r.cosine >= 0.4 - 1e-6 for r in rows)
@@ -59,7 +62,8 @@ def test_lsh_recall_vs_exact_pairs(spark):
     and precision is exact by construction (full-precision re-rank)."""
     import duckdb
 
-    from recommendation_system_spark_ml_spark.operators.similarity import sim_lsh
+    from recommendation_system_spark_ml_spark.operators.similarity import (
+        sim_lsh_pairs)
     exact = set(map(tuple, duckdb.sql(f"""
         SELECT a.vec_id, b.vec_id
         FROM read_parquet('{SF_SMOKE}/embeddings.parquet') a
@@ -68,7 +72,8 @@ def test_lsh_recall_vs_exact_pairs(spark):
         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) >= 0.4
         """).fetchall()))
-    found = {(r.vec_a, r.vec_b) for r in sim_lsh(spark, SF_SMOKE).collect()}
+    found = {(r.vec_a, r.vec_b)
+             for r in sim_lsh_pairs(spark, SF_SMOKE).collect()}
     recall = len(found & exact) / len(exact)
     assert recall >= 0.6, f"LSH recall too low: {recall:.2f}"
     # precision is exact up to the round-4 threshold: every returned
@@ -223,7 +228,7 @@ def test_knn_graph_recall_vs_exact(spark):
     docstring: 0.81 at the shipped 6 probes); gate at 0.6, the
     sim_lsh worst-case convention."""
     from recommendation_system_spark_ml_spark.operators.similarity import (
-        brute_force_topk, sim_knn_graph, KNN_K)
+        brute_force_topk, sim_knn_graph_edges, KNN_K)
     from recommendation_system_spark_ml_spark.operators.similarity import (
         _corpus)
 
@@ -231,7 +236,7 @@ def test_knn_graph_recall_vs_exact(spark):
     exact = {(r.query_id, r.neighbor_id)
              for r in brute_force_topk(corpus, corpus, k=KNN_K).collect()}
     approx = {(r.vec_id, r.neighbor_id)
-              for r in sim_knn_graph(spark, SF_SMOKE).collect()}
+              for r in sim_knn_graph_edges(spark, SF_SMOKE).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"kNN-graph recall@{KNN_K} too low: {recall:.2f}"
 
@@ -444,13 +449,13 @@ def test_knn_graph_recall_on_anisotropic_geometry(spark):
     0.6 at its measured 0.81; together the two geometries bracket the
     probe-dilution and cell-misalignment failure modes."""
     from recommendation_system_spark_ml_spark.operators.similarity import (
-        KNN_K, _corpus, brute_force_topk, sim_knn_graph)
+        KNN_K, _corpus, brute_force_topk, sim_knn_graph_edges)
 
     sf = _anisotropic_sf_dir(spark)
     corpus = _corpus(spark, sf)
     exact = {(r.query_id, r.neighbor_id)
              for r in brute_force_topk(corpus, corpus, k=KNN_K).collect()}
     approx = {(r.vec_id, r.neighbor_id)
-              for r in sim_knn_graph(spark, sf).collect()}
+              for r in sim_knn_graph_edges(spark, sf).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"anisotropic kNN recall@{KNN_K}: {recall:.2f}"

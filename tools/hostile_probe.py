@@ -100,6 +100,11 @@ ev = []
 for i in range(E):
     t += random.randint(60, 11000)
     ev.append((i, t))
+# r6 ADVICE divergence class: pre-1970 timestamps (negative epoch)
+# exercise the sign-of-dividend div/% traps -- ts_calendar_profile's
+# dow/hour must stay in-domain via exact floor div + pmod.
+for i in random.sample(range(E), 6):
+    ev[i] = (ev[i][0], ev[i][1] - 3_000_000_000)  # ~1874-1899
 write("events", {"event_id": pa.array([r[0] for r in ev], pa.int64()),
                  "ts": pa.array([maybe(r[1]*1_000_000, 0.08) for r in ev], pa.timestamp("us")),
                  "user_id": pa.array([i % 4 for i in range(E)], pa.int64()),
@@ -124,8 +129,11 @@ for i in range(D):
     docs.append((i, txt))
 write("documents", {"doc_id": pa.array([d[0] for d in docs], pa.int64()),
                     "text": pa.array([d[1] for d in docs], pa.string()),
-                    "lang": pa.array([random.choice(["en","es","fr"]) for _ in range(D)], pa.string()),
-                    "source": pa.array(["src%d" % random.randint(0, 3) for _ in range(D)], pa.string()),
+                    # NULL lang/source (r6 ADVICE): contingency-table
+                    # margin joins drop NULL keys -- agg_chi_square must
+                    # still emit its single global row on both engines.
+                    "lang": pa.array([maybe(random.choice(["en","es","fr"])) for _ in range(D)], pa.string()),
+                    "source": pa.array([maybe("src%d" % random.randint(0, 3)) for _ in range(D)], pa.string()),
                     "n_chars": pa.array([len(d[1]) for d in docs], pa.int64())})
 V = 30
 write("embeddings", {"vec_id": pa.array(range(V), pa.int64()),
