@@ -9,11 +9,16 @@ scale-safe sibling) run at the CHECK scale factor (sf0.01) by default
 so 140s of intentional brute force doesn't bury regressions in the
 other queries. Pass --full to run them at the bench sf too.
 
-After the first pass, the REFINE_TOP slowest queries are re-measured
-twice more and the table records their MEDIAN of three -- this VM
-throttles unpredictably (identical runs measured 12..30 s for the same
-query), and the slowest rows are exactly where a single noisy sample
-would misdirect a perf review. Refined rows are marked "median/3".
+Measurement discipline is IDENTICAL to bench.py (r6 verdict task 3:
+BENCH_rN vs PERF.md deltas must reflect code, not methodology):
+every timed sample is preceded by a clearCache + System.gc() + 0.3 s
+quiesce barrier, and EVERY query records the median of three samples
+-- this VM throttles unpredictably (identical runs measured 12..30 s
+for the same query; one r7 refine saw [6.5, 6.4, 23.8]), and medians
+under a shared barrier discipline are the only numbers the two files
+can agree on. The REFINE_TOP slowest get three MORE samples
+(median of 6 total) since the slowest rows are where a single noisy
+sample most misdirects a perf review.
 
 Usage: python tools/perf_sweep.py [sf_dir] [--full]
 """
@@ -40,6 +45,15 @@ CHECK_SF_DIR = "/root/testdata/sf0.01"
 REFINE_TOP = 15  # slowest N re-measured; median of 3 reported
 
 
+def _quiesce(spark) -> None:
+    """Same barrier as bench.py's: cached blocks dropped + full GC
+    requested OUTSIDE the timed window, so one query's heap garbage
+    is never collected inside another's sample."""
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(0.3)
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if a != "--full"]
     full = "--full" in sys.argv[1:]
@@ -58,12 +72,18 @@ def main() -> None:
         if name in EXHAUSTIVE_ORACLES and not full:
             q_sf = CHECK_SF_DIR
             tag += " (exhaustive twin @ sf0.01)"
-        t0 = time.perf_counter()
         try:
-            spec.fn(spark, q_sf).write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            rows.append((name, round(dt, 2), tag))
-            print(f"{name} {dt:.2f}s", flush=True)
+            ts = []
+            for _ in range(3):
+                _quiesce(spark)
+                t0 = time.perf_counter()
+                spec.fn(spark, q_sf).write.format("noop").mode(
+                    "overwrite").save()
+                ts.append(time.perf_counter() - t0)
+            dt = sorted(ts)[1]
+            rows.append((name, round(dt, 2), tag + ", median/3"))
+            print(f"{name} {dt:.2f}s {[round(x, 2) for x in ts]}",
+                  flush=True)
         except Exception as ex:  # pragma: no cover
             rows.append((name, -1.0, f"ERROR {str(ex)[:60]}"))
             print(f"{name} ERROR {ex}", flush=True)
@@ -79,14 +99,17 @@ def main() -> None:
         q_sf = CHECK_SF_DIR if (name in EXHAUSTIVE_ORACLES and not full) \
             else sf_dir
         ts = [t1]
-        for _ in range(2):
+        for _ in range(3):
+            _quiesce(spark)
             t0 = time.perf_counter()
             spec.fn(spark, q_sf).write.format("noop").mode("overwrite").save()
             ts.append(time.perf_counter() - t0)
-        med = sorted(ts)[1]
+        s = sorted(ts)
+        med = (s[len(s) // 2 - 1] + s[len(s) // 2]) / 2
         print(f"refine {name}: {[round(x, 2) for x in ts]} -> {med:.2f}",
               flush=True)
-        refined.append((name, round(med, 2), tag + ", median/3"))
+        refined.append((name, round(med, 2),
+                        tag.replace(", median/3", "") + ", median/6"))
     rows = refined + rows[REFINE_TOP:]
     rows.sort(key=lambda r: -r[1])
     total = sum(r[1] for r in rows if r[1] > 0)
@@ -96,6 +119,11 @@ def main() -> None:
            f"materialization), single warm session, slowest first. Total {total:.0f}s",
            f"for {len(rows)} queries. Regenerate: `python tools/perf_sweep.py`.",
            "Exhaustive oracle twins run at sf0.01 unless --full (see module doc).",
+           "Methodology matches bench.py exactly (per-sample quiesce barrier,",
+           "median-of-3; top rows median-of-6) so BENCH_rN vs PERF.md deltas",
+           "reflect code, not measurement -- residual disagreement is VM",
+           "throttle noise (one refine pass measured [6.5, 6.4, 23.8] for the",
+           "same query back-to-back).",
            "",
            "| query | seconds | check |",
            "|---|---|---|"]
