@@ -93,6 +93,20 @@ def main() -> None:
     for spec in specs.values():
         spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Machine-speed calibration: a fixed CPU-bound probe whose cost is
+    # data-independent. The VM throttles 2-4x between runs (r7:
+    # two fresh-JVM bench runs 40 min apart disagreed ~25% uniformly,
+    # every query the same direction); recording the probe makes that
+    # drift attributable -- compare per-query times ACROSS artifacts
+    # only after checking the calib ratio.
+    calib_runs = []
+    for _ in range(3):
+        _quiesce(spark)
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr("sum(id * 2 + 1)").collect()
+        calib_runs.append(time.perf_counter() - t0)
+    calib = round(_median(calib_runs), 3)
+
     # Round-robin repeats (full sweep x N, not N back-to-back runs of
     # one query) so a throttling window hits each query at most once
     # per round instead of eating all of one query's samples. Sweeps
@@ -122,6 +136,7 @@ def main() -> None:
         "queries": times,
         "sf": _sf_of(sf_dir),
         "repeat": repeat,
+        "calib_sec": calib,
     }))
 
 

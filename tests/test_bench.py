@@ -20,11 +20,14 @@ def test_bench_contract_smoke():
     lines = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
     assert len(lines) == 1, out.stdout
     rec = json.loads(lines[0])
-    assert set(rec) == {"metric", "value", "unit", "queries", "sf", "repeat"}
+    assert set(rec) == {"metric", "value", "unit", "queries", "sf",
+                        "repeat", "calib_sec"}
     assert rec["unit"] == "sec"
     assert rec["value"] > 0
     assert rec["sf"] == 0.001
     assert rec["repeat"] == 1
+    assert rec["calib_sec"] > 0  # machine-speed probe (r7: throttle
+    # drift between artifact runs is attributable via this scalar)
     assert all(v >= 0 for v in rec["queries"].values())
 
 

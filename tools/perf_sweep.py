@@ -9,16 +9,19 @@ scale-safe sibling) run at the CHECK scale factor (sf0.01) by default
 so 140s of intentional brute force doesn't bury regressions in the
 other queries. Pass --full to run them at the bench sf too.
 
-Measurement discipline is IDENTICAL to bench.py (r6 verdict task 3:
-BENCH_rN vs PERF.md deltas must reflect code, not methodology):
-every timed sample is preceded by a clearCache + System.gc() + 0.3 s
-quiesce barrier, and EVERY query records the median of three samples
--- this VM throttles unpredictably (identical runs measured 12..30 s
-for the same query; one r7 refine saw [6.5, 6.4, 23.8]), and medians
-under a shared barrier discipline are the only numbers the two files
-can agree on. The REFINE_TOP slowest get three MORE samples
-(median of 6 total) since the slowest rows are where a single noisy
-sample most misdirects a perf review.
+Measurement discipline (r6 verdict task 3 -- BENCH_rN vs PERF.md
+deltas must reflect code, not methodology): the bench-flagged
+headline queries are measured by RUNNING bench.py ITSELF as a fresh
+subprocess and recording its per-query medians -- identity by
+construction, because a 283-query warm sweep JVM is structurally
+~30-100% faster on sub-second queries than bench's fresh 28-query
+JVM (measured r7: tpch_q6 0.18 s swept vs 0.33 s benched, same
+barriers, adjacent runs -- JIT warmth, not throttle). The remaining
+queries are swept in-process with the same per-sample quiesce
+barrier and median-of-3; the REFINE_TOP slowest of those get three
+MORE samples (median of 6). Residual BENCH-vs-PERF disagreement is
+VM throttle drift BETWEEN runs (identical back-to-back samples have
+measured 12..30 s; one r7 refine saw [6.5, 6.4, 23.8]).
 
 Usage: python tools/perf_sweep.py [sf_dir] [--full]
 """
@@ -54,18 +57,51 @@ def _quiesce(spark) -> None:
     time.sleep(0.3)
 
 
+def _bench_subprocess(sf_dir: str) -> dict[str, float]:
+    """Run bench.py in a fresh interpreter/JVM and return its
+    per-query medians -- the EXACT numbers a driver-run BENCH_rN
+    records, so PERF.md's headline rows can never disagree with
+    bench by methodology."""
+    import json
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    out = subprocess.run(
+        [sys.executable, os.path.join(root, "bench.py")],
+        capture_output=True, text=True, env=env, check=True).stdout
+    line = [ln for ln in out.splitlines() if ln.startswith('{"metric"')][-1]
+    parsed = json.loads(line)
+    return parsed["queries"], parsed.get("calib_sec")
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if a != "--full"]
     full = "--full" in sys.argv[1:]
     sf_dir = args[0] if args else \
         os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark(app_name="perf_sweep")
     specs = all_specs()
+    bench_names = {n for n, s in specs.items() if s.bench} if not args \
+        else set()
+    bench_rows = []
+    bench_calib = None
+    if bench_names:
+        print(f"bench subprocess: {len(bench_names)} headline queries",
+              flush=True)
+        bench_meds, bench_calib = _bench_subprocess(sf_dir)
+        for n, t in bench_meds.items():
+            tag = "oracle" if specs[n].oracle else "rows-only"
+            bench_rows.append((n, round(t, 2),
+                               tag + ", bench-methodology median/3"))
+            print(f"{n} {t:.2f}s (bench)", flush=True)
+    spark = get_spark(app_name="perf_sweep")
     # warm the JVM outside the timed region
     specs["scan_parquet"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     rows = []
     for name in sorted(specs):
+        if name in bench_names:
+            continue
         spec = specs[name]
         q_sf = sf_dir
         tag = "oracle" if spec.oracle else "rows-only"
@@ -110,7 +146,7 @@ def main() -> None:
               flush=True)
         refined.append((name, round(med, 2),
                         tag.replace(", median/3", "") + ", median/6"))
-    rows = refined + rows[REFINE_TOP:]
+    rows = bench_rows + refined + rows[REFINE_TOP:]
     rows.sort(key=lambda r: -r[1])
     total = sum(r[1] for r in rows if r[1] > 0)
     out = ["# PERF — full registry sweep",
@@ -119,11 +155,15 @@ def main() -> None:
            f"materialization), single warm session, slowest first. Total {total:.0f}s",
            f"for {len(rows)} queries. Regenerate: `python tools/perf_sweep.py`.",
            "Exhaustive oracle twins run at sf0.01 unless --full (see module doc).",
-           "Methodology matches bench.py exactly (per-sample quiesce barrier,",
-           "median-of-3; top rows median-of-6) so BENCH_rN vs PERF.md deltas",
-           "reflect code, not measurement -- residual disagreement is VM",
-           "throttle noise (one refine pass measured [6.5, 6.4, 23.8] for the",
-           "same query back-to-back).",
+           "Headline (bench-flagged) rows are bench.py's own fresh-JVM",
+           "medians (subprocess; methodology identical to BENCH_rN by",
+           "construction); the rest are warm-session per-sample-quiesced",
+           "median-of-3 (top rows median-of-6). Residual BENCH-vs-PERF",
+           "disagreement is VM throttle drift between runs (one refine pass",
+           "measured [6.5, 6.4, 23.8] for the same query back-to-back);",
+           "check the calib_sec ratio between the two artifacts first --",
+           f"this file's bench subprocess measured calib_sec={bench_calib}",
+           "(bench.py's fixed 200M-row CPU probe, median/3).",
            "",
            "| query | seconds | check |",
            "|---|---|---|"]
