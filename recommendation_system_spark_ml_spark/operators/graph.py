@@ -380,3 +380,187 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             alive = alive.localCheckpoint(eager=True)
     return (deg.where(F.col("deg") >= K_CORE)
             .select("node", F.col("deg").cast("long").alias("degree")))
+
+
+LP_ROUNDS = 4  # fixed synchronous min-label rounds, shared with the oracle
+
+
+def _labelprop_oracle() -> str:
+    """Bounded-round min-label propagation unrolled as MATERIALIZED
+    CTEs (the graph_kcore recipe: each round references the previous
+    label table twice, so default inlining would re-expand the edge
+    subtree exponentially). Labels are node-id strings; min over
+    ASCII strings is byte-order identical on both engines."""
+    steps = []
+    prev = "l0"
+    for t in range(1, LP_ROUNDS + 1):
+        steps.append(f"""m{t} AS MATERIALIZED (
+    SELECT und.dst AS node, min(l.label) AS nm
+    FROM und JOIN {prev} l ON und.src = l.node
+    GROUP BY 1
+), l{t} AS MATERIALIZED (
+    SELECT l.node,
+           CASE WHEN m.nm IS NOT NULL AND m.nm < l.label
+                THEN m.nm ELSE l.label END AS label
+    FROM {prev} l LEFT JOIN m{t} m ON l.node = m.node
+)""")
+        prev = f"l{t}"
+    return f"""
+WITH e0 AS (
+    SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+                    's' || CAST(l_suppkey AS VARCHAR) AS dst
+    FROM lineitem WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+), und AS MATERIALIZED (
+    SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+), l0 AS MATERIALIZED (
+    SELECT DISTINCT src AS node, src AS label FROM und
+), {", ".join(steps)}
+SELECT node, label FROM l{LP_ROUNDS}
+"""
+
+
+@register("graph_label_propagation", oracle=_labelprop_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round min-label propagation over the part<->supplier
+    graph (the HashMin community/component sweep of Raghavan et al.
+    2007's LPA family, with the deterministic min-label update instead
+    of the randomized majority vote): after {LP_ROUNDS} synchronous
+    rounds every node carries the smallest node-id reachable within
+    {LP_ROUNDS} hops -- the bounded-diameter community assignment, and
+    the building block dedup_components runs to fixpoint on documents.
+    FIXED round count rather than convergence: the round budget is
+    part of the algorithm's contract, replayed exactly by both engines
+    (the graph_pagerank/graph_kcore determinism recipe).
+
+    Per round: one join of the checkpointed edge list against the
+    current label table (2-shuffle iteration, the textbook Pregel
+    step as relational algebra) and one partial-combined min; the
+    label table never exceeds |nodes| rows. Lineage cut every 2
+    rounds. Labels are node-id STRINGS -- min over ASCII is byte-order
+    identical across engines, no float anywhere."""
+    pin_session_conf(spark)
+    li = (load(spark, sf_dir, "lineitem")
+          .where(F.col("l_partkey").isNotNull()
+                 & F.col("l_suppkey").isNotNull()))
+    half = (li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"))
+        .distinct())
+    und = (half.union(half.select(F.col("dst").alias("src"),
+                                  F.col("src").alias("dst")))
+           .localCheckpoint(eager=True))
+    lab = (und.select(F.col("src").alias("node")).distinct()
+           .withColumn("label", F.col("node")))
+    for t in range(1, LP_ROUNDS + 1):
+        msgs = (und.join(lab.select(F.col("node").alias("src"), "label"),
+                         "src")
+                .select(F.col("dst").alias("node"), "label"))
+        nbrmin = msgs.groupBy("node").agg(F.min("label").alias("nm"))
+        lab = (lab.join(nbrmin, "node", "left")
+               .select("node",
+                       F.when(F.col("nm").isNotNull()
+                              & (F.col("nm") < F.col("label")),
+                              F.col("nm")).otherwise(F.col("label"))
+                       .alias("label")))
+        if t % 2 == 0 and t < LP_ROUNDS:
+            lab = lab.localCheckpoint(eager=True)
+    return lab
+
+
+LP_TOPK = 50  # link-prediction shortlist length
+_LP_Q = 1_000_000  # 6-decimal floor quantization before the ranked cut
+
+
+@register("graph_link_prediction", oracle=f"""
+WITH oi AS (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS item
+    FROM lineitem WHERE l_partkey IS NOT NULL
+), e AS MATERIALIZED (
+    SELECT DISTINCT a.item AS u, b.item AS v
+    FROM oi a JOIN oi b ON a.o = b.o AND a.item < b.item
+), und AS MATERIALIZED (
+    SELECT u, v FROM e UNION ALL SELECT v, u FROM e
+), deg AS MATERIALIZED (
+    SELECT u AS node, count(*) AS d FROM und GROUP BY 1
+), wedges AS (
+    SELECT a.u AS x, b.u AS y, a.v AS mid
+    FROM und a JOIN und b ON a.v = b.v AND a.u < b.u
+), cand AS (
+    SELECT w.x, w.y,
+           count(*) AS cn,
+           floor(sum(1.0 / ln(dm.d)) * {_LP_Q} + 0.5) / {_LP_Q} AS aa
+    FROM wedges w JOIN deg dm ON w.mid = dm.node
+    GROUP BY 1, 2
+), nonadj AS (
+    SELECT c.* FROM cand c
+    LEFT JOIN e ON c.x = e.u AND c.y = e.v
+    WHERE e.u IS NULL
+), scored AS (
+    SELECT n.x AS u, n.y AS v, n.cn, n.aa,
+           round(n.cn * 1.0 / (du.d + dv.d - n.cn), 6) AS jaccard
+    FROM nonadj n JOIN deg du ON n.x = du.node
+                  JOIN deg dv ON n.y = dv.node
+)
+SELECT u, v, CAST(cn AS BIGINT) AS common_neighbors, aa AS adamic_adar,
+       jaccard
+FROM scored
+ORDER BY aa DESC, u ASC, v ASC
+LIMIT {LP_TOPK}
+""")
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the co-purchase graph (Liben-Nowell &
+    Kleinberg 2003): for part pairs at distance 2 (share a co-purchase
+    neighbor but never bought together), score common-neighbor count,
+    Adamic-Adar (common neighbors weighted 1/ln(degree) -- rare shared
+    neighbors count more), and Jaccard -- the top-{LP_TOPK} shortlist
+    is the classic "these two items WILL co-occur next quarter"
+    prediction, and the graph twin of the ratings-based item-item CF
+    in operators/recommend.py.
+
+    Shape: wedges come from one self-join of the undirected edge list
+    on the middle node (the graph_triangle_count fan-out, bounded by
+    order size <= 7 lineitems per order on this graph); Adamic-Adar
+    denominators are a broadcast degree join; non-adjacency is a left
+    anti join against the canonical u<v edge set; the final cut is
+    orderBy+limit (TakeOrderedAndProject -- a distributed heap, never
+    a global sort). AA floor-quantizes at 1e-6 BEFORE the ranked cut
+    so the shortlist is cross-engine deterministic (ln(deg) is exact
+    enough: sums of <= dozens of terms, quantum 1e-6 >> reorder
+    noise). deg_mid >= 2 always (the middle node touches both ends),
+    so ln never sees 1."""
+    pin_session_conf(spark)
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_partkey").isNotNull())
+    oi = (li.select(F.col("l_orderkey").alias("o"),
+                    F.col("l_partkey").alias("item")).distinct())
+    a, b = oi.alias("a"), oi.alias("b")
+    e = (a.join(b, (F.col("a.o") == F.col("b.o"))
+                & (F.col("a.item") < F.col("b.item")))
+         .select(F.col("a.item").alias("u"), F.col("b.item").alias("v"))
+         .distinct().localCheckpoint(eager=True))
+    und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("d"))
+    wa, wb = und.alias("wa"), und.alias("wb")
+    wedges = (wa.join(wb, (F.col("wa.v") == F.col("wb.v"))
+                      & (F.col("wa.u") < F.col("wb.u")))
+              .select(F.col("wa.u").alias("x"), F.col("wb.u").alias("y"),
+                      F.col("wa.v").alias("mid")))
+    dm = deg.select(F.col("node").alias("mid"), F.col("d").alias("dmid"))
+    cand = (wedges.join(F.broadcast(dm), "mid")
+            .groupBy("x", "y")
+            .agg(F.count(F.lit(1)).alias("cn"),
+                 (F.floor(F.sum(F.lit(1.0) / F.log(F.col("dmid")))
+                          * _LP_Q + F.lit(0.5)) / _LP_Q).alias("aa")))
+    nonadj = cand.join(e, (cand.x == e.u) & (cand.y == e.v), "left_anti")
+    du = deg.select(F.col("node").alias("x"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("y"), F.col("d").alias("dv"))
+    scored = (nonadj.join(F.broadcast(du), "x").join(F.broadcast(dv), "y")
+              .select(F.col("x").alias("u"), F.col("y").alias("v"),
+                      F.col("cn").cast("long").alias("common_neighbors"),
+                      F.col("aa").alias("adamic_adar"),
+                      F.round(F.col("cn").cast("double")
+                              / (F.col("du") + F.col("dv") - F.col("cn")), 6)
+                      .alias("jaccard")))
+    return (scored.orderBy(F.col("adamic_adar").desc(), F.col("u").asc(),
+                           F.col("v").asc())
+            .limit(LP_TOPK))

@@ -58,8 +58,14 @@ _CAPPED_SQL = f"""
     ) WHERE rn <= {USER_CAP}
 """
 
-_NEIGHBORS_SQL = f"""
-ratings AS ({_RATINGS_SQL}),
+def neighbors_sql(ratings_cte: str) -> str:
+    """The item-neighbor CTE chain over an arbitrary ratings CTE body
+    (operators/recsys_eval.py composes it over a TRAIN split for the
+    held-out CF evaluation; the registered queries use the full
+    ratings). The text is built once per call so both callers share
+    the exact same algebra."""
+    return f"""
+ratings AS ({ratings_cte}),
 capped AS ({_CAPPED_SQL}),
 norms AS (
     SELECT i, sqrt(sum(r * r)) AS nrm FROM capped GROUP BY 1
@@ -94,18 +100,24 @@ nbrs AS (
 """
 
 
-def _item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+_NEIGHBORS_SQL = neighbors_sql(_RATINGS_SQL)
+
+
+def _item_neighbors(spark: SparkSession, sf_dir: str,
+                    ratings: DataFrame | None = None) -> DataFrame:
     """(item, neighbor, co_cnt, sim): per-item top-N_NEIGHBORS cosine
     neighbors over co-rating users, USER_CAP-bounded. Shared by both
     registered queries so the similarity matrix and the recommender
-    can never disagree."""
-    ratings = (ratings_analog(spark, sf_dir)
-               .where(F.col("userId").isNotNull()
-                      & F.col("movieId").isNotNull()
-                      & F.col("rating").isNotNull())
-               .select(F.col("userId").alias("u"),
-                       F.col("movieId").alias("i"),
-                       F.col("rating").cast("double").alias("r")))
+    can never disagree; recsys_eval.py passes a TRAIN-split `ratings`
+    (u, i, r) for the held-out evaluation."""
+    if ratings is None:
+        ratings = (ratings_analog(spark, sf_dir)
+                   .where(F.col("userId").isNotNull()
+                          & F.col("movieId").isNotNull()
+                          & F.col("rating").isNotNull())
+                   .select(F.col("userId").alias("u"),
+                           F.col("movieId").alias("i"),
+                           F.col("rating").cast("double").alias("r")))
     wcap = Window.partitionBy("u").orderBy(F.col("i").asc())
     capped = (ratings.withColumn("rn", F.row_number().over(wcap))
               .where(F.col("rn") <= USER_CAP).drop("rn"))
@@ -160,8 +172,11 @@ def ml_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _item_neighbors(spark, sf_dir)
 
 
-@register("ml_user_topn_recs", oracle=f"""
-WITH {_NEIGHBORS_SQL},
+# The top-N scoring tail as a reusable CTE chain (appended after
+# _NEIGHBORS_SQL): operators/recsys_eval.py composes coverage/novelty
+# metrics over the SAME oracle text, so the evaluated recommender and
+# the registered recommender can never drift apart.
+_TOPN_CTE = f"""
 scores AS (
     SELECT r.u, n.neighbor AS cand,
            sum(n.sim * r.r) AS num, sum(n.sim) AS den,
@@ -183,9 +198,18 @@ ranked AS (
                ORDER BY floor(num / den * {_CF_Q} + 0.5) / {_CF_Q} DESC,
                         cand ASC) AS rank
     FROM unseen
+),
+recs AS (
+    SELECT "userId", "movieId", pred, support, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {N_RECS}
 )
-SELECT "userId", "movieId", pred, support, CAST(rank AS INTEGER) AS rank
-FROM ranked WHERE rank <= {N_RECS}
+"""
+
+
+@register("ml_user_topn_recs", oracle=f"""
+WITH {_NEIGHBORS_SQL},
+{_TOPN_CTE}
+SELECT * FROM recs
 """)
 def ml_user_topn_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{N_RECS} recommendations per user from the item-item
@@ -211,6 +235,13 @@ def ml_user_topn_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("movieId").alias("i"),
                        F.col("rating").cast("double").alias("r")))
     nbrs = _item_neighbors(spark, sf_dir)
+    return topn_recs(ratings, nbrs)
+
+
+def topn_recs(ratings: DataFrame, nbrs: DataFrame) -> DataFrame:
+    """The weighted-sum top-N scorer over (u, i, r) ratings and an
+    (item, neighbor, sim) table -- factored so recsys_eval.py can run
+    the IDENTICAL scorer on a train split for held-out evaluation."""
     scores = (ratings.join(F.broadcast(nbrs),
                            ratings.i == nbrs.item)
               .groupBy(F.col("u"), F.col("neighbor").alias("cand"))

@@ -1317,3 +1317,104 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         del remaining[best_id]
     return spark.createDataFrame(
         out, "rank int, vec_id bigint, relevance double, mmr_score double")
+
+
+JL_PROJ_DIMS = 16   # target dimensionality of the random projection
+JL_CHECK_N = 20     # probe slice: all pairs among the first N vectors
+_JL_KNUTH = 2654435761  # Knuth multiplicative hash (public constant)
+
+
+@register("vec_random_projection_jl", oracle=f"""
+WITH v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+    WHERE vec_id < {JL_CHECK_N} AND embedding IS NOT NULL
+),
+p AS (
+    SELECT vec_id, x,
+           list_transform(range(0, {JL_PROJ_DIMS}), o ->
+               list_sum(list_transform(range(1, len(x) + 1), j ->
+                   (CASE WHEN ((o * len(x) + (j - 1)) * {_JL_KNUTH})
+                              % 4294967296 % 2 = 0
+                         THEN 1.0 ELSE -1.0 END) * x[j]))) AS y
+    FROM v
+),
+pairs AS (
+    SELECT sqrt(list_sum(list_transform(range(1, len(a.x) + 1),
+                    i -> (a.x[i] - b.x[i]) * (a.x[i] - b.x[i])))) AS dorig,
+           sqrt(list_sum(list_transform(range(1, {JL_PROJ_DIMS} + 1),
+                    i -> (a.y[i] - b.y[i]) * (a.y[i] - b.y[i])))
+                / {JL_PROJ_DIMS}.0) AS dproj
+    FROM p a JOIN p b ON a.vec_id < b.vec_id
+),
+r AS (
+    SELECT floor(dproj / dorig * 1000000 + 0.5) / 1000000 AS ratio
+    FROM pairs WHERE dorig > 0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(ratio), 6) AS mean_ratio,
+       round(min(ratio), 6) AS min_ratio,
+       round(max(ratio), 6) AS max_ratio,
+       round(avg(CASE WHEN abs(ratio - 1.0) <= 0.2
+                      THEN 1.0 ELSE 0.0 END), 6) AS frac_within_20pct
+FROM r
+""")
+def vec_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (Achlioptas 2003
+    database-friendly +/-1 variant): project the 64-dim embeddings to
+    {JL_PROJ_DIMS} dims with a SIGN MATRIX DERIVED FROM THE KNUTH HASH
+    of (out_dim, in_dim) -- no stored projection matrix, no RNG, so
+    any executor regenerates any entry locally and a restart can never
+    change the projection (the same restart-stability argument as the
+    §2.7 sampling gates). Emits the distance-distortion report over
+    all pairs of the first {JL_CHECK_N} vectors: mean/min/max ratio of
+    projected to original L2 distance and the fraction within the
+    +/-20% JL band -- the go/no-go read before swapping the projection
+    into an ANN pipeline (sim_lsh/sim_ivf) to cut shuffle bytes 4x.
+
+    Scale shape: the projection is a map-side array expression (one
+    whole-stage-codegen pass, {JL_PROJ_DIMS} x 64 multiply-adds per
+    row, zero shuffle, zero Python); only the bounded probe slice
+    ever joins pairwise. Ratios floor-quantize at 1e-6 before the
+    aggregate."""
+    pin_session_conf(spark)
+    v = (load(spark, sf_dir, "embeddings")
+         .where((F.col("vec_id") < JL_CHECK_N)
+                & F.col("embedding").isNotNull())
+         .select("vec_id", F.col("embedding").cast("array<double>")
+                 .alias("x")))
+
+    def project(x):
+        d = F.size(x)
+
+        def comp(o):
+            def term(acc, j):
+                sign = F.when(((o * d + (j - 1)) * F.lit(_JL_KNUTH))
+                              % F.lit(4294967296) % 2 == 0,
+                              F.lit(1.0)).otherwise(F.lit(-1.0))
+                return acc + sign * F.element_at(x, j)
+            return F.aggregate(F.sequence(F.lit(1), d), F.lit(0.0), term)
+        return F.transform(F.sequence(F.lit(0), F.lit(JL_PROJ_DIMS - 1)),
+                           comp)
+
+    p = v.select("vec_id", "x", project(F.col("x")).alias("y"))
+    a, b = p.alias("a"), p.alias("b")
+
+    def sqdist(xa, xb):
+        return F.aggregate(F.zip_with(xa, xb, lambda u, w: (u - w) * (u - w)),
+                           F.lit(0.0), lambda acc, z: acc + z)
+
+    pairs = (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+             .select(F.sqrt(sqdist(F.col("a.x"), F.col("b.x")))
+                     .alias("dorig"),
+                     F.sqrt(sqdist(F.col("a.y"), F.col("b.y"))
+                            / F.lit(float(JL_PROJ_DIMS))).alias("dproj")))
+    r = (pairs.where(F.col("dorig") > 0)
+         .select((F.floor(F.col("dproj") / F.col("dorig") * 1000000
+                          + F.lit(0.5)) / 1000000).alias("ratio")))
+    return r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.avg("ratio"), 6).alias("mean_ratio"),
+        F.round(F.min("ratio"), 6).alias("min_ratio"),
+        F.round(F.max("ratio"), 6).alias("max_ratio"),
+        F.round(F.avg(F.when(F.abs(F.col("ratio") - 1.0) <= 0.2, 1.0)
+                      .otherwise(0.0)), 6).alias("frac_within_20pct"))

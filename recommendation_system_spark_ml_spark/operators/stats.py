@@ -1,0 +1,384 @@
+"""Exact statistical testing + resampling (SURVEY.md §2.11, r7 wave).
+
+Completes the inference family started in operators/aggregates.py
+(Welch t-test, chi-squared, closed-form OLS, KS drift): the
+nonparametric two-sample test (Mann-Whitney U -- the test teams reach
+for when t-test normality fails), the model-monitoring drift score
+(Population Stability Index, the banking/MLOps standard that
+complements the KS statistic's max-gap read with a per-bucket
+decomposition), the fraud-screening digit test (Benford's law), and
+a Poisson-bootstrap confidence interval -- the ONLY bootstrap that
+works on a distributed engine, because it needs no global resample:
+each row draws its replicate weights independently (Chamandy et al.
+2012, "Estimating Uncertainty for Massive Data Streams", the Google
+MapReduce-bootstrap paper).
+
+Everything is exact integer/rational arithmetic until one final
+division, so every operator is DuckDB-hash-verified; randomness is
+the restart-stable Knuth multiplicative hash (§2.7 recipe), never an
+engine RNG.
+
+The reference has no inference surface at all (MovieLensRecommender.py
+stops at RMSE point estimates, :248-253); these are what turns its
+"model A beats model B" readout into a defensible claim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from recommendation_system_spark_ml_spark.registry import register
+from recommendation_system_spark_ml_spark.session import pin_session_conf
+from recommendation_system_spark_ml_spark.sources.catalog import load
+
+_KNUTH = 2654435761  # Knuth multiplicative hash (same gate as §2.7)
+_Q = 1_000_000       # 6-decimal floor quantization, shared with oracles
+
+# ---------------------------------------------------------------- MWU
+
+_MW_BUCKET = 4096.0  # price-range bucket width for the two-level cumsum
+
+
+@register("agg_mann_whitney", oracle=f"""
+WITH base AS (
+    SELECT l_extendedprice AS v,
+           CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS isa
+    FROM lineitem
+    WHERE l_returnflag IN ('A', 'R') AND l_extendedprice IS NOT NULL
+),
+vals AS (
+    SELECT v, sum(isa) AS na, sum(1 - isa) AS nb
+    FROM base GROUP BY 1
+),
+cum AS (
+    SELECT v, na, nb,
+           sum(nb) OVER (ORDER BY v ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cumb
+    FROM vals
+),
+s AS (
+    SELECT sum(na) AS n1, sum(nb) AS n2,
+           sum(na * (2 * cumb - nb)) AS u2,
+           sum(power(na + nb, 3) - (na + nb)) AS tie
+    FROM cum
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       u2 / 2.0 AS u1,
+       round((u2 / 2.0 - n1 * 1.0 * n2 / 2.0)
+             / sqrt(n1 * 1.0 * n2 / 12.0
+                    * ((n1 + n2 + 1.0)
+                       - tie / ((n1 + n2) * 1.0 * (n1 + n2 - 1.0)))), 4)
+           AS z,
+       round(2.0 * (u2 / 2.0) / (n1 * 1.0 * n2) - 1.0, 6)
+           AS rank_biserial
+FROM s
+""")
+def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test: does l_extendedprice
+    for returned lineitems (flag A) stochastically dominate
+    non-returned ones (flag R)? The nonparametric sibling of
+    agg_ab_ttest -- no normality assumption, so it is the test of
+    record for skewed revenue/latency metrics. Emits U1, the
+    tie-corrected normal-approximation z, and the rank-biserial
+    effect size.
+
+    Exactness: U1 is computed from per-VALUE counts, not per-row
+    ranks -- U1 = sum over distinct v of nA(v) * (#B below v + 0.5 *
+    #B tied at v). Doubling gives an INTEGER (u2), so the entire
+    statistic is exact integer arithmetic until the final z division;
+    the tie term sum(t^3 - t) is likewise integral.
+
+    Scale shape: one groupBy(value) collapses 100 TB of rows to the
+    distinct-value table; the cumulative #B never runs as a
+    single-reducer sort -- two_level_running_sum (operators/scale.py)
+    range-buckets the price axis, cumsums inside buckets in parallel,
+    and lifts with a broadcast ~30-row offset table. The final
+    aggregate is one partial-combined row. The oracle is the naive
+    single-window definition, certifying the distributed cumsum."""
+    pin_session_conf(spark)
+    from recommendation_system_spark_ml_spark.operators.scale import (
+        two_level_running_sum)
+    base = (load(spark, sf_dir, "lineitem")
+            .where(F.col("l_returnflag").isin("A", "R")
+                   & F.col("l_extendedprice").isNotNull())
+            .select(F.col("l_extendedprice").alias("v"),
+                    F.when(F.col("l_returnflag") == "A", 1).otherwise(0)
+                    .alias("isa")))
+    vals = base.groupBy("v").agg(
+        F.sum("isa").alias("na"),
+        F.sum(F.lit(1) - F.col("isa")).alias("nb"))
+    cum = two_level_running_sum(
+        vals, F.floor(F.col("v") / _MW_BUCKET).cast("long"),
+        [F.col("v").asc()], F.col("nb"), out="cumb")
+    s = cum.agg(
+        F.sum("na").alias("n1"), F.sum("nb").alias("n2"),
+        F.sum(F.col("na") * (2 * F.col("cumb") - F.col("nb"))).alias("u2"),
+        F.sum(F.pow(F.col("na") + F.col("nb"), 3)
+              - (F.col("na") + F.col("nb"))).alias("tie"))
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    nd = n1d + n2d
+    u1 = F.col("u2") / 2.0
+    sigma = F.sqrt(n1d * n2d / 12.0
+                   * ((nd + 1.0) - F.col("tie") / (nd * (nd - 1.0))))
+    return s.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        u1.alias("u1"),
+        F.round((u1 - n1d * n2d / 2.0) / sigma, 4).alias("z"),
+        F.round(2.0 * u1 / (n1d * n2d) - 1.0, 6).alias("rank_biserial"))
+
+
+# ---------------------------------------------------------------- PSI
+
+_PSI_EDGES = [i / 10.0 for i in range(1, 10)]  # decile edges from period A
+_PSI_SMOOTH = 0.5  # Laplace pseudo-count per bucket (both periods)
+
+
+@register("agg_psi_drift", oracle=f"""
+WITH ev AS (
+    SELECT epoch_us(ts) AS tu, value AS v FROM events
+    WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+mid AS (
+    SELECT (min(tu) + max(tu)) // 2 AS m FROM ev
+),
+edges AS (
+    SELECT list_transform(quantile_cont(v, {_PSI_EDGES}),
+                          e -> floor(e * {_Q} + 0.5) / {_Q}) AS es
+    FROM ev, mid WHERE tu <= m
+),
+bucketed AS (
+    SELECT 1 + len(list_filter(es, e -> v > e)) AS bucket,
+           CASE WHEN tu <= m THEN 1 ELSE 0 END AS ina
+    FROM ev, mid, edges
+),
+counts AS (
+    SELECT bucket, sum(ina) AS ca, sum(1 - ina) AS cb
+    FROM bucketed GROUP BY 1
+),
+spine AS (SELECT unnest(generate_series(1, 10)) AS bucket),
+tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM counts),
+filled AS (
+    SELECT s.bucket,
+           coalesce(c.ca, 0) AS ca, coalesce(c.cb, 0) AS cb
+    FROM spine s LEFT JOIN counts c ON s.bucket = c.bucket
+)
+SELECT CAST(f.bucket AS INTEGER) AS bucket,
+       CAST(f.ca AS BIGINT) AS cnt_a, CAST(f.cb AS BIGINT) AS cnt_b,
+       round(((f.ca + {_PSI_SMOOTH}) / (t.na + {_PSI_SMOOTH} * 10)
+              - (f.cb + {_PSI_SMOOTH}) / (t.nb + {_PSI_SMOOTH} * 10))
+             * ln(((f.ca + {_PSI_SMOOTH}) / (t.na + {_PSI_SMOOTH} * 10))
+                  / ((f.cb + {_PSI_SMOOTH}) / (t.nb + {_PSI_SMOOTH} * 10))),
+             6) AS psi_term
+FROM filled f, tot t
+ORDER BY 1
+""")
+def agg_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the events stream (split at the midpoint of the observed time
+    range -- exact integer microsecond arithmetic, so both engines cut
+    at the same row). Buckets are the DECILES OF PERIOD A (the
+    reference-population convention: score the new period against the
+    training period's bins), Laplace-smoothed so an empty bucket
+    contributes a finite term instead of log(0). Per-bucket terms are
+    emitted (sum them for the headline PSI; >0.25 = "major shift" by
+    the usual banking rule) -- the decomposition is the actionable
+    part, telling you WHICH slice of the distribution moved.
+
+    Scale shape: one pass computes the time split; the nine decile
+    edges are an exact array-percentile over period A (a bounded
+    9-float broadcast, quantized at 1e-6 before any comparison); the
+    bucket id is a map-side array scan (no join); one groupBy(bucket)
+    partial-combines to <= 10 rows joined against a literal spine."""
+    pin_session_conf(spark)
+    ev = (load(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull() & F.col("value").isNotNull())
+          .select(F.unix_micros(F.col("ts").cast("timestamp")).alias("tu"),
+                  F.col("value").alias("v")))
+    mid = ev.agg(((F.min("tu") + F.max("tu"))
+                  .cast("long") / F.lit(2)).cast("long").alias("m"))
+    ev2 = ev.crossJoin(F.broadcast(mid))
+    qs = ", ".join(str(e) for e in _PSI_EDGES)
+    edges = (ev2.where(F.col("tu") <= F.col("m"))
+             .agg(F.expr(f"percentile(v, array({qs}))").alias("raw"))
+             .select(F.transform(
+                 F.col("raw"),
+                 lambda e: F.floor(e * _Q + F.lit(0.5)) / _Q).alias("es")))
+    bucketed = (ev2.crossJoin(F.broadcast(edges))
+                .select((F.lit(1) + F.size(F.filter(
+                    F.col("es"), lambda e: F.col("v") > e))).alias("bucket"),
+                    F.when(F.col("tu") <= F.col("m"), 1).otherwise(0)
+                    .alias("ina")))
+    counts = bucketed.groupBy("bucket").agg(
+        F.sum("ina").alias("ca"), F.sum(F.lit(1) - F.col("ina")).alias("cb"))
+    spine = spark.range(1, 11).select(F.col("id").cast("int").alias("bucket"))
+    tot = counts.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    filled = (spine.join(F.broadcast(counts), "bucket", "left")
+              .select("bucket",
+                      F.coalesce("ca", F.lit(0)).alias("ca"),
+                      F.coalesce("cb", F.lit(0)).alias("cb"))
+              .crossJoin(F.broadcast(tot)))
+    pa = (F.col("ca") + _PSI_SMOOTH) / (F.col("na") + _PSI_SMOOTH * 10)
+    pb = (F.col("cb") + _PSI_SMOOTH) / (F.col("nb") + _PSI_SMOOTH * 10)
+    return (filled.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("ca").cast("long").alias("cnt_a"),
+        F.col("cb").cast("long").alias("cnt_b"),
+        F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"))
+        .orderBy("bucket"))
+
+
+# ------------------------------------------------------------- Benford
+
+
+@register("agg_benford", oracle=f"""
+WITH cents AS (
+    SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+    FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+),
+digits AS (
+    SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit
+    FROM cents
+),
+obs AS (SELECT digit, count(*) AS n FROM digits GROUP BY 1),
+tot AS (SELECT sum(n) AS total FROM obs),
+spine AS (SELECT unnest(generate_series(1, 9)) AS digit)
+SELECT CAST(s.digit AS INTEGER) AS digit,
+       CAST(coalesce(o.n, 0) AS BIGINT) AS n,
+       round(coalesce(o.n, 0) * 1.0 / t.total, 6) AS obs_share,
+       round(log10(1.0 + 1.0 / s.digit), 6) AS exp_share,
+       round(abs(coalesce(o.n, 0) * 1.0 / t.total
+                 - log10(1.0 + 1.0 / s.digit)), 6) AS abs_dev
+FROM spine s LEFT JOIN obs o ON s.digit = o.digit CROSS JOIN tot t
+ORDER BY 1
+""")
+def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals: the forensic
+    screen for fabricated or systematically manipulated monetary data
+    (Nigrini 1996; real multiplicative amounts follow P(d) =
+    log10(1 + 1/d), fabricated ones cluster on 3..7). Emits the
+    observed vs expected share and absolute deviation per leading
+    digit -- the per-digit decomposition auditors act on.
+
+    Determinism note: the leading digit is extracted from the INTEGER
+    cent count's decimal string, never via floor(log10(x)) -- the log
+    path can straddle a ulp boundary differently across libm
+    implementations at exact powers of ten; integer-to-string is
+    identical everywhere. Shape: one map-side projection, one
+    groupBy(digit) to 9 rows, a literal spine join; fully
+    partial-combined, nothing data-sized moves."""
+    pin_session_conf(spark)
+    cents = (load(spark, sf_dir, "orders")
+             .where(F.col("o_totalprice").isNotNull()
+                    & (F.col("o_totalprice") > 0))
+             .select(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                     .cast("long").alias("c")))
+    digits = cents.select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("int")
+        .alias("digit"))
+    obs = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").alias("total"))
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    exp_share = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    obs_share = F.coalesce("n", F.lit(0)).cast("double") / F.col("total")
+    return (spine.join(F.broadcast(obs), "digit", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(F.col("digit").cast("int").alias("digit"),
+                    F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+                    F.round(obs_share, 6).alias("obs_share"),
+                    F.round(exp_share, 6).alias("exp_share"),
+                    F.round(F.abs(obs_share - exp_share), 6)
+                    .alias("abs_dev"))
+            .orderBy("digit"))
+
+
+# ------------------------------------------------- Poisson bootstrap
+
+N_BOOT = 64  # replicates; each row draws B independent Poisson(1) weights
+
+# Cumulative Poisson(1) CDF thresholds, written as identical decimal
+# literals on both engines (both parse to the same IEEE doubles):
+# P(X <= k) for k = 0..6; u beyond the last gets weight 7.
+_POIS_CDF = (
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238462", "0.9963401531726563", "0.9994058151824183",
+    "0.9999167588507120",
+)
+
+
+def _pois_case_sql(u: str) -> str:
+    branches = "".join(
+        f" WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_CDF))
+    return f"(CASE{branches} ELSE 7 END)"
+
+
+def _pois_case_col(u) -> F.Column:
+    out = F.when(u < float(_POIS_CDF[0]), 0)
+    for k, t in enumerate(_POIS_CDF[1:], start=1):
+        out = out.when(u < float(t), k)
+    return out.otherwise(7)
+
+
+@register("agg_bootstrap_ci", oracle=f"""
+WITH rows_b AS (
+    SELECT (o_orderkey % 16777216) AS k, o_totalprice AS x,
+           unnest(generate_series(0, {N_BOOT - 1})) AS b
+    FROM orders WHERE o_totalprice IS NOT NULL
+),
+w AS (
+    SELECT b, x,
+           {_pois_case_sql(f"(((k * 131 + b) * {_KNUTH}) % 4294967296) / 4294967296.0")} AS wt
+    FROM rows_b
+),
+reps AS (
+    SELECT b, floor(sum(wt * x) / sum(wt) * {_Q} + 0.5) / {_Q} AS m
+    FROM w GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+       round(avg(m), 4) AS boot_mean,
+       round(stddev_samp(m), 4) AS boot_se,
+       round(quantile_cont(m, 0.025), 4) AS ci_lo,
+       round(quantile_cont(m, 0.975), 4) AS ci_hi
+FROM reps
+""")
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for the mean order total (Chamandy et
+    al. 2012): each row draws {N_BOOT} independent Poisson(1) weights
+    -- the n -> infinity limit of multinomial resampling -- so NO
+    global resample, shuffle, or second pass over the data is needed;
+    the bootstrap that actually runs at 100 TB. Point estimates
+    per replicate are weighted means; the CI is the 2.5/97.5
+    percentile of the {N_BOOT} replicate means, the SE their stddev.
+
+    Determinism: weights come from the restart-stable Knuth hash of
+    (orderkey fold, replicate) -- both engines build the identical
+    uniform (an exact integer divided by 2^32) and walk the same
+    branched CDF literals, so every weight matches bit-for-bit; the
+    key folds to 2^24 before mixing so the hash product stays far
+    inside BIGINT at any scale. Replicate means floor-quantize at
+    1e-6 before the percentile pass, absorbing partial-sum order
+    noise. Shape: explode x{N_BOOT} map-side, ONE groupBy(replicate)
+    partial-combines to {N_BOOT} rows, then a bounded final aggregate
+    -- wall cost is one scan of {N_BOOT}x the input, zero joins."""
+    pin_session_conf(spark)
+    rows_b = (load(spark, sf_dir, "orders")
+              .where(F.col("o_totalprice").isNotNull())
+              .select((F.col("o_orderkey") % 16777216).alias("k"),
+                      F.col("o_totalprice").alias("x"))
+              .withColumn("b", F.explode(F.sequence(
+                  F.lit(0), F.lit(N_BOOT - 1)))))
+    u = (((F.col("k") * 131 + F.col("b")) * _KNUTH) % F.lit(4294967296)
+         ) / F.lit(4294967296.0)
+    w = rows_b.select("b", "x", _pois_case_col(u).alias("wt"))
+    reps = (w.groupBy("b")
+            .agg((F.floor(F.sum(F.col("wt") * F.col("x"))
+                          / F.sum("wt") * _Q + F.lit(0.5)) / _Q)
+                 .alias("m")))
+    return reps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_replicates"),
+        F.round(F.avg("m"), 4).alias("boot_mean"),
+        F.round(F.stddev_samp("m"), 4).alias("boot_se"),
+        F.round(F.expr("percentile(m, 0.025)"), 4).alias("ci_lo"),
+        F.round(F.expr("percentile(m, 0.975)"), 4).alias("ci_hi"))

@@ -2185,3 +2185,108 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("score") >= 60, F.lit("easy"))
         .when(F.col("score") >= 30, F.lit("medium"))
         .otherwise(F.lit("hard")).alias("band"))
+
+
+# Quality-filter overlap matrix: the four cheap reject predicates,
+# written as ONE shared condition text so Spark and the oracle can
+# never disagree on what a filter means.
+_FILTER_SHORT_LO = 150    # n_chars below this -> 'short'
+_FILTER_LONG_HI = 450     # n_chars above this -> 'long'
+_FILTER_ALPHA_MIN = 0.6   # alpha-char ratio below this -> 'low_alpha'
+
+
+@register("pipeline_filter_overlap", oracle=f"""
+WITH flags AS (
+    SELECT CASE WHEN n_chars IS NULL OR n_chars < {_FILTER_SHORT_LO}
+                THEN 1 ELSE 0 END AS f_short,
+           CASE WHEN n_chars > {_FILTER_LONG_HI} THEN 1 ELSE 0 END AS f_long,
+           CASE WHEN text IS NULL OR length(text) = 0
+                     OR length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                        * 1.0 / length(text) < {_FILTER_ALPHA_MIN}
+                THEN 1 ELSE 0 END AS f_alpha,
+           CASE WHEN lang IS NULL OR lang <> 'en' THEN 1 ELSE 0 END AS f_lang
+    FROM documents
+),
+s AS (
+    SELECT sum(f_short) AS a1, sum(f_long) AS a2,
+           sum(f_alpha) AS a3, sum(f_lang) AS a4,
+           sum(f_short * f_long) AS b12, sum(f_short * f_alpha) AS b13,
+           sum(f_short * f_lang) AS b14, sum(f_long * f_alpha) AS b23,
+           sum(f_long * f_lang) AS b24, sum(f_alpha * f_lang) AS b34
+    FROM flags
+),
+m AS (
+    SELECT 'short' AS filter_a, 'long' AS filter_b,
+           a1 AS n_a, a2 AS n_b, b12 AS n_both FROM s
+    UNION ALL SELECT 'short', 'low_alpha', a1, a3, b13 FROM s
+    UNION ALL SELECT 'short', 'non_en', a1, a4, b14 FROM s
+    UNION ALL SELECT 'long', 'low_alpha', a2, a3, b23 FROM s
+    UNION ALL SELECT 'long', 'non_en', a2, a4, b24 FROM s
+    UNION ALL SELECT 'low_alpha', 'non_en', a3, a4, b34 FROM s
+)
+SELECT filter_a, filter_b,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(n_both AS BIGINT) AS n_both,
+       CAST(n_a + n_b - n_both AS BIGINT) AS n_either,
+       CASE WHEN n_a + n_b - n_both > 0
+            THEN round(n_both * 1.0 / (n_a + n_b - n_both), 6)
+            ELSE NULL END AS jaccard
+FROM m
+""")
+def pipeline_filter_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter overlap matrix: for every pair of reject
+    predicates (too-short, too-long, low alpha ratio, non-English),
+    how many documents each rejects and the Jaccard of the reject
+    sets -- the redundancy audit a curation team runs before adding a
+    filter to a 100 TB pipeline (a filter whose rejects are 95%
+    contained in an existing one buys nothing and costs a full pass;
+    Gopher/RefinedWeb-style cascades are tuned from exactly this
+    matrix).
+
+    Shape: ONE scan computes all four flags map-side (the alpha ratio
+    is a regexp strip + length, JVM-side), ONE partial-combined
+    aggregate produces all ten sums (pairwise intersections are just
+    sums of flag products -- no self-join, no explode), and the 6-row
+    matrix is a literal unpivot of that single row. Cost at any scale
+    = one pass over documents."""
+    pin_session_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    alpha_len = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+    f_short = F.when(F.col("n_chars").isNull()
+                     | (F.col("n_chars") < _FILTER_SHORT_LO), 1).otherwise(0)
+    f_long = F.when(F.col("n_chars") > _FILTER_LONG_HI, 1).otherwise(0)
+    f_alpha = F.when(F.col("text").isNull()
+                     | (F.length("text") == 0)
+                     | (alpha_len.cast("double") / F.length("text")
+                        < _FILTER_ALPHA_MIN), 1).otherwise(0)
+    f_lang = F.when(F.col("lang").isNull()
+                    | (F.col("lang") != "en"), 1).otherwise(0)
+    flags = docs.select(f_short.alias("f1"), f_long.alias("f2"),
+                        f_alpha.alias("f3"), f_lang.alias("f4"))
+    s = flags.agg(
+        F.sum("f1").alias("a1"), F.sum("f2").alias("a2"),
+        F.sum("f3").alias("a3"), F.sum("f4").alias("a4"),
+        F.sum(F.col("f1") * F.col("f2")).alias("b12"),
+        F.sum(F.col("f1") * F.col("f3")).alias("b13"),
+        F.sum(F.col("f1") * F.col("f4")).alias("b14"),
+        F.sum(F.col("f2") * F.col("f3")).alias("b23"),
+        F.sum(F.col("f2") * F.col("f4")).alias("b24"),
+        F.sum(F.col("f3") * F.col("f4")).alias("b34"))
+    names = {"1": "short", "2": "long", "3": "low_alpha", "4": "non_en"}
+    stack_args = []
+    for i, j in ("12", "13", "14", "23", "24", "34"):
+        stack_args.append(
+            f"'{names[i]}', '{names[j]}', a{i}, a{j}, b{i}{j}")
+    m = s.select(F.expr(
+        "stack(6, " + ", ".join(stack_args)
+        + ") AS (filter_a, filter_b, n_a, n_b, n_both)"))
+    n_either = F.col("n_a") + F.col("n_b") - F.col("n_both")
+    return m.select(
+        "filter_a", "filter_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("n_both").cast("long").alias("n_both"),
+        n_either.cast("long").alias("n_either"),
+        F.when(n_either > 0,
+               F.round(F.col("n_both").cast("double") / n_either, 6))
+        .otherwise(F.lit(None).cast("double")).alias("jaccard"))

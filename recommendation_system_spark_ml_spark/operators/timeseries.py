@@ -772,3 +772,76 @@ def ts_calendar_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("dow", "hour", "n_events", "n_users",
                       (F.row_number().over(w) == 1).cast("int")
                       .alias("is_dow_peak"))
+
+
+BURST_TRAIL = 24   # trailing observed-hour baseline window (rows)
+BURST_MIN_N = 12   # minimum baseline hours before z is defined
+BURST_Z = 3.0      # z-score threshold
+BURST_MIN_CNT = 5  # absolute count floor (suppresses tiny-count bursts)
+
+
+@register("ts_burst_detect", oracle=f"""
+WITH hourly AS (
+    SELECT event_type,
+           CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hour_id,
+           count(*) AS cnt
+    FROM events WHERE ts IS NOT NULL
+    GROUP BY 1, 2
+),
+stats AS (
+    SELECT event_type, hour_id, cnt,
+           avg(cnt) OVER w AS mu,
+           stddev_samp(cnt) OVER w AS sd,
+           count(cnt) OVER w AS n_base
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type ORDER BY hour_id
+                 ROWS BETWEEN {BURST_TRAIL} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hour_id, CAST(cnt AS BIGINT) AS cnt,
+       CASE WHEN n_base >= {BURST_MIN_N} AND sd > 0
+            THEN round((cnt - mu) / sd, 4) ELSE NULL END AS z,
+       CASE WHEN n_base >= {BURST_MIN_N} AND sd > 0
+                 AND (cnt - mu) / sd > {BURST_Z} AND cnt >= {BURST_MIN_CNT}
+            THEN TRUE ELSE FALSE END AS is_burst
+FROM stats
+""")
+def ts_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection over per-type hourly event counts: each hour is
+    scored against the TRAILING {BURST_TRAIL} observed hours of its
+    own event type (mean + sample stddev -- the classic rolling
+    z-score monitor, the relational core of Kleinberg 2002's burst
+    model); z > {BURST_Z} with at least {BURST_MIN_CNT} events flags a
+    burst. The baseline needs {BURST_MIN_N}+ prior hours and positive
+    variance, else z is NULL -- a cold-start hour can never
+    false-alarm. Emits ALL hours with their z so the consumer sees
+    near-misses, not just alarms. Baseline is over OBSERVED hours
+    (documented: silent hours don't enter the window; compose with
+    ts_gapfill for a calendar baseline).
+
+    Shape: one groupBy(type, hour) collapses the stream, then a
+    PARTITIONED trailing window (never a global sort -- each event
+    type's timeline sorts independently, and the hour table is
+    |types| x |hours|, tiny relative to raw events at any scale)."""
+    pin_session_conf(spark)
+    from pyspark.sql.window import Window
+    hourly = (load(spark, sf_dir, "events")
+              .where(F.col("ts").isNotNull())
+              .groupBy("event_type",
+                       F.floor(F.unix_micros(F.col("ts").cast("timestamp"))
+                               / 3600000000.0).cast("long").alias("hour_id"))
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    w = (Window.partitionBy("event_type").orderBy("hour_id")
+         .rowsBetween(-BURST_TRAIL, -1))
+    stats = hourly.select(
+        "event_type", "hour_id", "cnt",
+        F.avg("cnt").over(w).alias("mu"),
+        F.stddev_samp("cnt").over(w).alias("sd"),
+        F.count("cnt").over(w).alias("n_base"))
+    ok = (F.col("n_base") >= BURST_MIN_N) & (F.col("sd") > 0)
+    z = (F.col("cnt") - F.col("mu")) / F.col("sd")
+    return stats.select(
+        "event_type", "hour_id", F.col("cnt").cast("long").alias("cnt"),
+        F.when(ok, F.round(z, 4)).otherwise(F.lit(None).cast("double"))
+        .alias("z"),
+        F.when(ok & (z > BURST_Z) & (F.col("cnt") >= BURST_MIN_CNT),
+               F.lit(True)).otherwise(F.lit(False)).alias("is_burst"))

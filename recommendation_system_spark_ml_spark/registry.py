@@ -71,6 +71,8 @@ _QUERY_MODULES = (
     "recommendation_system_spark_ml_spark.operators.multimodal",
     "recommendation_system_spark_ml_spark.ml.parity",
     "recommendation_system_spark_ml_spark.operators.recommend",
+    "recommendation_system_spark_ml_spark.operators.recsys_eval",
+    "recommendation_system_spark_ml_spark.operators.stats",
 )
 
 

@@ -1,0 +1,174 @@
+"""Round-7 wave: semantic invariants + 100 TB plan posture for the
+recommender-evaluation family (recsys_eval.py), the exact-stats family
+(stats.py), graph label-propagation / link prediction, the JL random
+projection, the filter-overlap matrix, and burst detection. Oracle
+parity itself is covered by tests/test_oracle_parity.py; these tests
+pin the properties a hash can't express."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def _specs():
+    from recommendation_system_spark_ml_spark.registry import all_specs
+    return all_specs()
+
+
+# ------------------------------------------------------ recsys_eval
+
+
+def test_bayes_leaderboard_is_monotone_and_heap_cut(spark):
+    df = _specs()["ml_bayes_avg_rating"].fn(spark, SF_SMOKE)
+    rows = df.orderBy("rank").collect()
+    assert rows, "leaderboard must not be empty"
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    scores = [r["bayes_score"] for r in rows]
+    assert all(a >= b for a, b in zip(scores, scores[1:]))
+    assert all(r["n_ratings"] >= 1 for r in rows)
+    # the top-100 cut must be a distributed heap, not a global sort
+    assert "TakeOrderedAndProject" in _plan(
+        _specs()["ml_bayes_avg_rating"].fn(spark, SF_SMOKE))
+
+
+def test_popularity_eval_metrics_in_unit_range(spark):
+    row = _specs()["ml_rec_eval_popularity"].fn(spark, SF_SMOKE).collect()[0]
+    for m in ("precision_at_k", "recall_at_k", "hit_rate", "ndcg_at_k"):
+        assert 0.0 <= row[m] <= 1.0, (m, row[m])
+    # a hit in the list implies the user counts as hit: P@k <= hit rate
+    assert row["precision_at_k"] <= row["hit_rate"] + 1e-9
+    assert row["n_users"] > 0
+
+
+def test_popularity_eval_pool_is_broadcast(spark):
+    plan = _plan(_specs()["ml_rec_eval_popularity"].fn(spark, SF_SMOKE))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_coverage_novelty_bounds(spark):
+    row = _specs()["ml_rec_coverage_novelty"].fn(spark, SF_SMOKE).collect()[0]
+    assert 0.0 < row["coverage_pct"] <= 100.0
+    assert row["mean_novelty_bits"] > 0.0
+    assert 0.0 < row["top_item_share"] <= 1.0
+    assert row["n_rec_rows"] >= row["n_rec_users"]
+
+
+def test_content_recs_never_repeat_rated_items(spark):
+    from recommendation_system_spark_ml_spark.operators.recsys_eval import (
+        _base_ratings)
+    recs = _specs()["ml_content_recs"].fn(spark, SF_SMOKE)
+    rated = _base_ratings(spark, SF_SMOKE).select(
+        F.col("u").alias("userId"), F.col("i").alias("movieId"))
+    overlap = recs.join(rated, ["userId", "movieId"]).count()
+    assert overlap == 0
+    per_user = recs.groupBy("userId").count().agg(F.max("count")).first()[0]
+    assert per_user <= 5
+
+
+# ------------------------------------------------------------ stats
+
+
+def test_mann_whitney_bounds_and_two_level_cumsum(spark):
+    row = _specs()["agg_mann_whitney"].fn(spark, SF_SMOKE).collect()[0]
+    assert 0.0 <= row["u1"] <= row["n1"] * row["n2"]
+    assert -1.0 <= row["rank_biserial"] <= 1.0
+    plan = _plan(_specs()["agg_mann_whitney"].fn(spark, SF_SMOKE))
+    # the cumulative never rides a single global sort of the values:
+    # the only single-partition window is the bounded bucket-offset
+    # table (two_level_running_sum), whose input is a groupBy result
+    assert "partial_sum" in plan
+
+
+def test_psi_has_full_spine_and_consistent_totals(spark):
+    rows = _specs()["agg_psi_drift"].fn(spark, SF_SMOKE).collect()
+    assert [r["bucket"] for r in sorted(rows, key=lambda r: r["bucket"])] \
+        == list(range(1, 11))
+    assert sum(r["cnt_a"] for r in rows) > 0
+    assert sum(r["cnt_b"] for r in rows) > 0
+
+
+def test_benford_shares_sum_to_one(spark):
+    rows = _specs()["agg_benford"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 9
+    assert abs(sum(r["obs_share"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["exp_share"] for r in rows) - 1.0) < 1e-4
+
+
+def test_bootstrap_ci_brackets_mean_and_stays_jvm_side(spark):
+    row = _specs()["agg_bootstrap_ci"].fn(spark, SF_SMOKE).collect()[0]
+    assert row["n_replicates"] == 64
+    assert row["ci_lo"] <= row["boot_mean"] <= row["ci_hi"]
+    assert row["boot_se"] > 0
+    plan = _plan(_specs()["agg_bootstrap_ci"].fn(spark, SF_SMOKE))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Generate" in plan  # the x64 replicate explode is map-side
+
+
+# ------------------------------------------------------------ graph
+
+
+def test_label_propagation_labels_are_reachable_minima(spark):
+    lab = _specs()["graph_label_propagation"].fn(spark, SF_SMOKE)
+    rows = lab.collect()
+    nodes = {r["node"] for r in rows}
+    assert all(r["label"] in nodes for r in rows)   # labels are node ids
+    assert all(r["label"] <= r["node"] for r in rows)  # min-label invariant
+    assert len({r["label"] for r in rows}) < len(rows)  # it propagated
+
+
+def test_link_prediction_pairs_are_nonadjacent_heap_cut(spark):
+    df = _specs()["graph_link_prediction"].fn(spark, SF_SMOKE)
+    rows = df.collect()
+    assert 0 < len(rows) <= 50
+    assert all(r["common_neighbors"] >= 1 for r in rows)
+    assert all(0.0 < r["jaccard"] <= 1.0 for r in rows)
+    aa = [r["adamic_adar"] for r in rows]
+    assert all(a >= b for a, b in zip(aa, aa[1:])) or len(set(aa)) < len(aa)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+# ----------------------------------------------------- vec/text/ts
+
+
+def test_jl_projection_is_pure_codegen(spark):
+    df = _specs()["vec_random_projection_jl"].fn(spark, SF_SMOKE)
+    row = df.collect()[0]
+    assert row["n_pairs"] == 190  # C(20, 2)
+    assert 0 < row["min_ratio"] <= row["mean_ratio"] <= row["max_ratio"]
+    plan = _plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_filter_overlap_is_single_scan(spark):
+    df = _specs()["pipeline_filter_overlap"].fn(spark, SF_SMOKE)
+    rows = df.collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert r["n_both"] <= min(r["n_a"], r["n_b"])
+        assert r["n_either"] == r["n_a"] + r["n_b"] - r["n_both"]
+    # fresh plan (the executed one may render truncated): ONE scan only
+    plan = _plan(_specs()["pipeline_filter_overlap"].fn(spark, SF_SMOKE))
+    assert plan.split("\n\n")[0].count("Scan parquet") == 1
+
+
+def test_burst_detection_flags_respect_gates(spark):
+    rows = _specs()["ts_burst_detect"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        if r["is_burst"]:
+            assert r["z"] is not None and r["z"] > 3.0
+            assert r["cnt"] >= 5
+        if r["z"] is None:
+            assert not r["is_burst"]
+    plan = _plan(_specs()["ts_burst_detect"].fn(spark, SF_SMOKE))
+    assert "hashpartitioning(event_type" in plan  # partitioned window
