@@ -564,3 +564,119 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.orderBy(F.col("adamic_adar").desc(), F.col("u").asc(),
                            F.col("v").asc())
             .limit(LP_TOPK))
+
+
+PPR_ITERS = 8        # fixed personalized-PageRank rounds
+PPR_SEED_MOD = 50    # parts with partkey % 50 == 0 form the seed set
+
+
+def _ppr_oracle() -> str:
+    """Fixed-iteration personalized PageRank unrolled as MATERIALIZED
+    CTEs: every round LEFT JOINs the full node table against the
+    incoming contributions so zero-rank nodes survive (the teleport
+    set is sparse, most nodes start at 0 -- unlike global PageRank's
+    uniform vector)."""
+    steps = []
+    prev = "r0"
+    for i in range(1, PPR_ITERS + 1):
+        steps.append(f"""c{i} AS MATERIALIZED (
+    SELECT e.dst AS node, sum(r.rank / d.outdeg) AS m
+    FROM edges e
+    JOIN {prev} r ON e.src = r.node
+    JOIN deg d ON e.src = d.src
+    GROUP BY e.dst
+), r{i} AS MATERIALIZED (
+    SELECT n.node,
+           (CASE WHEN n.is_seed THEN (1.0 - {DAMPING}) / ns.s
+                 ELSE 0.0 END) + {DAMPING} * coalesce(c.m, 0.0) AS rank
+    FROM nodes n CROSS JOIN ns LEFT JOIN c{i} c ON n.node = c.node
+)""")
+        prev = f"r{i}"
+    return f"""
+WITH e0 AS (
+    SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+                    's' || CAST(l_suppkey AS VARCHAR) AS dst
+    FROM lineitem WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+), edges AS MATERIALIZED (
+    SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+), deg AS MATERIALIZED (
+    SELECT src, count(*) AS outdeg FROM edges GROUP BY 1
+), nodes AS MATERIALIZED (
+    SELECT src AS node,
+           src LIKE 'p%'
+               AND CAST(substr(src, 2) AS BIGINT) % {PPR_SEED_MOD} = 0
+               AS is_seed
+    FROM deg
+), ns AS MATERIALIZED (
+    SELECT CAST(sum(CASE WHEN is_seed THEN 1 ELSE 0 END) AS DOUBLE) AS s
+    FROM nodes
+), r0 AS MATERIALIZED (
+    SELECT node, CASE WHEN is_seed THEN 1.0 / ns.s ELSE 0.0 END AS rank
+    FROM nodes CROSS JOIN ns
+), {", ".join(steps)}
+SELECT node, round(rank * (SELECT count(*) FROM nodes), 6) AS ppr
+FROM r{PPR_ITERS}
+"""
+
+
+@register("graph_personalized_pagerank", oracle=_ppr_oracle())
+def graph_personalized_pagerank(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a sparse seed set (parts with key %
+    {PPR_SEED_MOD} == 0): the teleport jumps back to the SEEDS, not
+    uniformly, so ranks measure proximity to the seed set -- the
+    query-dependent relevance PageRank variant behind 'related items'
+    / Pinterest Pixie-style recommendations, and the graph twin of a
+    seeded recommender. {PPR_ITERS} fixed rounds, damping {DAMPING},
+    hash-checked value-for-value against the unrolled MATERIALIZED-CTE
+    oracle (the graph_pagerank recipe; fixed-iteration PPR is
+    deterministic).
+
+    Shape differs from global PageRank in one load-bearing way: the
+    rank vector starts and stays SPARSE-supported (only nodes within
+    t hops of a seed are nonzero), so each round is the same
+    2-shuffle join/agg but the full node table re-enters via a LEFT
+    join to keep zero-rank nodes in the output contract. The seed
+    indicator and count are computed from the node table itself
+    (ns is a broadcast scalar); lineage cut every 3 rounds."""
+    pin_session_conf(spark)
+    li = (load(spark, sf_dir, "lineitem")
+          .where(F.col("l_partkey").isNotNull()
+                 & F.col("l_suppkey").isNotNull()))
+    half = (li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"))
+        .distinct())
+    edges = half.union(half.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = edges.join(deg, "src").localCheckpoint(eager=True)
+    is_seed = (F.col("node").startswith("p")
+               & (F.substring(F.col("node"), 2, 100).cast("bigint")
+                  % PPR_SEED_MOD == 0))
+    nodes = (deg.select(F.col("src").alias("node"))
+             .withColumn("is_seed", is_seed)
+             .localCheckpoint(eager=True))
+    ns = nodes.agg(F.sum(F.when(F.col("is_seed"), 1).otherwise(0))
+                   .cast("double").alias("s"))
+    n_nodes = nodes.count()  # driver scalar: node count only
+    ranks = (nodes.crossJoin(F.broadcast(ns))
+             .select("node", F.when(F.col("is_seed"),
+                                    F.lit(1.0) / F.col("s"))
+                     .otherwise(F.lit(0.0)).alias("rank")))
+    for t in range(1, PPR_ITERS + 1):
+        contrib = (ed.join(ranks, ed.src == ranks.node)
+                   .groupBy("dst")
+                   .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("m")))
+        ranks = (nodes.crossJoin(F.broadcast(ns))
+                 .join(contrib, nodes.node == contrib.dst, "left")
+                 .select(nodes.node,
+                         (F.when(F.col("is_seed"),
+                                 (1.0 - DAMPING) / F.col("s"))
+                          .otherwise(F.lit(0.0))
+                          + DAMPING * F.coalesce(F.col("m"), F.lit(0.0)))
+                         .alias("rank")))
+        if t % 3 == 0 and t < PPR_ITERS:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node",
+                        F.round(F.col("rank") * n_nodes, 6).alias("ppr"))

@@ -1418,3 +1418,190 @@ def vec_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("ratio"), 6).alias("max_ratio"),
         F.round(F.avg(F.when(F.abs(F.col("ratio") - 1.0) <= 0.2, 1.0)
                       .otherwise(0.0)), 6).alias("frac_within_20pct"))
+
+
+KM_K = 3          # clusters; seeds are vec_id 0..K-1 (deterministic)
+KM_ROUNDS = 3     # fixed Lloyd iterations, shared with the oracle
+_KM_Q = 1_000_000  # centroid quantization between rounds
+
+
+def _km_sqdist_sql(x: str, c: str) -> str:
+    return (f"list_sum(list_transform(range(1, len({x}) + 1), "
+            f"i -> ({x}[i] - {c}[i]) * ({x}[i] - {c}[i])))")
+
+
+def _kmeans_cte() -> str:
+    """KM_ROUNDS of Lloyd unrolled as MATERIALIZED CTEs: assignment is
+    an argmin window over the CROSS JOIN with the (bounded, K-row)
+    centroid table; the update re-aggregates per dimension and
+    floor-quantizes each centroid component at 1e-6 -- so both engines
+    enter every round comparing IDENTICAL doubles, and the argmin
+    sequence (ties -> smallest cluster id) is cross-engine exact.
+    Shared by ml_kmeans_lloyd_exact and ml_kmeans_silhouette so the
+    evaluated clustering IS the registered clustering."""
+    steps = []
+    prev = "c0"
+    for t in range(1, KM_ROUNDS + 1):
+        steps.append(f"""a{t} AS MATERIALIZED (
+    SELECT vec_id, x, cid FROM (
+        SELECT v.vec_id, v.x, c.cid,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {_km_sqdist_sql('v.x', 'c.c')} ASC,
+                            c.cid ASC) AS rk
+        FROM v CROSS JOIN {prev} c) WHERE rk = 1
+), c{t} AS MATERIALIZED (
+    SELECT cid, list(qv ORDER BY pos) AS c FROM (
+        SELECT cid, pos,
+               floor(avg(val) * {_KM_Q} + 0.5) / {_KM_Q} AS qv
+        FROM (SELECT cid, unnest(x) AS val,
+                     unnest(range(1, len(x) + 1)) AS pos FROM a{t})
+        GROUP BY cid, pos) GROUP BY cid
+)""")
+        prev = f"c{t}"
+    return f"""
+WITH v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+    WHERE embedding IS NOT NULL
+),
+c0 AS MATERIALIZED (
+    SELECT vec_id AS cid, x AS c FROM v WHERE vec_id < {KM_K}
+),
+{", ".join(steps)}"""
+
+
+def _kmeans_oracle() -> str:
+    return f"""{_kmeans_cte()},
+fin AS (
+    SELECT vec_id, cid, d FROM (
+        SELECT v.vec_id, c.cid, {_km_sqdist_sql('v.x', 'c.c')} AS d,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {_km_sqdist_sql('v.x', 'c.c')} ASC,
+                            c.cid ASC) AS rk
+        FROM v CROSS JOIN c{KM_ROUNDS} c) WHERE rk = 1
+)
+SELECT CAST(cid AS BIGINT) AS cluster,
+       CAST(count(*) AS BIGINT) AS n_members,
+       round(sum(d), 4) AS sse
+FROM fin GROUP BY 1
+"""
+
+
+@register("ml_kmeans_lloyd_exact", oracle=_kmeans_oracle())
+def ml_kmeans_lloyd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact relational Lloyd's k-means over the embeddings (k={KM_K},
+    {KM_ROUNDS} fixed rounds, seeds = the first {KM_K} vectors by id)
+    -- the HASH-VERIFIED twin of the reference's MLlib KMeans phase
+    (MovieLensRecommender.py:72-83, M2): MLlib's fit is RNG-seeded and
+    can only be rows/band-checked, while this formulation is pure
+    joins + windows + aggregates, so cluster sizes AND the SSE are
+    bit-for-bit reproduced by the DuckDB oracle. Fixed rounds instead
+    of convergence is the same determinism contract as graph_pagerank
+    / graph_kcore; centroids floor-quantize at 1e-6 BETWEEN rounds so
+    both engines enter every assignment comparing identical doubles.
+
+    Scale shape: per round, the assignment is a broadcast
+    nested-loop fan-out of exactly {KM_K} centroid rows per vector
+    cut by a per-vector WindowGroupLimit (partition = vec_id, {KM_K}
+    rows in the window -- never a data-sized sort), and the update is
+    one posexplode + partial-combined groupBy(cid, dim) -- the
+    centroid table stays K x d and is eagerly checkpointed each round
+    to cut lineage. The reference's 6-fit elbow sweep at 1M rows took
+    ~474 s; this single fit is one scan per round."""
+    pin_session_conf(spark)
+    fin = _lloyd_ranked(spark, sf_dir).where(F.col("rk") == 1)
+    return (fin.groupBy(F.col("cid").cast("long").alias("cluster"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_members"),
+                 F.round(F.sum("d"), 4).alias("sse")))
+
+
+def _km_sqd(xa, xb):
+    return F.aggregate(F.zip_with(xa, xb, lambda a, b: (a - b) * (a - b)),
+                       F.lit(0.0), lambda acc, z: acc + z)
+
+
+def _lloyd_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run KM_ROUNDS of Lloyd and return every (vector, centroid) pair
+    of the FINAL centroid table with its squared distance and the
+    per-vector distance rank (rk=1 -> assignment, rk=2 -> nearest
+    other cluster). Shared by the SSE and silhouette queries."""
+    v = (load(spark, sf_dir, "embeddings")
+         .where(F.col("embedding").isNotNull())
+         .select("vec_id", F.col("embedding").cast("array<double>")
+                 .alias("x")))
+    cent = (v.where(F.col("vec_id") < KM_K)
+            .select(F.col("vec_id").alias("cid"), F.col("x").alias("c")))
+    wv = Window.partitionBy("vec_id").orderBy(F.col("d").asc(),
+                                              F.col("cid").asc())
+    for _ in range(KM_ROUNDS):
+        assigned = (v.crossJoin(F.broadcast(cent))
+                    .withColumn("d", _km_sqd(F.col("x"), F.col("c")))
+                    .withColumn("rk", F.row_number().over(wv))
+                    .where(F.col("rk") == 1)
+                    .select("vec_id", "x", "cid"))
+        upd = (assigned.select("cid", F.posexplode("x").alias("pos", "val"))
+               .groupBy("cid", "pos")
+               .agg((F.floor(F.avg("val") * _KM_Q + F.lit(0.5)) / _KM_Q)
+                    .alias("qv")))
+        cent = (upd.groupBy("cid")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "qv")))
+                     .alias("s"))
+                .select("cid", F.transform("s", lambda t: t.qv).alias("c"))
+                .localCheckpoint(eager=True))
+    return (v.crossJoin(F.broadcast(cent))
+            .withColumn("d", _km_sqd(F.col("x"), F.col("c")))
+            .withColumn("rk", F.row_number().over(wv)))
+
+
+@register("ml_kmeans_silhouette", oracle=f"""{_kmeans_cte()},
+ranked AS (
+    SELECT vec_id, cid, d, rk FROM (
+        SELECT v.vec_id, c.cid, {_km_sqdist_sql('v.x', 'c.c')} AS d,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {_km_sqdist_sql('v.x', 'c.c')} ASC,
+                            c.cid ASC) AS rk
+        FROM v CROSS JOIN c{KM_ROUNDS} c) WHERE rk <= 2
+),
+pv AS (
+    SELECT vec_id,
+           min(CASE WHEN rk = 1 THEN cid END) AS cid,
+           min(CASE WHEN rk = 1 THEN d END) AS d1,
+           min(CASE WHEN rk = 2 THEN d END) AS d2
+    FROM ranked GROUP BY 1
+)
+SELECT CAST(cid AS BIGINT) AS cluster,
+       CAST(count(*) AS BIGINT) AS n_members,
+       floor(avg(CASE WHEN d2 > 0 THEN 1.0 - sqrt(d1) / sqrt(d2)
+                      ELSE 0.0 END) * {_KM_Q} + 0.5) / {_KM_Q}
+           AS avg_silhouette
+FROM pv GROUP BY 1
+""")
+def ml_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette for the exact Lloyd
+    clustering (Hruschka et al. 2004; the O(n*k) estimator MLlib's
+    ClusteringEvaluator also uses, vs the O(n^2) classic): per vector
+    s = 1 - d_own/d_nearest_other over centroid EUCLIDEAN distances,
+    averaged per cluster -- the go/no-go quality read after
+    ml_kmeans_lloyd_exact's SSE (SSE always falls with k; silhouette
+    is what says whether the split is real). Shares the Lloyd CTE
+    text / loop helper with the SSE query, so the evaluated
+    clustering IS the registered clustering, and stays hash-verified
+    where MLlib's evaluator is RNG-downstream.
+
+    Shape: identical to the fit -- broadcast K-row fan-out, one
+    WindowGroupLimit keeping rk<=2 per vector, one partial-combined
+    groupBy(cluster)."""
+    pin_session_conf(spark)
+    ranked = _lloyd_ranked(spark, sf_dir).where(F.col("rk") <= 2)
+    pv = (ranked.groupBy("vec_id")
+          .agg(F.min(F.when(F.col("rk") == 1, F.col("cid"))).alias("cid"),
+               F.min(F.when(F.col("rk") == 1, F.col("d"))).alias("d1"),
+               F.min(F.when(F.col("rk") == 2, F.col("d"))).alias("d2")))
+    s = F.when(F.col("d2") > 0,
+               F.lit(1.0) - F.sqrt(F.col("d1")) / F.sqrt(F.col("d2")))         .otherwise(F.lit(0.0))
+    return (pv.groupBy(F.col("cid").cast("long").alias("cluster"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_members"),
+                 (F.floor(F.avg(s) * _KM_Q + F.lit(0.5)) / _KM_Q)
+                 .alias("avg_silhouette")))

@@ -401,3 +401,34 @@ def sql_named_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND o_orderstatus = :status
         GROUP BY 1""",
         args={"lo": 50000, "hi": 150000, "status": "O"})
+
+
+@register("sql_identifier_clause", oracle="""
+SELECT o_orderpriority AS grp,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(o_totalprice), 4) AS avg_metric
+FROM orders
+GROUP BY 1
+""")
+def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 IDENTIFIER(:param) clause: table and column names bind
+    as IDENTIFIERS through the same parameter channel values use --
+    the safe-templating answer to dashboards that interpolate
+    "GROUP BY " + col (identifier injection is the half of SQL
+    injection sql_named_parameters can't cover, because names cannot
+    be value-literals). A hostile parameter like
+    'o_orderpriority; DROP TABLE' fails to parse as one identifier
+    instead of becoming a statement. The oracle inlines the
+    identifiers statically -- certifying IDENTIFIER binding is
+    semantically identical to writing the name, pushdown included."""
+    pin_session_conf(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:grp_col) AS grp,
+               CAST(count(*) AS BIGINT) AS n,
+               round(avg(IDENTIFIER(:metric_col)), 4) AS avg_metric
+        FROM IDENTIFIER(:tbl)
+        GROUP BY 1""",
+        args={"tbl": "orders", "grp_col": "o_orderpriority",
+              "metric_col": "o_totalprice"})

@@ -382,3 +382,305 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("m"), 4).alias("boot_se"),
         F.round(F.expr("percentile(m, 0.025)"), 4).alias("ci_lo"),
         F.round(F.expr("percentile(m, 0.975)"), 4).alias("ci_hi"))
+
+
+# ------------------------------------------------- Kaplan-Meier
+
+_KM_CENSOR_DAYS = 90  # ordered within this window of corpus end = censored
+_DAY_US = 86400000000
+
+
+@register("agg_survival_km", oracle=f"""
+WITH ev AS (
+    SELECT o_custkey AS u, epoch_us(o_orderdate) AS tu FROM orders
+    WHERE o_orderdate IS NOT NULL AND o_custkey IS NOT NULL
+),
+g AS (SELECT max(tu) AS gmax FROM ev),
+users AS (
+    SELECT u, floor((max(tu) - min(tu)) / {_DAY_US}.0) AS d,
+           CASE WHEN max(tu) < g.gmax - {_KM_CENSOR_DAYS} * {_DAY_US}
+                THEN 1 ELSE 0 END AS observed
+    FROM ev, g GROUP BY u, g.gmax
+),
+tot AS (SELECT count(*) AS n FROM users),
+durs AS (
+    SELECT d, count(*) AS m, sum(observed) AS dth
+    FROM users GROUP BY 1
+),
+cum AS (
+    SELECT d, m, dth,
+           sum(m) OVER (ORDER BY d ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cm
+    FROM durs
+),
+death AS (
+    SELECT d, dth, t.n - cm + m AS n_risk,
+           1.0 - dth * 1.0 / (t.n - cm + m) AS ratio
+    FROM cum, tot t WHERE dth > 0
+),
+surv AS (
+    SELECT d, dth, n_risk,
+           sum(CASE WHEN ratio > 0 THEN ln(ratio) ELSE 0.0 END)
+               OVER w AS cumln,
+           max(CASE WHEN ratio <= 0 THEN 1 ELSE 0 END) OVER w AS dead
+    FROM death
+    WINDOW w AS (ORDER BY d ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(d AS BIGINT) AS duration_days,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(dth AS BIGINT) AS n_events,
+       CASE WHEN dead = 1 THEN 0.0
+            ELSE floor(exp(cumln) * {_Q} + 0.5) / {_Q} END AS survival
+FROM surv
+""")
+def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of CUSTOMER LIFETIMES (first-to-
+    last order span in days): the product-limit estimator with
+    censoring -- customers still ordering within {_KM_CENSOR_DAYS}
+    days of the corpus end are censored, not churned, the correction
+    naive retention-curve SQL gets wrong and the reason KM exists
+    (Kaplan & Meier 1958). Emits, per death-time, the at-risk count,
+    events, and S(t) -- the churn curve a subscription/engagement
+    team reads (the events table's synthetic users are ALL active at
+    corpus end -- every lifetime censored, an empty curve -- so the
+    operator reads the orders fact table, whose multi-year customer
+    histories actually churn).
+
+    Exactness: at-risk counts derive from ONE cumulative sum over the
+    duration histogram (n_risk(t) = N - cum(m) + m, all integers);
+    the product limit is exp(running sum of ln ratios) with an
+    explicit zero-ratio flag carried as a running max, so S collapses
+    to an exact 0.0 after extinction instead of riding a NULL or
+    -inf through the sum; the ln-sum noise is absorbed by the 1e-6
+    floor quantization.
+
+    Scale shape: one groupBy(customer) collapses the fact table; the
+    duration keyspace is bounded by the corpus time span in days, so
+    both running sums ride two_level_running_sum with duration//64 as
+    the (bounded, monotone) bucket key -- never a single-reducer sort
+    over customers."""
+    pin_session_conf(spark)
+    from recommendation_system_spark_ml_spark.operators.scale import (
+        two_level_running_sum)
+    ev = (load(spark, sf_dir, "orders")
+          .where(F.col("o_orderdate").isNotNull()
+                 & F.col("o_custkey").isNotNull())
+          .select(F.col("o_custkey").alias("u"),
+                  F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+                  .alias("tu")))
+    g = ev.agg(F.max("tu").alias("gmax"))
+    users = (ev.crossJoin(F.broadcast(g))
+             .groupBy("u", "gmax")
+             .agg(F.floor((F.max("tu") - F.min("tu")) / float(_DAY_US))
+                  .alias("d"),
+                  F.when(F.max("tu") < F.col("gmax")
+                         - _KM_CENSOR_DAYS * _DAY_US, 1).otherwise(0)
+                  .alias("observed_flag"))
+             .select("u", "d",
+                     F.col("observed_flag").alias("observed")))
+    tot = users.agg(F.count(F.lit(1)).alias("n"))
+    durs = users.groupBy("d").agg(F.count(F.lit(1)).alias("m"),
+                                  F.sum("observed").alias("dth"))
+    bucket = (F.col("d") / 64).cast("long")
+    cum = two_level_running_sum(durs, bucket,
+                                [F.col("d").asc()], F.col("m"), out="cm")
+    death = (cum.crossJoin(F.broadcast(tot))
+             .withColumn("n_risk", F.col("n") - F.col("cm") + F.col("m"))
+             .withColumn("ratio", F.lit(1.0) - F.col("dth").cast("double")
+                         / F.col("n_risk"))
+             .where(F.col("dth") > 0)
+             .select("d", "dth", "n_risk", "ratio"))
+    lnterm = F.when(F.col("ratio") > 0, F.log(F.col("ratio"))) \
+        .otherwise(F.lit(0.0))
+    zflag = F.when(F.col("ratio") <= 0, 1).otherwise(0)
+    s1 = two_level_running_sum(death.withColumn("zf", zflag), bucket,
+                               [F.col("d").asc()], lnterm, out="cumln")
+    s2 = two_level_running_sum(s1, bucket,
+                               [F.col("d").asc()], F.col("zf"), out="deadcum")
+    return s2.select(
+        F.col("d").cast("long").alias("duration_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("dth").cast("long").alias("n_events"),
+        F.when(F.col("deadcum") > 0, F.lit(0.0))
+        .otherwise(F.floor(F.exp(F.col("cumln")) * _Q + F.lit(0.5)) / _Q)
+        .alias("survival"))
+
+
+# ------------------------------------------------- IRLS logistic
+
+IRLS_ITERS = 3      # fixed Newton/IRLS rounds, shared with the oracle
+_MQ = 10_000        # 1e-4 moment quantization: everything downstream of
+#                     the (noise-bearing) double sums is then exact
+
+
+def _irls_moments_sql(beta: str) -> str:
+    """One aggregation pass: the 6 distinct entries of X'WX and the 3
+    of X'Wz at the current beta CTE (columns b0, b1, b2)."""
+    eta = f"({beta}.b0 + {beta}.b1 * d.x1 + {beta}.b2 * d.x2)"
+    mu = f"(1.0 / (1.0 + exp(-{eta})))"
+    w = f"({mu} * (1.0 - {mu}))"
+    z = f"({eta} + (d.y - {mu}) / {w})"
+    q = f"floor({{}} * {_MQ} + 0.5) / {_MQ}"
+    terms = {
+        "s00": f"sum({w})", "s01": f"sum({w} * d.x1)",
+        "s02": f"sum({w} * d.x2)", "s11": f"sum({w} * d.x1 * d.x1)",
+        "s12": f"sum({w} * d.x1 * d.x2)", "s22": f"sum({w} * d.x2 * d.x2)",
+        "t0": f"sum({w} * {z})", "t1": f"sum({w} * {z} * d.x1)",
+        "t2": f"sum({w} * {z} * d.x2)",
+    }
+    cols = ", ".join(q.format(v) + f" AS {k}" for k, v in terms.items())
+    return f"SELECT {cols} FROM d, {beta}"
+
+
+_CRAMER = """
+    SELECT
+      (m.s00 * (m.s11 * m.s22 - m.s12 * m.s12)
+       - m.s01 * (m.s01 * m.s22 - m.s12 * m.s02)
+       + m.s02 * (m.s01 * m.s12 - m.s11 * m.s02)) AS det,
+      (m.t0 * (m.s11 * m.s22 - m.s12 * m.s12)
+       - m.s01 * (m.t1 * m.s22 - m.s12 * m.t2)
+       + m.s02 * (m.t1 * m.s12 - m.s11 * m.t2)) AS d0,
+      (m.s00 * (m.t1 * m.s22 - m.t2 * m.s12)
+       - m.t0 * (m.s01 * m.s22 - m.s12 * m.s02)
+       + m.s02 * (m.s01 * m.t2 - m.t1 * m.s02)) AS d1,
+      (m.s00 * (m.s11 * m.t2 - m.s12 * m.t1)
+       - m.s01 * (m.s01 * m.t2 - m.t1 * m.s02)
+       + m.t0 * (m.s01 * m.s12 - m.s11 * m.s02)) AS d2
+    FROM m{t} m
+"""
+
+
+def _logistic_oracle() -> str:
+    q6 = f"floor({{}} * {_Q} + 0.5) / {_Q}"
+    steps = []
+    prev = "b0t"
+    for t in range(1, IRLS_ITERS + 1):
+        cramer = _CRAMER.format(t=t)
+        steps.append(f"""m{t} AS MATERIALIZED (
+    {_irls_moments_sql(prev)}
+), b{t} AS MATERIALIZED (
+    SELECT {q6.format('d0 / det')} AS b0,
+           {q6.format('d1 / det')} AS b1,
+           {q6.format('d2 / det')} AS b2
+    FROM ({cramer})
+)""")
+        prev = f"b{t}"
+    eta = f"({prev}.b0 + {prev}.b1 * d.x1 + {prev}.b2 * d.x2)"
+    return f"""
+WITH d AS (
+    SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END AS y,
+           o_totalprice / 100000.0 AS x1,
+           (CAST(month(o_orderdate) AS DOUBLE) - 1.0) / 11.0 AS x2
+    FROM orders
+    WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+          AND o_orderdate IS NOT NULL
+),
+b0t AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
+{", ".join(steps)}
+SELECT CAST(count(*) AS BIGINT) AS n,
+       min({prev}.b0) AS beta0, min({prev}.b1) AS beta1,
+       min({prev}.b2) AS beta2,
+       round(sum(d.y * {eta} - ln(1.0 + exp({eta}))), 4) AS log_lik,
+       {q6.format(
+           "avg(CASE WHEN (" + eta + " > 0) = (d.y = 1.0)"
+           " THEN 1.0 ELSE 0.0 END)")} AS train_acc
+FROM d, {prev}
+"""
+
+
+@register("ml_logistic_irls_exact", oracle=_logistic_oracle())
+def ml_logistic_irls_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression fit by {IRLS_ITERS} unrolled IRLS/Newton
+    rounds, ENTIRELY in relational algebra -- the classification twin
+    of ml_linear_regression_exact's closed-form OLS: per round, ONE
+    partial-combined aggregation builds the 9 weighted moments (X'WX
+    upper triangle + X'Wz), the 3x3 system solves by Cramer's rule in
+    a scalar projection, and the new beta broadcasts back. Predicts
+    P(order is 1-URGENT) from total price + order month; emits the
+    coefficients, train log-likelihood, and accuracy. MLlib's
+    LogisticRegression is LBFGS-iterative and can only be
+    band-checked; this formulation is DuckDB-hash-verified
+    bit-for-bit.
+
+    Determinism: the moments are the ONLY noise-bearing double sums,
+    so they floor-quantize at 1e-4 (noise ~1e-8, margin 1e4x) --
+    everything downstream (Cramer, the next round's eta/mu/w/z
+    expression trees) computes from identical doubles on both
+    engines; betas quantize at 1e-6 for display. Fixed round count is
+    the graph_pagerank determinism contract.
+
+    Scale shape: each round is one scan + one 9-column partial
+    aggregate to a single row (the classic 'ML on MPP' pattern --
+    Hellerstein et al. 2012 MADlib); the 1-row beta table broadcasts;
+    {IRLS_ITERS} rounds = {IRLS_ITERS} scans + the final scoring
+    scan. No windows, no shuffles beyond the aggregate's."""
+    pin_session_conf(spark)
+    d = (load(spark, sf_dir, "orders")
+         .where(F.col("o_orderpriority").isNotNull()
+                & F.col("o_totalprice").isNotNull()
+                & F.col("o_orderdate").isNotNull())
+         .select(F.when(F.col("o_orderpriority") == "1-URGENT", 1.0)
+                 .otherwise(0.0).alias("y"),
+                 (F.col("o_totalprice") / 100000.0).alias("x1"),
+                 ((F.month("o_orderdate").cast("double") - 1.0) / 11.0)
+                 .alias("x2")))
+
+    def mq(c):
+        return F.floor(c * _MQ + F.lit(0.5)) / _MQ
+
+    beta = (0.0, 0.0, 0.0)
+    beta_df = None
+    for _ in range(IRLS_ITERS):
+        if beta_df is None:
+            b0, b1, b2 = (F.lit(v) for v in beta)
+            cur = d
+        else:
+            b0, b1, b2 = F.col("b0"), F.col("b1"), F.col("b2")
+            cur = d.crossJoin(F.broadcast(beta_df))
+        eta = b0 + b1 * F.col("x1") + b2 * F.col("x2")
+        mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+        w = mu * (F.lit(1.0) - mu)
+        z = eta + (F.col("y") - mu) / w
+        x1, x2 = F.col("x1"), F.col("x2")
+        m = cur.agg(mq(F.sum(w)).alias("s00"),
+                    mq(F.sum(w * x1)).alias("s01"),
+                    mq(F.sum(w * x2)).alias("s02"),
+                    mq(F.sum(w * x1 * x1)).alias("s11"),
+                    mq(F.sum(w * x1 * x2)).alias("s12"),
+                    mq(F.sum(w * x2 * x2)).alias("s22"),
+                    mq(F.sum(w * z)).alias("t0"),
+                    mq(F.sum(w * z * x1)).alias("t1"),
+                    mq(F.sum(w * z * x2)).alias("t2"))
+        s00, s01, s02 = F.col("s00"), F.col("s01"), F.col("s02")
+        s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
+        t0, t1, t2 = F.col("t0"), F.col("t1"), F.col("t2")
+        det = (s00 * (s11 * s22 - s12 * s12)
+               - s01 * (s01 * s22 - s12 * s02)
+               + s02 * (s01 * s12 - s11 * s02))
+        d0 = (t0 * (s11 * s22 - s12 * s12)
+              - s01 * (t1 * s22 - s12 * t2)
+              + s02 * (t1 * s12 - s11 * t2))
+        d1 = (s00 * (t1 * s22 - t2 * s12)
+              - t0 * (s01 * s22 - s12 * s02)
+              + s02 * (s01 * t2 - t1 * s02))
+        d2 = (s00 * (s11 * t2 - s12 * t1)
+              - s01 * (s01 * t2 - t1 * s02)
+              + t0 * (s01 * s12 - s11 * s02))
+        q6 = lambda c: F.floor(c * _Q + F.lit(0.5)) / _Q  # noqa: E731
+        beta_df = (m.select(q6(d0 / det).alias("b0"),
+                            q6(d1 / det).alias("b1"),
+                            q6(d2 / det).alias("b2"))
+                   .localCheckpoint(eager=True))
+    fin = d.crossJoin(F.broadcast(beta_df))
+    eta = (F.col("b0") + F.col("b1") * F.col("x1")
+           + F.col("b2") * F.col("x2"))
+    correct = F.when((eta > 0) == (F.col("y") == 1.0), 1.0).otherwise(0.0)
+    return fin.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("b0").alias("beta0"), F.min("b1").alias("beta1"),
+        F.min("b2").alias("beta2"),
+        F.round(F.sum(F.col("y") * eta
+                      - F.log(F.lit(1.0) + F.exp(eta))), 4).alias("log_lik"),
+        (F.floor(F.avg(correct) * _Q + F.lit(0.5)) / _Q).alias("train_acc"))

@@ -2290,3 +2290,135 @@ def pipeline_filter_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(n_either > 0,
                F.round(F.col("n_both").cast("double") / n_either, 6))
         .otherwise(F.lit(None).cast("double")).alias("jaccard"))
+
+
+# Multinomial Naive Bayes language classifier: everything is counts +
+# one Laplace division + a log-sum, so the full train/predict/evaluate
+# loop is DuckDB-hash-verified -- a LEARNED classifier next to
+# text_langid's fixed heuristic and text_quality_model's rows-only
+# MLlib pipeline.
+_NB_KNUTH = 2654435761
+_NB_Q = 1_000_000
+
+
+@register("ml_naive_bayes_lang", oracle=f"""
+WITH docs AS (
+    SELECT doc_id, lower(text) AS t, lang,
+           (doc_id * {_NB_KNUTH}) % 4294967296 % 10 AS bucket
+    FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+),
+train AS (SELECT * FROM docs WHERE bucket < 8),
+test AS (SELECT * FROM docs WHERE bucket >= 8),
+tr_tok AS (
+    SELECT lang, unnest(string_split(t, ' ')) AS tok FROM train
+),
+tr_tok2 AS (SELECT lang, tok FROM tr_tok WHERE tok <> ''),
+tok_counts AS (
+    SELECT lang, tok, count(*) AS c FROM tr_tok2 GROUP BY 1, 2
+),
+lang_tot AS (
+    SELECT lang, count(*) AS cl FROM tr_tok2 GROUP BY 1
+),
+vocab AS (SELECT count(DISTINCT tok) AS v FROM tr_tok2),
+priors AS (
+    SELECT lang, count(*) AS nd FROM train GROUP BY 1
+),
+ntr AS (SELECT count(*) AS n FROM train),
+te_tok AS (
+    SELECT doc_id, lang AS true_lang, unnest(string_split(t, ' ')) AS tok
+    FROM test
+),
+te_tok2 AS (SELECT * FROM te_tok WHERE tok <> ''),
+pairs AS (
+    SELECT tt.doc_id, tt.true_lang, lt.lang AS cand, tt.tok,
+           ln((coalesce(tc.c, 0) + 1.0) / (lt.cl + vocab.v)) AS lp
+    FROM te_tok2 tt
+    CROSS JOIN lang_tot lt CROSS JOIN vocab
+    LEFT JOIN tok_counts tc ON tc.lang = lt.lang AND tc.tok = tt.tok
+),
+scores AS (
+    SELECT p.doc_id, p.true_lang, p.cand,
+           floor((min(ln(pr.nd * 1.0 / ntr.n)) + sum(p.lp))
+                 * {_NB_Q} + 0.5) / {_NB_Q} AS score
+    FROM pairs p JOIN priors pr ON p.cand = pr.lang CROSS JOIN ntr
+    GROUP BY 1, 2, 3
+),
+pred AS (
+    SELECT doc_id, true_lang, cand AS pred_lang FROM (
+        SELECT doc_id, true_lang, cand,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, cand ASC) AS rk
+        FROM scores) WHERE rk = 1
+)
+SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+FROM pred GROUP BY 1, 2
+""")
+def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language identification, trained and
+    evaluated entirely in relational algebra: Knuth-hash 80/20 doc
+    split, Laplace-smoothed token likelihoods from the train split,
+    log-space scoring of every test document against every language,
+    argmax prediction, and the confusion matrix as output -- the
+    LEARNED classifier next to text_langid's fixed stopword heuristic,
+    and (with ml_logistic_irls_exact and ml_kmeans_lloyd_exact) the
+    third MLlib-shaped algorithm this engine hash-verifies end to end
+    where the MLlib twin (text_quality_model) can only be rows-checked.
+    (On the SYNTHETIC fixture corpus the lang label is independent of
+    token content -- every language samples one shared vocabulary --
+    so measured accuracy sits at the majority-class floor by
+    construction; the hash check certifies the train/score/argmax
+    mechanics, which is what transfers to a real corpus.)
+
+    Determinism: training is pure counting; the only floats are
+    ln((c+1)/(cl+V)) terms summed per (doc, lang) and floor-quantized
+    at 1e-6 BEFORE the argmax (ties -> language asc), so the predicted
+    label sequence is cross-engine exact.
+
+    Scale shape: token explode is map-side; the likelihood join is a
+    shuffle hash join keyed on token (the probs table is vocab x
+    |langs|, data-derived -- NOT broadcast, it grows with the corpus);
+    scoring is one partial-combined groupBy(doc, lang); the argmax is
+    a |langs|-row window per doc. One scan of train, one of test."""
+    pin_session_conf(spark)
+    docs = (load(spark, sf_dir, "documents")
+            .where(F.col("text").isNotNull() & F.col("lang").isNotNull())
+            .select("doc_id", F.lower("text").alias("t"), "lang",
+                    ((F.col("doc_id") * _NB_KNUTH) % F.lit(4294967296) % 10)
+                    .alias("bucket")))
+    train = docs.where(F.col("bucket") < 8)
+    test = docs.where(F.col("bucket") >= 8)
+    tr_tok = (train.select("lang", F.explode(F.split("t", " ")).alias("tok"))
+              .where(F.col("tok") != ""))
+    tok_counts = tr_tok.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).alias("c"))
+    lang_tot = tr_tok.groupBy("lang").agg(F.count(F.lit(1)).alias("cl"))
+    vocab = tr_tok.agg(F.countDistinct("tok").alias("v"))
+    priors = train.groupBy("lang").agg(F.count(F.lit(1)).alias("nd"))
+    ntr = train.agg(F.count(F.lit(1)).alias("n"))
+
+    te_tok = (test.select("doc_id", F.col("lang").alias("true_lang"),
+                          F.explode(F.split("t", " ")).alias("tok"))
+              .where(F.col("tok") != ""))
+    cand = (te_tok.crossJoin(F.broadcast(
+        lang_tot.select(F.col("lang").alias("cand"), "cl")))
+        .crossJoin(F.broadcast(vocab)))
+    pairs = (cand.join(tok_counts.select(F.col("lang").alias("cand"),
+                                         "tok", "c"),
+                       ["cand", "tok"], "left")
+             .select("doc_id", "true_lang", "cand",
+                     F.log((F.coalesce("c", F.lit(0)) + 1.0)
+                           / (F.col("cl") + F.col("v"))).alias("lp")))
+    pr = priors.select(F.col("lang").alias("cand"), "nd")
+    scores = (pairs.join(F.broadcast(pr), "cand")
+              .crossJoin(F.broadcast(ntr))
+              .groupBy("doc_id", "true_lang", "cand")
+              .agg((F.floor((F.min(F.log(F.col("nd").cast("double")
+                                         / F.col("n"))) + F.sum("lp"))
+                            * _NB_Q + F.lit(0.5)) / _NB_Q).alias("score")))
+    wd = Window.partitionBy("doc_id").orderBy(F.col("score").desc(),
+                                              F.col("cand").asc())
+    pred = (scores.withColumn("rk", F.row_number().over(wd))
+            .where(F.col("rk") == 1))
+    return (pred.groupBy("true_lang",
+                         F.col("cand").alias("pred_lang"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n")))

@@ -98,6 +98,15 @@ CURVE_QUERIES = (
     "pipeline_shard_manifest",  # two-level running sum, byte offsets
     "pipeline_domain_quota",  # WindowGroupLimit cap under domain skew
     "text_top_terms",         # tfidf + WindowGroupLimit keyword cut
+    # r7 wave: the scale-hazard-bearing newcomers
+    "graph_link_prediction",  # wedge self-join: the quadratic hazard
+    "agg_mann_whitney",       # distinct-value two-level cumsum
+    "agg_bootstrap_ci",       # x64 map-side explode, one partial agg
+    "ml_kmeans_lloyd_exact",  # 3 broadcast-fanout rounds + posexplode agg
+    "agg_survival_km",        # duration-histogram cumsums
+    "ml_logistic_irls_exact",  # 3 scans + 9-moment partial aggs
+    "ml_rec_eval_itemcf",     # CF pair join on the train split + metrics
+    "vec_random_projection_jl",  # map-side 16x64 projection, zero shuffle
     "vec_class_centroids",    # 64x posexplode partial-combine
     "dq_expectations",        # one-scan 8-rule conditional-sum audit
     "agg_mutual_information",  # joint-count shuffle, checkpointed cells
