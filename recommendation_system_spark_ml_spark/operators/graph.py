@@ -385,7 +385,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 LP_ROUNDS = 4  # fixed synchronous min-label rounds, shared with the oracle
 
 
-def _labelprop_oracle() -> str:
+def _labelprop_cte() -> str:
     """Bounded-round min-label propagation unrolled as MATERIALIZED
     CTEs (the graph_kcore recipe: each round references the previous
     label table twice, so default inlining would re-expand the edge
@@ -414,7 +414,11 @@ WITH e0 AS (
     SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
 ), l0 AS MATERIALIZED (
     SELECT DISTINCT src AS node, src AS label FROM und
-), {", ".join(steps)}
+), {", ".join(steps)}"""
+
+
+def _labelprop_oracle() -> str:
+    return f"""{_labelprop_cte()}
 SELECT node, label FROM l{LP_ROUNDS}
 """
 
@@ -680,3 +684,93 @@ def graph_personalized_pagerank(spark: SparkSession,
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node",
                         F.round(F.col("rank") * n_nodes, 6).alias("ppr"))
+
+
+_MOD_Q = 1_000_000  # q-term quantization
+
+
+@register("graph_modularity", oracle=f"""{_labelprop_cte()},
+lab AS MATERIALIZED (SELECT node, label FROM l{LP_ROUNDS}),
+m AS (SELECT count(*) / 2.0 AS m FROM und),
+internal AS (
+    SELECT la.label, count(*) / 2.0 AS e_c
+    FROM und JOIN lab la ON und.src = la.node
+             JOIN lab lb ON und.dst = lb.node
+    WHERE la.label = lb.label
+    GROUP BY 1
+),
+degsum AS (
+    SELECT la.label, count(*) AS deg_c
+    FROM und JOIN lab la ON und.src = la.node
+    GROUP BY 1
+),
+terms AS (
+    SELECT d.label, coalesce(i.e_c, 0.0) AS e_c, d.deg_c
+    FROM degsum d LEFT JOIN internal i ON d.label = i.label
+)
+SELECT t.label AS community,
+       CAST((SELECT count(*) FROM lab WHERE lab.label = t.label) AS BIGINT)
+           AS size,
+       CAST(t.e_c AS DOUBLE) AS internal_edges,
+       CAST(t.deg_c AS BIGINT) AS degree_sum,
+       floor((t.e_c / m.m - (t.deg_c / (2.0 * m.m))
+              * (t.deg_c / (2.0 * m.m))) * {_MOD_Q} + 0.5) / {_MOD_Q}
+           AS q_term
+FROM terms t, m
+""")
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity decomposition of the min-label-propagation
+    communities (Newman & Girvan 2004): per community, Q_c = e_c/m -
+    (deg_c/2m)^2 -- internal-edge share minus the share expected at
+    random given the degrees. Sum the q_term column for the headline
+    Q; per-community terms are the actionable read (which communities
+    are real structure vs degree artifacts) -- the community-quality
+    metric that complements graph_label_propagation exactly the way
+    ml_kmeans_silhouette complements the Lloyd fit, and it shares the
+    LPA oracle CTE text so the scored partition IS the registered one.
+    On the dense fixture graph the verdict is the honest one: min-LPA
+    collapses to the trivial whole-graph community (Q = 0) -- the
+    known LPA failure mode on high-conductance graphs, and exactly
+    the collapse this metric exists to expose before anyone ships
+    those communities.
+
+    Shape: two joins of the (checkpointed) edge list against the
+    bounded label table (internal-edge count + degree sum, both
+    partial-combined), one broadcast scalar m; community keyspace is
+    bounded by the component count. Exact integer edge counts until
+    the final divisions; q_terms floor-quantize at 1e-6."""
+    pin_session_conf(spark)
+    li = (load(spark, sf_dir, "lineitem")
+          .where(F.col("l_partkey").isNotNull()
+                 & F.col("l_suppkey").isNotNull()))
+    half = (li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"))
+        .distinct())
+    und = (half.union(half.select(F.col("dst").alias("src"),
+                                  F.col("src").alias("dst")))
+           .localCheckpoint(eager=True))
+    lab = graph_label_propagation(spark, sf_dir).localCheckpoint(eager=True)
+    m = und.agg((F.count(F.lit(1)) / 2.0).alias("m"))
+    la = lab.select(F.col("node").alias("src"), F.col("label").alias("sl"))
+    lb = lab.select(F.col("node").alias("dst"), F.col("label").alias("dl"))
+    internal = (und.join(la, "src").join(lb, "dst")
+                .where(F.col("sl") == F.col("dl"))
+                .groupBy(F.col("sl").alias("label"))
+                .agg((F.count(F.lit(1)) / 2.0).alias("e_c")))
+    degsum = (und.join(la, "src")
+              .groupBy(F.col("sl").alias("label"))
+              .agg(F.count(F.lit(1)).alias("deg_c")))
+    sizes = lab.groupBy("label").agg(F.count(F.lit(1)).alias("size"))
+    terms = (degsum.join(internal, "label", "left")
+             .join(F.broadcast(sizes), "label")
+             .crossJoin(F.broadcast(m))
+             .withColumn("e_c", F.coalesce("e_c", F.lit(0.0))))
+    half_share = F.col("deg_c") / (2.0 * F.col("m"))
+    return terms.select(
+        F.col("label").alias("community"),
+        F.col("size").cast("long").alias("size"),
+        F.col("e_c").cast("double").alias("internal_edges"),
+        F.col("deg_c").cast("long").alias("degree_sum"),
+        (F.floor((F.col("e_c") / F.col("m") - half_share * half_share)
+                 * _MOD_Q + F.lit(0.5)) / _MOD_Q).alias("q_term"))

@@ -503,3 +503,47 @@ def ml_content_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("i").alias("movieId"),
                     F.col("q").alias("bayes_score"),
                     F.col("rank").cast("int").alias("rank")))
+
+
+@register("ml_rec_eval_als")  # rows-only: MLlib ALS factors are
+# RNG-seeded JVM internals no SQL engine can replay; the metric tail
+# and split are the SAME hash-verified helpers the other two
+# evaluations use, and tests band-check the output.
+def ml_rec_eval_als(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out evaluation of the ALS factorization recommender --
+    completing the three-way experiment: ml_rec_eval_popularity
+    (non-personalized floor) vs ml_rec_eval_itemcf (neighborhood CF)
+    vs this (the reference's own model family, MLR.py:203-238), all
+    scored by the IDENTICAL split gate and metric algebra
+    (_split_ratings/_eval_metrics), so the three one-row outputs are
+    directly comparable -- the model-selection memo the reference's
+    RMSE-only CV never produces.
+
+    ALS is fit on the train split only (seeded, rank 10, the
+    ml_als_rmse hyper-parameters); candidates come from
+    recommendForAllUsers(k + {POP_POOL}) -- a bounded per-user list
+    -- then seen-items are anti-joined out and the list re-cut to
+    {EVAL_K} by the shared WindowGroupLimit rule. Rows-only by
+    nature: factor values are MLlib internals; the evaluation
+    arithmetic downstream of them is the hash-verified shared code."""
+    pin_session_conf(spark)
+    from pyspark.ml.recommendation import ALS
+    ratings = _base_ratings(spark, sf_dir)
+    train, test, test_users = _split_ratings(ratings)
+    als = ALS(userCol="u", itemCol="i", ratingCol="r",
+              rank=10, maxIter=10, regParam=0.05, seed=823,
+              coldStartStrategy="drop", nonnegative=True)
+    model = als.fit(train)
+    k_pool = EVAL_K + 20  # enough headroom to survive the seen-filter
+    recs_raw = (model.recommendForAllUsers(k_pool)
+                .select(F.col("u"),
+                        F.posexplode("recommendations")
+                        .alias("pos", "rec"))
+                .select("u", F.col("rec.i").alias("i"),
+                        F.col("rec.rating").alias("score")))
+    unseen = recs_raw.join(train.select("u", "i"), ["u", "i"], "left_anti")
+    wr = Window.partitionBy("u").orderBy(F.col("score").desc(),
+                                         F.col("i").asc())
+    recs = (unseen.withColumn("rn", F.row_number().over(wr))
+            .where(F.col("rn") <= EVAL_K).select("u", "i", "rn"))
+    return _eval_metrics(recs, test, test_users)

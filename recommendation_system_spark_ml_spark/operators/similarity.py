@@ -1488,7 +1488,7 @@ FROM fin GROUP BY 1
 """
 
 
-@register("ml_kmeans_lloyd_exact", oracle=_kmeans_oracle())
+@register("ml_kmeans_lloyd_exact", oracle=_kmeans_oracle(), bench=True)
 def ml_kmeans_lloyd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact relational Lloyd's k-means over the embeddings (k={KM_K},
     {KM_ROUNDS} fixed rounds, seeds = the first {KM_K} vectors by id)
@@ -1605,3 +1605,79 @@ def ml_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_members"),
                  (F.floor(F.avg(s) * _KM_Q + F.lit(0.5)) / _KM_Q)
                  .alias("avg_silhouette")))
+
+
+_NC_KNUTH = 2654435761  # split gate (§2.7 recipe)
+
+
+@register("ml_nearest_centroid", oracle=f"""
+WITH v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x, label,
+           (vec_id * {_NC_KNUTH}) % 4294967296 % 10 AS bucket
+    FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
+),
+train AS (SELECT * FROM v WHERE bucket < 8),
+test AS (SELECT * FROM v WHERE bucket >= 8),
+cent AS (
+    SELECT label AS cl, list(qv ORDER BY pos) AS c FROM (
+        SELECT label, pos, floor(avg(val) * {_KM_Q} + 0.5) / {_KM_Q} AS qv
+        FROM (SELECT label, unnest(x) AS val,
+                     unnest(range(1, len(x) + 1)) AS pos FROM train)
+        GROUP BY label, pos) GROUP BY label
+),
+pred AS (
+    SELECT vec_id, label AS true_label, cl AS pred_label FROM (
+        SELECT t.vec_id, t.label, c.cl,
+               row_number() OVER (
+                   PARTITION BY t.vec_id
+                   ORDER BY {_km_sqdist_sql('t.x', 'c.c')} ASC,
+                            c.cl ASC) AS rk
+        FROM test t CROSS JOIN cent c) WHERE rk = 1
+)
+SELECT CAST(true_label AS INTEGER) AS true_label,
+       CAST(pred_label AS INTEGER) AS pred_label,
+       CAST(count(*) AS BIGINT) AS n
+FROM pred GROUP BY 1, 2
+""")
+def ml_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classifier over the labeled
+    embeddings, trained and evaluated in pure relational algebra:
+    Knuth 80/20 split, per-label mean vectors from the train split
+    (1e-6-quantized, the Lloyd recipe), argmin-distance prediction on
+    the test split, confusion matrix out -- the SUPERVISED sibling of
+    ml_kmeans_lloyd_exact (same centroid/assign machinery, labels
+    instead of iterations), and with NB/logistic/k-means the fourth
+    classic-ML algorithm this engine hash-verifies end to end.
+
+    Shape: the centroid table is |labels| x d and broadcast; training
+    is one posexplode + partial-combined groupBy(label, dim);
+    prediction is a broadcast |labels|-fan-out cut by a per-vector
+    WindowGroupLimit; the confusion matrix is one bounded groupBy.
+    One scan of train, one of test."""
+    pin_session_conf(spark)
+    v = (load(spark, sf_dir, "embeddings")
+         .where(F.col("embedding").isNotNull() & F.col("label").isNotNull())
+         .select("vec_id", F.col("embedding").cast("array<double>")
+                 .alias("x"), "label",
+                 ((F.col("vec_id") * _NC_KNUTH) % F.lit(4294967296) % 10)
+                 .alias("bucket")))
+    train = v.where(F.col("bucket") < 8)
+    test = v.where(F.col("bucket") >= 8)
+    cent = (train.select("label", F.posexplode("x").alias("pos", "val"))
+            .groupBy("label", "pos")
+            .agg((F.floor(F.avg("val") * _KM_Q + F.lit(0.5)) / _KM_Q)
+                 .alias("qv"))
+            .groupBy("label")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "qv")))
+                 .alias("s"))
+            .select(F.col("label").alias("cl"),
+                    F.transform("s", lambda t: t.qv).alias("c")))
+    wv = Window.partitionBy("vec_id").orderBy(F.col("d").asc(),
+                                              F.col("cl").asc())
+    pred = (test.crossJoin(F.broadcast(cent))
+            .withColumn("d", _km_sqd(F.col("x"), F.col("c")))
+            .withColumn("rk", F.row_number().over(wv))
+            .where(F.col("rk") == 1))
+    return (pred.groupBy(F.col("label").cast("int").alias("true_label"),
+                         F.col("cl").cast("int").alias("pred_label"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n")))

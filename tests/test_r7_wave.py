@@ -318,3 +318,47 @@ def test_silhouette_in_range_and_consistent_with_fit(spark):
     for cid, r in sil.items():
         assert -1.0 <= r["avg_silhouette"] <= 1.0
         assert r["n_members"] == fit[cid]["n_members"]
+
+
+def test_nearest_centroid_confusion_complete(spark):
+    rows = _specs()["ml_nearest_centroid"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    from recommendation_system_spark_ml_spark.sources.catalog import load
+    n_test = (load(spark, SF_SMOKE, "embeddings")
+              .where(F.col("embedding").isNotNull()
+                     & F.col("label").isNotNull())
+              .where((F.col("vec_id") * 2654435761)
+                     % 4294967296 % 10 >= 8).count())
+    assert sum(r["n"] for r in rows) == n_test
+    assert all(0 <= r["pred_label"] <= 9 for r in rows)
+
+
+def test_modularity_terms_bounded_and_sizes_complete(spark):
+    rows = _specs()["graph_modularity"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    q = sum(r["q_term"] for r in rows)
+    assert -0.5 <= q <= 1.0  # Newman Q bounds
+    lab = _specs()["graph_label_propagation"].fn(spark, SF_SMOKE)
+    assert sum(r["size"] for r in rows) == lab.count()
+    assert all(r["internal_edges"] <= r["degree_sum"] for r in rows)
+
+
+def test_als_eval_three_way_experiment(spark):
+    """The three recommender evaluations are one experiment: same
+    columns, same split -- so the evaluated user population must be
+    IDENTICAL across all three (ALS's coldStartStrategy and the CF
+    scorer's support filter may only shrink whose RECS exist, but
+    every test user with at least one rec is scored, and at smoke
+    scale all three recommenders produce recs for every test user).
+    Metric ORDERING is corpus-dependent (the avg-quantity ratings
+    analog carries weak CF signal), so it is deliberately not
+    asserted."""
+    als = _specs()["ml_rec_eval_als"].fn(spark, SF_SMOKE).collect()[0]
+    pop = _specs()["ml_rec_eval_popularity"].fn(spark, SF_SMOKE).collect()[0]
+    cf = _specs()["ml_rec_eval_itemcf"].fn(spark, SF_SMOKE).collect()[0]
+    assert set(als.asDict()) == set(pop.asDict()) == set(cf.asDict())
+    assert als["n_users"] == pop["n_users"] == cf["n_users"] > 0
+    for row in (als, pop, cf):
+        for m in ("precision_at_k", "recall_at_k", "hit_rate",
+                  "ndcg_at_k"):
+            assert 0.0 <= row[m] <= 1.0
