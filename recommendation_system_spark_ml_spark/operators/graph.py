@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from recommendation_system_spark_ml_spark.registry import register
 from recommendation_system_spark_ml_spark.session import pin_session_conf
@@ -472,6 +473,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LP_TOPK = 50  # link-prediction shortlist length
+LP_MID_CAP = 32  # wedge fan-out cap: first N neighbors (by id) per middle
 _LP_Q = 1_000_000  # 6-decimal floor quantization before the ranked cut
 
 
@@ -486,9 +488,14 @@ WITH oi AS (
     SELECT u, v FROM e UNION ALL SELECT v, u FROM e
 ), deg AS MATERIALIZED (
     SELECT u AS node, count(*) AS d FROM und GROUP BY 1
+), adj AS MATERIALIZED (
+    SELECT v AS mid, u AS nbr FROM (
+        SELECT u, v, row_number() OVER (PARTITION BY v
+                                        ORDER BY u ASC) AS rn
+        FROM und) WHERE rn <= {LP_MID_CAP}
 ), wedges AS (
-    SELECT a.u AS x, b.u AS y, a.v AS mid
-    FROM und a JOIN und b ON a.v = b.v AND a.u < b.u
+    SELECT a.nbr AS x, b.nbr AS y, a.mid
+    FROM adj a JOIN adj b ON a.mid = b.mid AND a.nbr < b.nbr
 ), cand AS (
     SELECT w.x, w.y,
            count(*) AS cn,
@@ -521,17 +528,24 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     prediction, and the graph twin of the ratings-based item-item CF
     in operators/recommend.py.
 
-    Shape: wedges come from one self-join of the undirected edge list
-    on the middle node (the graph_triangle_count fan-out, bounded by
-    order size <= 7 lineitems per order on this graph); Adamic-Adar
-    denominators are a broadcast degree join; non-adjacency is a left
-    anti join against the canonical u<v edge set; the final cut is
-    orderBy+limit (TakeOrderedAndProject -- a distributed heap, never
-    a global sort). AA floor-quantizes at 1e-6 BEFORE the ranked cut
-    so the shortlist is cross-engine deterministic (ln(deg) is exact
-    enough: sums of <= dozens of terms, quantum 1e-6 >> reorder
-    noise). deg_mid >= 2 always (the middle node touches both ends),
-    so ln never sees 1."""
+    Shape -- and the load-bearing cap: raw wedge enumeration is
+    sum(deg_mid^2), and on this DENSE co-purchase graph (near-uniform
+    degree ~125 at sf0.1) that is ~300M wedges -- measured 88 s, the
+    registry's slowest query before the cap. Each middle's adjacency
+    is therefore cut to its first {LP_MID_CAP} neighbors by id
+    (WindowGroupLimit -- a documented algorithmic contract shared
+    verbatim with the oracle, the USER_CAP recipe from the item-CF
+    pipeline), bounding wedges at |nodes| x {LP_MID_CAP}^2 / 2 --
+    LINEAR in nodes at any scale. Scores become capped-adjacency
+    CN/AA (standard practice for hub middles, whose per-wedge AA
+    weight 1/ln(deg) is smallest anyway); Jaccard denominators keep
+    the TRUE degrees. Adamic-Adar denominators are a broadcast degree
+    join; non-adjacency is a left anti join against the canonical u<v
+    edge set; the final cut is orderBy+limit (TakeOrderedAndProject
+    -- a distributed heap, never a global sort). AA floor-quantizes
+    at 1e-6 BEFORE the ranked cut so the shortlist is cross-engine
+    deterministic. deg_mid >= 2 always (the middle touches both
+    ends), so ln never sees 1."""
     pin_session_conf(spark)
     li = load(spark, sf_dir, "lineitem").where(F.col("l_partkey").isNotNull())
     oi = (li.select(F.col("l_orderkey").alias("o"),
@@ -544,11 +558,15 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = und.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("d"))
-    wa, wb = und.alias("wa"), und.alias("wb")
-    wedges = (wa.join(wb, (F.col("wa.v") == F.col("wb.v"))
-                      & (F.col("wa.u") < F.col("wb.u")))
-              .select(F.col("wa.u").alias("x"), F.col("wb.u").alias("y"),
-                      F.col("wa.v").alias("mid")))
+    wadj = Window.partitionBy("v").orderBy(F.col("u").asc())
+    adj = (und.withColumn("rn", F.row_number().over(wadj))
+           .where(F.col("rn") <= LP_MID_CAP)
+           .select(F.col("v").alias("mid"), F.col("u").alias("nbr")))
+    wa, wb = adj.alias("wa"), adj.alias("wb")
+    wedges = (wa.join(wb, (F.col("wa.mid") == F.col("wb.mid"))
+                      & (F.col("wa.nbr") < F.col("wb.nbr")))
+              .select(F.col("wa.nbr").alias("x"), F.col("wb.nbr").alias("y"),
+                      F.col("wa.mid").alias("mid")))
     dm = deg.select(F.col("node").alias("mid"), F.col("d").alias("dmid"))
     cand = (wedges.join(F.broadcast(dm), "mid")
             .groupBy("x", "y")
