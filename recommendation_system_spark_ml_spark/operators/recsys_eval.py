@@ -422,6 +422,9 @@ def ml_rec_coverage_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("top_item_share")))
 
 
+TYPE_POOL = 200  # Bayes-ranked candidate pool per p_type
+
+
 @register("ml_content_recs", oracle=f"""
 WITH {_BAYES_CTE},
 feat AS (SELECT CAST(p_partkey AS INTEGER) AS i, p_type FROM part
@@ -434,10 +437,16 @@ profile AS (
                                   ORDER BY sum(r) DESC, p_type ASC) AS rk
         FROM rf GROUP BY u, p_type) WHERE rk = 1
 ),
+type_pool AS (
+    SELECT p_type, i, q FROM (
+        SELECT f.p_type, b.i, b.q,
+               row_number() OVER (PARTITION BY f.p_type
+                                  ORDER BY b.q DESC, b.i ASC) AS prk
+        FROM feat f JOIN bayes b ON b.i = f.i) WHERE prk <= {TYPE_POOL}
+),
 cand AS (
-    SELECT pr.u, b.i, b.q FROM profile pr
-    JOIN feat f ON f.p_type = pr.p_type
-    JOIN bayes b ON b.i = f.i
+    SELECT pr.u, tp.i, tp.q FROM profile pr
+    JOIN type_pool tp ON tp.p_type = pr.p_type
 ),
 fresh AS (
     SELECT c.u, c.i, c.q FROM cand c
@@ -463,12 +472,20 @@ def ml_content_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     CF (operators/recommend.py) and the ALS factorization (ml/
     parity.py) -- and the one that works for brand-new items.
 
-    Shape: the profile argmax is one groupBy + WindowGroupLimit; the
-    per-item Bayes table is catalog-sized and broadcast onto the
-    profile join; the seen-filter is a left-anti join on (u, i); the
-    final cut is WindowGroupLimit. Per-user fan-out is bounded by the
-    largest type's catalog slice, never by fact rows; scores
-    floor-quantize at 1e-6 before ranking."""
+    Shape -- and the load-bearing cap: "all items of the favorite
+    type" is catalog/|types| per user, which on this 6-type catalog
+    meant 3,333 candidates x 15k users = 50M rows (measured 37-51 s
+    at sf0.1) and at 100 TB grows LINEARLY WITH THE CATALOG. Each
+    type's candidates are therefore cut to its top-{TYPE_POOL}
+    Bayes-ranked items first (WindowGroupLimit over the bounded type
+    keyspace, shared verbatim with the oracle), so the user fan-out
+    is a broadcast {TYPE_POOL}-row-per-type pool -- users x
+    {TYPE_POOL} rows regardless of catalog size (50M -> 3M at sf0.1,
+    ~4 s). The profile argmax is one groupBy + WindowGroupLimit; the
+    seen-filter is a left-anti join on (u, i); the final cut is
+    WindowGroupLimit. A user who has rated most of their type's
+    top-{TYPE_POOL} simply gets fewer than {EVAL_K} recs (documented
+    contract). Scores floor-quantize at 1e-6 before ranking."""
     pin_session_conf(spark)
     ratings = _base_ratings(spark, sf_dir)
     feat = (load(spark, sf_dir, "part")
@@ -491,8 +508,13 @@ def ml_content_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bayes = (per.crossJoin(F.broadcast(g))
              .select("i", _q6(score).alias("q")))
 
-    cand = (profile.join(F.broadcast(feat), "p_type")
-            .join(F.broadcast(bayes), "i")
+    wt = Window.partitionBy("p_type").orderBy(F.col("q").desc(),
+                                              F.col("i").asc())
+    type_pool = (feat.join(bayes, "i")
+                 .withColumn("prk", F.row_number().over(wt))
+                 .where(F.col("prk") <= TYPE_POOL)
+                 .select("p_type", "i", "q"))
+    cand = (profile.join(F.broadcast(type_pool), "p_type")
             .select("u", "i", "q"))
     fresh = cand.join(ratings.select("u", "i"), ["u", "i"], "left_anti")
     wr = Window.partitionBy("u").orderBy(F.col("q").desc(),
