@@ -1176,3 +1176,80 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
                      (F.col("wk") - F.col("cohort_wk")).cast("long")
                      .alias("week_offset"))
             .agg(F.countDistinct("user_id").alias("active_users")))
+
+
+_LTV_Q = 1_000_000  # 6-decimal floor quantization, shared with oracles
+
+
+@register("agg_cohort_ltv", oracle=f"""
+WITH o AS (
+    SELECT o_custkey AS u,
+           CAST((year(o_orderdate) * 12 + month(o_orderdate)) - 1
+                AS BIGINT) AS mo,
+           o_totalprice AS rev
+    FROM orders
+    WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+          AND o_totalprice IS NOT NULL
+),
+cohort AS (SELECT u, min(mo) AS c0 FROM o GROUP BY 1),
+sizes AS (SELECT c0, count(*) AS n_users FROM cohort GROUP BY 1),
+monthly AS (
+    SELECT c.c0, o.mo - c.c0 AS age, sum(o.rev) AS rev
+    FROM o JOIN cohort c ON o.u = c.u
+    GROUP BY 1, 2
+),
+cum AS (
+    SELECT c0, age, rev,
+           sum(rev) OVER (PARTITION BY c0 ORDER BY age ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum_rev
+    FROM monthly
+)
+SELECT CAST(c.c0 AS BIGINT) AS cohort_month,
+       CAST(c.age AS BIGINT) AS age_months,
+       CAST(s.n_users AS BIGINT) AS cohort_size,
+       floor(c.cum_rev / s.n_users * {_LTV_Q} + 0.5) / {_LTV_Q}
+           AS ltv_per_user
+FROM cum c JOIN sizes s ON c.c0 = s.c0
+""")
+def agg_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by FIRST-order
+    month, cumulative revenue per cohort member by account age -- the
+    money view that retention_cohorts' activity percentages feed into
+    (retention says who came back; LTV says what that was worth), and
+    the table every payback-period / CAC decision reads. cohort_month
+    is the absolute month index (year*12 + month - 1), age in months
+    since the cohort's first order.
+
+    Shape: one groupBy(user) finds cohorts; one groupBy(cohort, age)
+    collapses the fact table to a calendar-bounded keyspace
+    (|months| x |months| at most); the cumulative revenue is a window
+    PARTITIONED BY COHORT over that bounded table -- each cohort's
+    timeline sorts independently, never a global sort, and the
+    per-partition row count is bounded by the corpus month span.
+    Revenue sums are the only noise-bearing floats; the per-user
+    division floor-quantizes at 1e-6."""
+    pin_session_conf(spark)
+    from pyspark.sql.window import Window
+    o = (load(spark, sf_dir, "orders")
+         .where(F.col("o_custkey").isNotNull()
+                & F.col("o_orderdate").isNotNull()
+                & F.col("o_totalprice").isNotNull())
+         .select(F.col("o_custkey").alias("u"),
+                 (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+                 .cast("long").alias("mo"),
+                 F.col("o_totalprice").alias("rev")))
+    cohort = o.groupBy("u").agg(F.min("mo").alias("c0"))
+    sizes = cohort.groupBy("c0").agg(F.count(F.lit(1)).alias("n_users"))
+    monthly = (o.join(cohort, "u")
+               .groupBy("c0", (F.col("mo") - F.col("c0")).alias("age"))
+               .agg(F.sum("rev").alias("rev")))
+    w = (Window.partitionBy("c0").orderBy(F.col("age").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = monthly.withColumn("cum_rev", F.sum("rev").over(w))
+    return (cum.join(F.broadcast(sizes), "c0")
+            .select(F.col("c0").cast("long").alias("cohort_month"),
+                    F.col("age").cast("long").alias("age_months"),
+                    F.col("n_users").cast("long").alias("cohort_size"),
+                    (F.floor(F.col("cum_rev") / F.col("n_users") * _LTV_Q
+                             + F.lit(0.5)) / _LTV_Q).alias("ltv_per_user")))

@@ -845,3 +845,68 @@ def ts_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("z"),
         F.when(ok & (z > BURST_Z) & (F.col("cnt") >= BURST_MIN_CNT),
                F.lit(True)).otherwise(F.lit(False)).alias("is_burst"))
+
+
+_MKV_Q = 1_000_000  # transition-probability quantization
+
+
+@register("ts_markov_transitions", oracle=f"""
+WITH ev AS (
+    SELECT user_id AS u, event_type AS et, epoch_us(ts) AS tu, event_id
+    FROM events
+    WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+          AND ts IS NOT NULL
+),
+seq AS (
+    SELECT u, et,
+           lead(et) OVER (PARTITION BY u
+                          ORDER BY tu ASC, event_id ASC) AS nxt
+    FROM ev
+),
+trans AS (
+    SELECT et AS from_type, nxt AS to_type, count(*) AS n
+    FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT from_type, sum(n) AS row_n FROM trans GROUP BY 1)
+SELECT t.from_type, t.to_type, CAST(t.n AS BIGINT) AS n,
+       floor(t.n * 1.0 / x.row_n * {_MKV_Q} + 0.5) / {_MKV_Q} AS p
+FROM trans t JOIN tot x ON t.from_type = x.from_type
+""")
+def ts_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current), the behavioral model
+    behind next-action prediction, funnel simulation, and anomaly
+    scoring of unusual paths -- the full-matrix generalization of
+    pattern_adjacent_conversion's single A->B read. Transitions are
+    within-user, ordered by (ts, event_id) so timestamp ties are
+    cross-engine deterministic; each user's last event emits no
+    transition.
+
+    Shape: one lead() window PARTITIONED BY USER (each user's
+    timeline sorts independently -- never a global sort, the
+    sessionize recipe), one partial-combined groupBy to the bounded
+    |types|^2 matrix, and a broadcast row-total join. Probabilities
+    floor-quantize at 1e-6; counts are exact integers."""
+    pin_session_conf(spark)
+    from pyspark.sql.window import Window
+    ev = (load(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull()
+                 & F.col("event_type").isNotNull()
+                 & F.col("ts").isNotNull())
+          .select(F.col("user_id").alias("u"),
+                  F.col("event_type").alias("et"),
+                  F.unix_micros(F.col("ts").cast("timestamp")).alias("tu"),
+                  "event_id"))
+    w = Window.partitionBy("u").orderBy(F.col("tu").asc(),
+                                        F.col("event_id").asc())
+    seq = ev.withColumn("nxt", F.lead("et").over(w))
+    trans = (seq.where(F.col("nxt").isNotNull())
+             .groupBy(F.col("et").alias("from_type"),
+                      F.col("nxt").alias("to_type"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    tot = trans.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    return (trans.join(F.broadcast(tot), "from_type")
+            .select("from_type", "to_type",
+                    F.col("n").cast("long").alias("n"),
+                    (F.floor(F.col("n").cast("double") / F.col("row_n")
+                             * _MKV_Q + F.lit(0.5)) / _MKV_Q).alias("p")))

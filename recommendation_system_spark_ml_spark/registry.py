@@ -164,6 +164,9 @@ _EXPENSIVE = frozenset({
     "dedup_minhash_checked", "dedup_simhash_checked",
     "dedup_minhash_incremental",
     "dedup_containment", "dedup_canonical",
+    # r7: the slowest newcomers at the driver's sf0.01 (6-8 s each)
+    "ml_rec_eval_itemcf", "ml_rec_eval_als",
+    "graph_personalized_pagerank", "graph_modularity",
 })
 
 

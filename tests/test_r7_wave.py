@@ -362,3 +362,30 @@ def test_als_eval_three_way_experiment(spark):
         for m in ("precision_at_k", "recall_at_k", "hit_rate",
                   "ndcg_at_k"):
             assert 0.0 <= row[m] <= 1.0
+
+
+def test_cohort_ltv_monotone_per_cohort(spark):
+    rows = _specs()["agg_cohort_ltv"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_month"], []).append(
+            (r["age_months"], r["ltv_per_user"]))
+    for c, pts in by_cohort.items():
+        pts.sort()
+        assert pts[0][0] == 0  # every cohort starts at age 0
+        vals = [v for _, v in pts]
+        assert all(a <= b + 1e-9 for a, b in zip(vals, vals[1:])), c
+        assert vals[0] > 0
+
+
+def test_markov_rows_are_distributions(spark):
+    rows = _specs()["ts_markov_transitions"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r["from_type"], 0.0)
+        by_from[r["from_type"]] += r["p"]
+        assert r["n"] >= 1
+    for ft, total in by_from.items():
+        assert abs(total - 1.0) < 1e-3, (ft, total)  # rows sum to 1
