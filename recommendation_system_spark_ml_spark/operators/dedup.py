@@ -1467,14 +1467,20 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     restart-stable, oracle-reproducible -- with the mixing key reduced
     mod 2^31 BEFORE the multiply so ANSI-mode BIGINT arithmetic cannot
     overflow at any component id (the agg_sampled_estimate hardening).
-    At 100 TB: the component loop runs over the dup graph only, the
-    gate is a map-side expression on its output, and the split is
-    reproducible from scratch on any re-run or late-arriving shard --
-    no persisted assignment table needed."""
+
+    At 100 TB: rides the PERSISTED components artifact
+    (build_components_artifact -- the dedup_cluster_size_dist
+    decoupling pattern): the near-dup fixpoint runs once per corpus
+    version, and the split itself is a map-side hash gate over one
+    row per doc. Recomputing the component build per split request
+    (the pre-r8 shape) measured sf1 slope 1.42 / 199 s on the
+    saturated fixture corpus; reading the artifact makes the split a
+    scan. The gate is a pure function of the component id, so the
+    assignment is reproducible from the artifact on any re-run or
+    late-arriving shard."""
     pin_session_conf(spark)
-    docs = load(spark, sf_dir, "documents")
-    edges = _jaccard_edges(spark, sf_dir).localCheckpoint(eager=True)
-    comp = min_label_components(docs.select("doc_id"), edges)
+    comp = spark.read.parquet(
+        build_components_artifact(spark, sf_dir))
     bucket = (((F.col("component") % F.lit(2147483648))
                * F.lit(_KNUTH_SPLIT))
               % F.lit(4294967296) % 10)
