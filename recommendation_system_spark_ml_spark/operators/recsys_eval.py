@@ -433,8 +433,10 @@ rf AS (SELECT r.u, r.i, r.r, f.p_type FROM ratings r JOIN feat f ON r.i = f.i),
 profile AS (
     SELECT u, p_type FROM (
         SELECT u, p_type,
-               row_number() OVER (PARTITION BY u
-                                  ORDER BY sum(r) DESC, p_type ASC) AS rk
+               row_number() OVER (
+                   PARTITION BY u
+                   ORDER BY floor(sum(r) * 1000000 + 0.5) / 1000000 DESC,
+                            p_type ASC) AS rk
         FROM rf GROUP BY u, p_type) WHERE rk = 1
 ),
 type_pool AS (
@@ -493,9 +495,12 @@ def ml_content_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
                    & F.col("p_type").isNotNull())
             .select(F.col("p_partkey").cast("int").alias("i"), "p_type"))
     rf = ratings.join(F.broadcast(feat), "i")
+    # Floor-quantize the per-(u, p_type) rating sum BEFORE the argmax
+    # rank (the bayes_score treatment): near-tied type sums otherwise
+    # order by each engine's accumulation noise — a latent hash-flake.
     wp = Window.partitionBy("u").orderBy(F.col("s").desc(),
                                          F.col("p_type").asc())
-    profile = (rf.groupBy("u", "p_type").agg(F.sum("r").alias("s"))
+    profile = (rf.groupBy("u", "p_type").agg(_q6(F.sum("r")).alias("s"))
                .withColumn("rk", F.row_number().over(wp))
                .where(F.col("rk") == 1).select("u", "p_type"))
 
@@ -556,7 +561,14 @@ def ml_rec_eval_als(spark: SparkSession, sf_dir: str) -> DataFrame:
               rank=10, maxIter=10, regParam=0.05, seed=823,
               coldStartStrategy="drop", nonnegative=True)
     model = als.fit(train)
-    k_pool = EVAL_K + 20  # enough headroom to survive the seen-filter
+    # Headroom must survive the seen-filter for the HEAVIEST rater:
+    # a user whose top-k_pool ALS list is mostly already-seen train
+    # items would silently get < EVAL_K recs, deflating the ALS arm
+    # of the three-way experiment. EVAL_K + POP_POOL (= the docstring
+    # contract, same pool depth the popularity arm gets) leaves
+    # >= EVAL_K fresh candidates for any train history up to POP_POOL
+    # items of overlap — far above the fixture's per-user maximum.
+    k_pool = EVAL_K + POP_POOL
     recs_raw = (model.recommendForAllUsers(k_pool)
                 .select(F.col("u"),
                         F.posexplode("recommendations")

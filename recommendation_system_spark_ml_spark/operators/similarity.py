@@ -1613,7 +1613,7 @@ _NC_KNUTH = 2654435761  # split gate (§2.7 recipe)
 @register("ml_nearest_centroid", oracle=f"""
 WITH v AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x, label,
-           (vec_id * {_NC_KNUTH}) % 4294967296 % 10 AS bucket
+           ((vec_id % 16777216) * {_NC_KNUTH}) % 4294967296 % 10 AS bucket
     FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
 ),
 train AS (SELECT * FROM v WHERE bucket < 8),
@@ -1659,7 +1659,12 @@ def ml_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
          .where(F.col("embedding").isNotNull() & F.col("label").isNotNull())
          .select("vec_id", F.col("embedding").cast("array<double>")
                  .alias("x"), "label",
-                 ((F.col("vec_id") * _NC_KNUTH) % F.lit(4294967296) % 10)
+                 # fold the id mod 2^24 BEFORE the Knuth multiply so
+                 # the product stays BIGINT-exact for any vec_id (the
+                 # agg_bootstrap_ci / _SPLIT_NUM recipe; unfolded, ids
+                 # >= ~3.47e9 overflow int64 under ANSI mode).
+                 (((F.col("vec_id") % F.lit(16777216)) * _NC_KNUTH)
+                  % F.lit(4294967296) % 10)
                  .alias("bucket")))
     train = v.where(F.col("bucket") < 8)
     test = v.where(F.col("bucket") >= 8)

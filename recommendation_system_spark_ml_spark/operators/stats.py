@@ -61,7 +61,8 @@ cum AS (
 s AS (
     SELECT sum(na) AS n1, sum(nb) AS n2,
            sum(na * (2 * cumb - nb)) AS u2,
-           sum(power(na + nb, 3) - (na + nb)) AS tie
+           sum(CAST(na + nb AS BIGINT) * (na + nb) * (na + nb)
+               - (na + nb)) AS tie
     FROM cum
 )
 SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
@@ -115,7 +116,14 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = cum.agg(
         F.sum("na").alias("n1"), F.sum("nb").alias("n2"),
         F.sum(F.col("na") * (2 * F.col("cumb") - F.col("nb"))).alias("u2"),
-        F.sum(F.pow(F.col("na") + F.col("nb"), 3)
+        # tie term stays INTEGER arithmetic (t*t*t, not pow): float64
+        # cubes go inexact for per-value counts above ~2^17.7, which
+        # would let summation order leak into z at large scale. BIGINT
+        # cubes are exact to t ~ 2^21 per distinct value and overflow
+        # LOUDLY (ANSI) beyond, never silently diverging.
+        F.sum((F.col("na") + F.col("nb")).cast("long")
+              * (F.col("na") + F.col("nb"))
+              * (F.col("na") + F.col("nb"))
               - (F.col("na") + F.col("nb"))).alias("tie"))
     n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
     nd = n1d + n2d

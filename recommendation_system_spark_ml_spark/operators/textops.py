@@ -2304,7 +2304,7 @@ _NB_Q = 1_000_000
 @register("ml_naive_bayes_lang", oracle=f"""
 WITH docs AS (
     SELECT doc_id, lower(text) AS t, lang,
-           (doc_id * {_NB_KNUTH}) % 4294967296 % 10 AS bucket
+           ((doc_id % 16777216) * {_NB_KNUTH}) % 4294967296 % 10 AS bucket
     FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
 ),
 train AS (SELECT * FROM docs WHERE bucket < 8),
@@ -2383,7 +2383,10 @@ def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (load(spark, sf_dir, "documents")
             .where(F.col("text").isNotNull() & F.col("lang").isNotNull())
             .select("doc_id", F.lower("text").alias("t"), "lang",
-                    ((F.col("doc_id") * _NB_KNUTH) % F.lit(4294967296) % 10)
+                    # fold mod 2^24 before the Knuth multiply: BIGINT-
+                    # exact for any doc_id (the _SPLIT_NUM recipe).
+                    (((F.col("doc_id") % F.lit(16777216)) * _NB_KNUTH)
+                     % F.lit(4294967296) % 10)
                     .alias("bucket")))
     train = docs.where(F.col("bucket") < 8)
     test = docs.where(F.col("bucket") >= 8)

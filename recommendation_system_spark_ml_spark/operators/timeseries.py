@@ -801,7 +801,8 @@ SELECT event_type, hour_id, CAST(cnt AS BIGINT) AS cnt,
        CASE WHEN n_base >= {BURST_MIN_N} AND sd > 0
             THEN round((cnt - mu) / sd, 4) ELSE NULL END AS z,
        CASE WHEN n_base >= {BURST_MIN_N} AND sd > 0
-                 AND (cnt - mu) / sd > {BURST_Z} AND cnt >= {BURST_MIN_CNT}
+                 AND round((cnt - mu) / sd, 4) > {BURST_Z}
+                 AND cnt >= {BURST_MIN_CNT}
             THEN TRUE ELSE FALSE END AS is_burst
 FROM stats
 """)
@@ -838,12 +839,17 @@ def ts_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.stddev_samp("cnt").over(w).alias("sd"),
         F.count("cnt").over(w).alias("n_base"))
     ok = (F.col("n_base") >= BURST_MIN_N) & (F.col("sd") > 0)
-    z = (F.col("cnt") - F.col("mu")) / F.col("sd")
+    # The burst PREDICATE compares the QUANTIZED z, not the raw one:
+    # sd is each engine's own stddev accumulation, so an hour whose
+    # raw z lands within accumulation noise of the threshold would
+    # flip the boolean (and the hash) cross-engine. Rounding once and
+    # branching on the rounded value gives the boolean the same
+    # protection the displayed column already had.
+    zq = F.round((F.col("cnt") - F.col("mu")) / F.col("sd"), 4)
     return stats.select(
         "event_type", "hour_id", F.col("cnt").cast("long").alias("cnt"),
-        F.when(ok, F.round(z, 4)).otherwise(F.lit(None).cast("double"))
-        .alias("z"),
-        F.when(ok & (z > BURST_Z) & (F.col("cnt") >= BURST_MIN_CNT),
+        F.when(ok, zq).otherwise(F.lit(None).cast("double")).alias("z"),
+        F.when(ok & (zq > BURST_Z) & (F.col("cnt") >= BURST_MIN_CNT),
                F.lit(True)).otherwise(F.lit(False)).alias("is_burst"))
 
 
