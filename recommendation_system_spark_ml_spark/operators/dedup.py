@@ -129,8 +129,8 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")))
 
 
-@register("dedup_simhash")  # rows-only: xxhash64 isn't cross-engine
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_simhash_fingerprints(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
     """64-bit SimHash per document: xxhash64 each distinct word, sum
     +1/-1 per bit position over the doc, sign -> bit. Shuffle-dups get
     identical fingerprints (the word *set* is preserved). Emitted with
@@ -160,6 +160,71 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"band{band}",
             F.shiftright(F.col("simhash"), band * 16).bitwiseAND(F.lit(0xFFFF)))
     return out
+
+
+@register("dedup_simhash", oracle="""
+WITH w AS (
+    SELECT doc_id,
+           list_sort(list_distinct(list_filter(
+               string_split(lower(text), ' '), x -> x <> ''))) AS ws
+    FROM documents WHERE text IS NOT NULL
+), nz AS (SELECT * FROM w WHERE len(ws) > 0),
+q AS (SELECT * FROM nz WHERE doc_id < 50)
+SELECT q.doc_id,
+       CAST(sum(CASE WHEN c.doc_id <> q.doc_id AND q.ws = c.ws
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_set_dups,
+       TRUE AS fingerprint_complete
+FROM q, nz c
+GROUP BY q.doc_id
+""")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashable agreement contract over dedup_simhash_fingerprints
+    (r7 verdict task 4, the dedup_minhash pattern): for each of the
+    fixed DD_CHECK_N=50-doc probe slice the oracle computes the exact
+    count of IDENTICAL-word-set partners by exhaustive scan (pure
+    integer set equality -- bit-identical cross-engine), and the
+    contract boolean asserts the SimHash side found AT LEAST that
+    many same-fingerprint partners. Guaranteed by construction on any
+    input: SimHash is a deterministic function of the distinct word
+    set, so equal sets ALWAYS produce equal 64-bit fingerprints
+    (recall 1.0 on set-duplicates -- the data-independent half of the
+    detector's contract; >= rather than == because distinct sets can
+    collide into one fingerprint, which is the detector's documented
+    false-positive mode, bounded by the Hamming verification its
+    consumers apply). Near-dup Hamming behavior (dataset-conditional)
+    stays in the local tests and the oracle-checked md5 twin
+    (dedup_simhash_checked). The production per-doc fingerprint API
+    is dedup_simhash_fingerprints, executed in full here."""
+    pin_session_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    base = (docs.select("doc_id",
+                        F.sort_array(F.array_distinct(
+                            F.filter(_words(), lambda w: w != "")))
+                        .alias("ws"))
+            .where(F.size("ws") > 0))
+    q = (base.where(F.col("doc_id") < DD_CHECK_N)
+         .select(F.col("doc_id").alias("qid"), F.col("ws").alias("qws")))
+    c = base.select(F.col("doc_id").alias("cid"), F.col("ws").alias("cws"))
+    dup_hit = ((F.col("cid") != F.col("qid"))
+               & (F.col("qws") == F.col("cws"))).cast("long")
+    exact = (F.broadcast(q).crossJoin(c)
+             .groupBy(F.col("qid").alias("doc_id"))
+             .agg(F.sum(dup_hit).alias("n_set_dups")))
+    fp = dedup_simhash_fingerprints(spark, sf_dir).select(
+        "doc_id", "simhash")
+    same_fp = (fp.where(F.col("doc_id") < DD_CHECK_N)
+               .select(F.col("doc_id").alias("qdoc"),
+                       F.col("simhash").alias("qfp"))
+               .join(fp.select(F.col("doc_id").alias("cdoc"),
+                               F.col("simhash").alias("cfp")),
+                     F.col("qfp") == F.col("cfp"))
+               .where(F.col("qdoc") != F.col("cdoc"))
+               .groupBy(F.col("qdoc").alias("doc_id"))
+               .agg(F.count(F.lit(1)).alias("n_same_fp")))
+    return (exact.join(same_fp, "doc_id", "left")
+            .select("doc_id", "n_set_dups",
+                    (F.coalesce(F.col("n_same_fp"), F.lit(0))
+                     >= F.col("n_set_dups")).alias("fingerprint_complete")))
 
 
 @register("dedup_ngram_spans", oracle="""
@@ -269,8 +334,7 @@ def _minhash_pairs(base: DataFrame) -> DataFrame:
             .where(F.col("jaccard_dist") <= 0.2))
 
 
-@register("dedup_minhash")  # rows-only: hash-seeded LSH candidates
-def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH near-dup pairs, expression-native: word set -> 16
     minhashes (xxhash64 under 16 seeds) -> 4 bands x 4 rows -> bucket
     join on (band, band_key) -> exact Jaccard ONLY on candidates,
@@ -306,6 +370,94 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .alias("words"))
             .where(F.size("words") > 0))
     return _minhash_pairs(base)
+
+
+DD_CHECK_N = 50  # fixed probe slice for the hashable dedup contracts
+
+
+@register("dedup_minhash", oracle=f"""
+WITH w AS (
+    SELECT doc_id,
+           list_sort(list_distinct(list_filter(
+               string_split(lower(text), ' '), x -> x <> ''))) AS ws
+    FROM documents WHERE text IS NOT NULL
+), nz AS (SELECT * FROM w WHERE len(ws) > 0),
+q AS (SELECT * FROM nz WHERE doc_id < {DD_CHECK_N})
+SELECT q.doc_id,
+       CAST(sum(CASE WHEN c.doc_id <> q.doc_id
+                      AND round(1.0 - len(list_intersect(q.ws, c.ws)) * 1.0
+                            / len(list_distinct(list_concat(q.ws, c.ws))), 4)
+                          <= 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exact_nd,
+       CAST(sum(CASE WHEN c.doc_id <> q.doc_id AND q.ws = c.ws
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups,
+       TRUE AS minhash_le_exact,
+       TRUE AS dups_complete
+FROM q, nz c
+GROUP BY q.doc_id
+""")
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashable agreement contract over dedup_minhash_pairs (the
+    sim_lsh r7 promotion pattern; r7 verdict task 4): for each of a
+    FIXED DD_CHECK_N=50-doc probe slice the oracle computes, by
+    exhaustive scan, (a) the exact count of set-Jaccard >= 0.8
+    partners (round-4 distance <= 0.2, the pipeline's own acceptance
+    expression -- integer intersection / union sizes, so the double
+    quotient is bit-identical cross-engine) and (b) the exact count
+    of IDENTICAL-word-set partners. Two contract booleans, both
+    guaranteed by construction on any input:
+
+    - minhash_le_exact: the pipeline's emitted partners per probe doc
+      never exceed (a) -- every emitted pair passed the IDENTICAL
+      exact-Jaccard verification filter, so the output is a subset of
+      the exact pair set at float level.
+    - dups_complete: the pipeline's distance-0 partners per probe doc
+      EQUAL (b) -- identical word sets produce identical minhash
+      signatures, hence identical band keys, hence always collide
+      (recall 1.0 on exact duplicates, the one recall statement that
+      is data-independent); and distance 0 <=> intersection == union
+      <=> identical sets, so no false positives inflate the count.
+
+    Banded recall on 0.8-Jaccard NEAR-dups (dataset-conditional,
+    P(candidate) ~ 0.88 at these band parameters) stays in the local
+    recall-gate tests -- the r6 HLL lesson: never pin a statistical
+    bound in a hash. The production edge-list API is
+    dedup_minhash_pairs, which this contract executes in full."""
+    pin_session_conf(spark)
+    docs = load(spark, sf_dir, "documents")
+    base = (docs.select("doc_id",
+                        F.sort_array(F.array_distinct(
+                            F.filter(_words(), lambda w: w != "")))
+                        .alias("ws"))
+            .where(F.size("ws") > 0))
+    q = (base.where(F.col("doc_id") < DD_CHECK_N)
+         .select(F.col("doc_id").alias("qid"), F.col("ws").alias("qws")))
+    c = base.select(F.col("doc_id").alias("cid"), F.col("ws").alias("cws"))
+    i_ = F.size(F.array_intersect("qws", "cws")).cast("double")
+    u_ = F.size(F.array_union("qws", "cws"))
+    jd = F.round(1.0 - i_ / u_, 4)
+    nd_hit = ((F.col("cid") != F.col("qid")) & (jd <= 0.2)).cast("long")
+    dup_hit = ((F.col("cid") != F.col("qid"))
+               & (F.col("qws") == F.col("cws"))).cast("long")
+    exact = (F.broadcast(q).crossJoin(c)
+             .groupBy(F.col("qid").alias("doc_id"))
+             .agg(F.sum(nd_hit).alias("n_exact_nd"),
+                  F.sum(dup_hit).alias("n_exact_dups")))
+    pairs = dedup_minhash_pairs(spark, sf_dir)
+    touched = (pairs.select(F.col("doc_a").alias("doc_id"), "jaccard_dist")
+               .unionAll(pairs.select(F.col("doc_b").alias("doc_id"),
+                                      "jaccard_dist"))
+               .where(F.col("doc_id") < DD_CHECK_N)
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_mh"),
+                    F.sum((F.col("jaccard_dist") == 0.0).cast("long"))
+                    .alias("n_mh_dup")))
+    return (exact.join(touched, "doc_id", "left")
+            .select("doc_id", "n_exact_nd", "n_exact_dups",
+                    (F.coalesce(F.col("n_mh"), F.lit(0))
+                     <= F.col("n_exact_nd")).alias("minhash_le_exact"),
+                    (F.coalesce(F.col("n_mh_dup"), F.lit(0))
+                     == F.col("n_exact_dups")).alias("dups_complete")))
 
 
 @register("dedup_minhash_realistic", bench=True)  # rows-only: recall-gated
@@ -752,8 +904,7 @@ def dedup_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("key_a", "key_b", dist.cast("int").alias("dist")))
 
 
-@register("dedup_semantic")  # rows-only: KMeans cell assignment inside
-def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_semantic_removals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     dedup over EMBEDDINGS -- cluster the corpus with KMeans, compare
     pairs only WITHIN each cluster, and drop every vector that has a
@@ -861,6 +1012,75 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pairs.groupBy(F.col("vec_b").alias("removed_id"))
             .agg(F.min_by("vec_a", "vec_a").alias("keeper_id"),
                  F.round(F.min_by("cos", "vec_a"), 4).alias("cosine")))
+
+
+SEM_CHECK_N = 50  # fixed probe slice for the semantic-dedup contract
+
+
+@register("dedup_semantic", oracle=f"""
+WITH v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x,
+           sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                        e -> e * e))) AS nrm
+    FROM embeddings WHERE embedding IS NOT NULL
+), q AS (SELECT * FROM v WHERE vec_id < {SEM_CHECK_N} AND nrm > 0)
+SELECT q.vec_id,
+       CAST(max(CASE WHEN c.vec_id < q.vec_id AND c.nrm > 0
+                      AND round(list_sum(list_transform(
+                              range(1, CAST(len(q.x) AS BIGINT) + 1),
+                              i -> q.x[i] * c.x[i])) / (q.nrm * c.nrm), 4)
+                          >= 0.35
+                 THEN 1 ELSE 0 END) AS BIGINT) AS has_lower_exact_nd,
+       TRUE AS removed_implies_exact
+FROM q, v c
+GROUP BY q.vec_id
+""")
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashable agreement contract over dedup_semantic_removals (r7
+    verdict task 4, the sim_lsh pattern): for each of a FIXED
+    SEM_CHECK_N=50-vector probe slice the oracle computes, by
+    exhaustive scan, whether an exact LOWER-ID neighbor at round-4
+    cosine >= 0.35 exists (the genuine cross-engine value -- Spark's
+    zip_with/aggregate fold vs DuckDB's list_sum fold, the proven
+    sim_lsh expression pair), and the contract boolean asserts that
+    whenever SemDeDup REMOVED a probe vector, that exact witness
+    exists. Guaranteed by construction on any input: a removal means
+    some within-cell lower-id pair passed the UNROUNDED >= 0.35
+    filter, and round-4 is monotone, so the exact indicator is 1.
+    The converse (recall on cross-cell near-dups) is the paper's
+    documented tradeoff, dataset-conditional, and stays in the local
+    recall-gate tests (>= 0.5 observed ~0.7). The production removal
+    list is dedup_semantic_removals, executed in full here."""
+    pin_session_conf(spark)
+    corpus = (load(spark, sf_dir, "embeddings")
+              .select("vec_id",
+                      F.col("embedding").cast("array<double>").alias("v")))
+    norm = F.sqrt(F.aggregate(
+        F.zip_with("v", "v", lambda x, y: x * y), F.lit(0.0),
+        lambda acc, z: acc + z))
+    withn = (corpus.where(F.col("v").isNotNull())
+             .select("vec_id", "v", norm.alias("nrm")))
+    q = (withn.where((F.col("vec_id") < SEM_CHECK_N) & (F.col("nrm") > 0))
+         .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+                 F.col("nrm").alias("qnrm")))
+    c = withn.select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
+                     F.col("nrm").alias("cnrm"))
+    dot = F.aggregate(F.zip_with("qv", "cv", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, z: acc + z)
+    cos4 = F.round(dot / (F.col("qnrm") * F.col("cnrm")), 4)
+    hit = ((F.col("cid") < F.col("qid")) & (F.col("cnrm") > 0)
+           & (cos4 >= 0.35)).cast("long")
+    exact = (F.broadcast(q).crossJoin(c)
+             .groupBy(F.col("qid").alias("vec_id"))
+             .agg(F.max(hit).alias("has_lower_exact_nd")))
+    removed = (dedup_semantic_removals(spark, sf_dir)
+               .select(F.col("removed_id").alias("vec_id"),
+                       F.lit(1).alias("was_removed")))
+    return (exact.join(removed, "vec_id", "left")
+            .select("vec_id", "has_lower_exact_nd",
+                    (F.col("was_removed").isNull()
+                     | (F.col("has_lower_exact_nd") == 1))
+                    .alias("removed_implies_exact")))
 
 
 _INC_KNUTH = 2654435761
@@ -1050,8 +1270,12 @@ FROM verified WHERE 5 * i >= 4 * u
 """
 
 
-@register("dedup_minhash_checked", oracle=_minhash_checked_oracle(),
-          bench=True)  # slowest oracle in PERF.md: regressions must show in BENCH_rN
+@register("dedup_minhash_checked", oracle=_minhash_checked_oracle())
+# NOT bench-flagged (r7 verdict task 2): on the saturated fixture corpus
+# the true near-dup pair set is Theta(n^2), so this row's wall time
+# measures output volume, not banding efficiency -- the headline bench
+# slots for MinHash are the _realistic twins (slope 0.22/0.51 at real
+# 10x). This saturated twin stays the exhaustive CORRECTNESS check.
 def dedup_minhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup_minhash's ORACLE-CHECKED twin: the identical 16-hash /
     4-band LSH pipeline with the seeded hash swapped from xxhash64 to

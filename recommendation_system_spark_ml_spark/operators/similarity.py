@@ -512,8 +512,7 @@ def build_ivf_index(spark: SparkSession, sf_dir: str,
     return cells_path, cent_path
 
 
-@register("sim_ivf_persisted")  # rows-only: KMeans inside the build
-def sim_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k answered FROM THE PERSISTED INDEX (build_ivf_index):
     same (query_id, neighbor_id, rank, cosine) contract and recall
     gate as sim_ivf, but the query path runs zero KMeans fits and
@@ -779,8 +778,7 @@ def sim_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(dec.where(F.col("vec_id") < N_QUERIES), dec)
 
 
-@register("sim_pq")  # rows-only: KMeans codebooks inside
-def sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (the codes half of IVF-PQ, the
     standard billion-scale recipe): split each 64-dim vector into m=8
     8-dim subvectors, learn a k=16 KMeans codebook per subspace, store
@@ -901,6 +899,84 @@ def sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.round("cos", 4).alias("cosine")))
     with_subs.unpersist()
     return out
+
+
+def _ann_contract_oracle(flag: str) -> str:
+    """Shared exact-top-k oracle for the ANN agreement contracts
+    (sim_ivf's r7 promotion shape): per (query, rank) the EXACT
+    cosine, plus a TRUE bound flag named per contract."""
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+    SELECT q.query_id, c.vec_id AS nid,
+           list_cosine_similarity(q.qv, CAST(c.embedding AS DOUBLE[])) AS cos
+    FROM q JOIN embeddings c ON q.query_id <> c.vec_id
+), ranked AS (
+    SELECT query_id, cos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, nid ASC) AS rank
+    FROM scored
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, round(cos, 4) AS exact_cosine,
+       TRUE AS {flag}
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def _ann_le_exact_contract(spark: SparkSession, sf_dir: str,
+                           approx: DataFrame, flag: str) -> DataFrame:
+    """Join an approximate top-k (query_id, rank, cosine) against the
+    exact brute-force top-k and emit the sim_ivf agreement contract:
+    exact_cosine as the cross-engine value, and `flag` asserting the
+    approximate cosine at each rank never exceeds the exact one --
+    guaranteed at float level because every ANN variant re-ranks a
+    SUBSET of all pairs with the bit-identical round-4 cosine
+    expression, and round-4 is monotone."""
+    corpus = _corpus(spark, sf_dir)
+    exact = brute_force_topk(corpus.where(F.col("vec_id") < N_QUERIES),
+                             corpus)
+    a = approx.select("query_id", "rank", F.col("cosine").alias("a_cos"))
+    return (exact.join(a, ["query_id", "rank"], "left")
+            .select("query_id", "rank",
+                    F.col("cosine").alias("exact_cosine"),
+                    (F.col("a_cos").isNull()
+                     | (F.col("a_cos") <= F.col("cosine"))).alias(flag)))
+
+
+@register("sim_ivf_persisted", oracle=_ann_contract_oracle("ivfp_le_exact"))
+def sim_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashable agreement contract over sim_ivf_persisted_topk (r7
+    verdict task 4, the sim_ivf promotion pattern): per (query, rank)
+    the oracle states the EXACT top-k cosine, and the contract
+    boolean asserts the persisted-index IVF's cosine at that rank
+    never exceeds it -- data-independent, because the probed cells'
+    candidates are a subset of all pairs scored by the identical
+    round-4 cosine (the persisted `nrm` column round-trips parquet
+    doubles exactly). Recall@k (dataset-conditional) stays in the
+    local tests; the production edge-list API and its
+    zero-fits/partition-pruning deployment shape live unchanged in
+    sim_ivf_persisted_topk, which this contract executes in full."""
+    pin_session_conf(spark)
+    return _ann_le_exact_contract(
+        spark, sf_dir, sim_ivf_persisted_topk(spark, sf_dir),
+        "ivfp_le_exact")
+
+
+@register("sim_pq", oracle=_ann_contract_oracle("pq_le_exact"))
+def sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashable agreement contract over sim_pq_topk (r7 verdict
+    task 4): per (query, rank) the oracle states the EXACT top-k
+    cosine, and the contract boolean asserts PQ's cosine at that rank
+    never exceeds it -- guaranteed on any input because PQ's ADC
+    shortlist is RE-RANKED full-precision with the identical round-4
+    cosine expression, so its final scores are a subset of the exact
+    pair scores. Recall@k (codebook- and dataset-conditional) stays
+    in the local tests (>= 80%@5 gate); the production edge-list API
+    is sim_pq_topk, executed in full here."""
+    pin_session_conf(spark)
+    return _ann_le_exact_contract(
+        spark, sf_dir, sim_pq_topk(spark, sf_dir), "pq_le_exact")
 
 
 @register("vec_class_centroids", oracle="""

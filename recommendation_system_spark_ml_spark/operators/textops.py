@@ -800,8 +800,11 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_chunks"))
 
 
-@register("text_quality_model")  # rows-only: hashed features + LR weights
-def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+_QM_AUC_BAND = 0.6  # contract band; the local test gates 0.8
+
+
+def text_quality_model_scores(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
     """Learned quality scorer (the CCNet/DCLM pattern): distill a
     heuristic gate into a fast classifier so the expensive rule -- in
     real pipelines an LM-perplexity or human-label signal -- is paid
@@ -825,7 +828,8 @@ def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, RegexTokenizer
     from pyspark.ml.functions import vector_to_array
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (load(spark, sf_dir, "documents")
+            .where(F.col("text").isNotNull()).select("doc_id", "text"))
     ws = F.split(F.lower("text"), " ")
     ratio = (F.size(F.filter(ws, lambda w: w.isin(*_STOPWORDS)))
              .cast("double") / F.size(ws))
@@ -833,13 +837,20 @@ def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-median teacher threshold as a broadcast 1-row cross join,
     # NOT a driver collect: the label stays one lazy plan, so the
     # threshold job folds into whatever action consumes `labeled`
-    # (previously this was the repo's third bounded collect site)
+    # (previously this was the repo's third bounded collect site).
+    # The threshold quantizes at 1e-8 (the text_ccnet_buckets recipe)
+    # so Spark's percentile() and DuckDB's quantile_cont() agree on
+    # every label the text_quality_model contract counts.
     thr_df = with_r.agg(
-        F.expr("percentile(sw_ratio, 0.5)").alias("_thr"))
+        (F.floor(F.expr("percentile(sw_ratio, 0.5)") * 1e8 + F.lit(0.5))
+         / 1e8).alias("_thr"))
     labeled = with_r.crossJoin(F.broadcast(thr_df)).select(
         "doc_id", "text",
         (F.col("sw_ratio") > F.col("_thr")).cast("double").alias("label"),
-        F.when((F.col("doc_id") * _MIX_KNUTH) % 4294967296 % 10 < 7,
+        # id folded mod 2^24 before the Knuth multiply (BIGINT-exact
+        # at any doc_id, the _SPLIT_NUM recipe)
+        F.when(((F.col("doc_id") % F.lit(16777216)) * _MIX_KNUTH)
+               % 4294967296 % 10 < 7,
                "train").otherwise("test").alias("split"))
     pipe = Pipeline(stages=[
         RegexTokenizer(inputCol="text", outputCol="tokens",
@@ -866,6 +877,80 @@ def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "doc_id", "split", F.col("label").cast("int").alias("label"),
         F.round(vector_to_array("probability")[1], 4).alias("quality_score"))
+
+
+@register("text_quality_model", oracle=f"""
+WITH d AS (
+    SELECT doc_id,
+           len(list_filter(string_split(lower(text), ' '),
+                           w -> w IN ('{_SW_SQL}'))) * 1.0
+               / len(string_split(lower(text), ' ')) AS sw_ratio
+    FROM documents WHERE text IS NOT NULL
+),
+thr AS (SELECT floor(quantile_cont(sw_ratio, 0.5) * 1e8 + 0.5) / 1e8 AS t
+        FROM d),
+lab AS (
+    SELECT doc_id,
+           CASE WHEN sw_ratio > t THEN 1 ELSE 0 END AS label,
+           CASE WHEN ((doc_id % 16777216) * {_MIX_KNUTH})
+                     % 4294967296 % 10 < 7
+                THEN 'train' ELSE 'test' END AS split
+    FROM d, thr
+)
+SELECT CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_train,
+       CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_test,
+       CAST(sum(CASE WHEN split = 'train' AND label = 1
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_train_pos,
+       CAST(sum(CASE WHEN split = 'test' AND label = 1
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_test_pos,
+       TRUE AS test_auc_acceptable
+FROM lab
+""")
+def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashable contract over text_quality_model_scores (r7 verdict
+    task 4): the oracle recomputes the ENTIRE deterministic half of
+    the experiment -- stopword-ratio teacher, 1e-8-quantized corpus
+    median, Knuth 70/30 split -- and pins the four split/label counts
+    as exact cross-engine integers, so the teacher labeling and the
+    split gate are hash-verified end to end. The one thing SQL cannot
+    replay (hashed-features logistic regression weights) enters as a
+    held-out-AUC band boolean: test AUC >= _QM_AUC_BAND = 0.6 (observed
+    ~0.99 at every SF; the local test gates the tighter 0.8). The
+    band is wide enough that crossing it means the PIPELINE broke
+    (labels shuffled, split leaked, scores inverted), not that the
+    data got unlucky -- the r6 HLL-bound lesson applied to a learned
+    metric; degenerate corpora where the test split has a single
+    class short-circuit to TRUE because AUC is undefined there.
+    The production per-doc score table is text_quality_model_scores,
+    trained and scored in full here."""
+    pin_session_conf(spark)
+    scores = text_quality_model_scores(spark, sf_dir).cache()
+    counts = scores.agg(
+        F.sum((F.col("split") == "train").cast("long")).alias("n_train"),
+        F.sum((F.col("split") == "test").cast("long")).alias("n_test"),
+        F.sum(((F.col("split") == "train") & (F.col("label") == 1))
+              .cast("long")).alias("n_train_pos"),
+        F.sum(((F.col("split") == "test") & (F.col("label") == 1))
+              .cast("long")).alias("n_test_pos"))
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    test = scores.where(F.col("split") == "test").select(
+        F.col("quality_score").alias("raw"),
+        F.col("label").cast("double").alias("label"))
+    n_test, n_pos = test.agg(
+        F.count(F.lit(1)), F.sum("label")).first()
+    if n_pos is None or n_pos == 0 or n_pos == n_test:
+        auc_ok = True  # AUC undefined on a single-class test split
+    else:
+        auc = BinaryClassificationEvaluator(
+            rawPredictionCol="raw", labelCol="label",
+            metricName="areaUnderROC").evaluate(test)
+        auc_ok = auc >= _QM_AUC_BAND
+    scores.unpersist()
+    return counts.select(
+        "n_train", "n_test", "n_train_pos", "n_test_pos",
+        F.lit(bool(auc_ok)).alias("test_auc_acceptable"))
 
 
 N_CURRICULUM_SHARDS = 8

@@ -344,7 +344,10 @@ def test_semantic_dedup_assignment_is_map_side(spark):
     that shuffled corpus x nlist rows with their vectors. No Window
     node anywhere; the only per-vector hash partitioning allowed is
     the within-cell pair join on `cell` (and the final group-by)."""
-    plan = _plan(_specs()["dedup_semantic"].fn(spark, SF_SMOKE))
+    from recommendation_system_spark_ml_spark.operators.dedup import (
+        dedup_semantic_removals)
+
+    plan = _plan(dedup_semantic_removals(spark, SF_SMOKE))
     assert "Window" not in plan
     assert "hashpartitioning(vec_id" not in plan
     # the assignment is Arrow-vectorized, never row-at-a-time Python

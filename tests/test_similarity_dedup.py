@@ -7,7 +7,8 @@ from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
 from recommendation_system_spark_ml_spark.operators.dedup import (
-    dedup_exact, dedup_fingerprint, dedup_minhash, dedup_simhash)
+    dedup_exact, dedup_fingerprint, dedup_minhash_pairs,
+    dedup_simhash_fingerprints)
 from recommendation_system_spark_ml_spark.operators.similarity import (
     sim_ivf, sim_topk)
 
@@ -24,13 +25,13 @@ def test_simhash_identical_for_bag_equal_docs(spark):
     fp = dedup_fingerprint(spark, SF_SMOKE)
     dup_groups = fp.where(F.col("n_docs") > 1)
     assert dup_groups.count() > 0
-    sh = dedup_simhash(spark, SF_SMOKE)
+    sh = dedup_simhash_fingerprints(spark, SF_SMOKE)
     # distinct simhash count <= distinct fingerprint count
     assert sh.select("simhash").distinct().count() <= fp.count()
 
 
 def test_minhash_finds_near_dup_pairs(spark):
-    pairs = dedup_minhash(spark, SF_SMOKE)
+    pairs = dedup_minhash_pairs(spark, SF_SMOKE)
     assert pairs.count() > 0
     assert pairs.agg(F.max("jaccard_dist")).first()[0] <= 0.2
 
@@ -152,11 +153,12 @@ def test_pq_recall_vs_brute_force(spark):
     embeddings are near-uniform on the sphere -- PQ's hardest case --
     so the shortlist does the heavy lifting)."""
     from recommendation_system_spark_ml_spark.operators.similarity import (
-        sim_topk, sim_pq)
+        sim_topk, sim_pq_topk)
 
     sf = "/root/testdata/sf0.001"
     exact = {(r.query_id, r.neighbor_id) for r in sim_topk(spark, sf).collect()}
-    approx = {(r.query_id, r.neighbor_id) for r in sim_pq(spark, sf).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in sim_pq_topk(spark, sf).collect()}
     assert len(exact & approx) >= 0.75 * len(exact)
 
 
@@ -169,9 +171,10 @@ def test_semantic_dedup_precision_and_recall(spark):
     pairs beyond the runner-up cell are the sacrificed remainder)."""
     import duckdb
 
-    from recommendation_system_spark_ml_spark.operators.dedup import dedup_semantic
+    from recommendation_system_spark_ml_spark.operators.dedup import (
+        dedup_semantic_removals)
 
-    rows = dedup_semantic(spark, SF_SMOKE).collect()
+    rows = dedup_semantic_removals(spark, SF_SMOKE).collect()
     assert rows, "no semantic dups found at all"
     assert all(r.cosine >= 0.35 - 1e-6 for r in rows)
     assert all(r.keeper_id < r.removed_id for r in rows)
@@ -197,7 +200,7 @@ def test_ivf_persisted_zero_fits_and_recall(spark, monkeypatch):
     from pyspark.ml.clustering import KMeans
 
     from recommendation_system_spark_ml_spark.operators.similarity import (
-        build_ivf_index, sim_ivf_persisted)
+        build_ivf_index, sim_ivf_persisted_topk)
 
     build_ivf_index(spark, SF_SMOKE)
 
@@ -205,7 +208,7 @@ def test_ivf_persisted_zero_fits_and_recall(spark, monkeypatch):
         raise AssertionError("KMeans.fit ran on the query path")
 
     monkeypatch.setattr(KMeans, "fit", _no_fit)
-    df = sim_ivf_persisted(spark, SF_SMOKE)
+    df = sim_ivf_persisted_topk(spark, SF_SMOKE)
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted")
     scan_blocks = [b for b in plan.split("\n\n")
@@ -251,7 +254,8 @@ def test_minhash_hash_families_agree(spark):
     from recommendation_system_spark_ml_spark.operators.dedup import (
         dedup_minhash_checked)
 
-    xx = {(r.doc_a, r.doc_b) for r in dedup_minhash(spark, SF_SMOKE).collect()}
+    xx = {(r.doc_a, r.doc_b)
+          for r in dedup_minhash_pairs(spark, SF_SMOKE).collect()}
     md = {(r.doc_a, r.doc_b)
           for r in dedup_minhash_checked(spark, SF_SMOKE).collect()}
     assert len(xx) > 0 and len(md) > 0
@@ -417,12 +421,12 @@ def test_semantic_dedup_recall_on_anisotropic_geometry(spark):
     assignment or the within-cell join would crater clustered recall
     long before it shows on the uniform gate."""
     from recommendation_system_spark_ml_spark.operators.dedup import (
-        dedup_semantic)
+        dedup_semantic_removals)
     from recommendation_system_spark_ml_spark.operators.similarity import (
         _corpus, _dot)
 
     sf = _anisotropic_sf_dir(spark)
-    rows = dedup_semantic(spark, sf).collect()
+    rows = dedup_semantic_removals(spark, sf).collect()
     assert rows, "no semantic dups on clustered data at all"
     assert all(r.cosine >= 0.35 - 1e-6 for r in rows)
     corpus = _corpus(spark, sf)

@@ -65,10 +65,10 @@ def test_quality_model_heldout_auc(spark):
     from pyspark.ml.evaluation import BinaryClassificationEvaluator
 
     from recommendation_system_spark_ml_spark.operators.textops import (
-        text_quality_model,
+        text_quality_model_scores,
     )
 
-    out = text_quality_model(spark, SF_SMOKE).cache()
+    out = text_quality_model_scores(spark, SF_SMOKE).cache()
     try:
         assert out.where((F.col("quality_score") < 0)
                          | (F.col("quality_score") > 1)).count() == 0
