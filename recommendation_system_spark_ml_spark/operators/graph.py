@@ -489,18 +489,19 @@ WITH oi AS (
 ), deg AS MATERIALIZED (
     SELECT u AS node, count(*) AS d FROM und GROUP BY 1
 ), adj AS MATERIALIZED (
-    SELECT v AS mid, u AS nbr FROM (
-        SELECT u, v, row_number() OVER (PARTITION BY v
-                                        ORDER BY u ASC) AS rn
-        FROM und) WHERE rn <= {LP_MID_CAP}
-), wedges AS (
-    SELECT a.nbr AS x, b.nbr AS y, a.mid
-    FROM adj a JOIN adj b ON a.mid = b.mid AND a.nbr < b.nbr
+    SELECT mid, nbr, d_mid FROM (
+        SELECT o.v AS mid, o.u AS nbr, dm.d AS d_mid,
+               row_number() OVER (PARTITION BY o.v
+                                  ORDER BY o.u ASC) AS rn
+        FROM und o
+        JOIN deg dm ON o.v = dm.node
+        JOIN deg dn ON o.u = dn.node
+        WHERE (dn.d, o.u) > (dm.d, o.v)) WHERE rn <= {LP_MID_CAP}
 ), cand AS (
-    SELECT w.x, w.y,
+    SELECT a.nbr AS x, b.nbr AS y,
            count(*) AS cn,
-           floor(sum(1.0 / ln(dm.d)) * {_LP_Q} + 0.5) / {_LP_Q} AS aa
-    FROM wedges w JOIN deg dm ON w.mid = dm.node
+           floor(sum(1.0 / ln(a.d_mid)) * {_LP_Q} + 0.5) / {_LP_Q} AS aa
+    FROM adj a JOIN adj b ON a.mid = b.mid AND a.nbr < b.nbr
     GROUP BY 1, 2
 ), nonadj AS (
     SELECT c.* FROM cand c
@@ -531,15 +532,28 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape -- and the load-bearing cap: raw wedge enumeration is
     sum(deg_mid^2), and on this DENSE co-purchase graph (near-uniform
     degree ~125 at sf0.1) that is ~300M wedges -- measured 88 s, the
-    registry's slowest query before the cap. Each middle's adjacency
-    is therefore cut to its first {LP_MID_CAP} neighbors by id
+    registry's slowest query before the cap. Middle selection is
+    DEGREE-ORDERED (r7 verdict task 5, the graph_triangle_count
+    Chiba-Nishizeki orientation): a middle only enumerates neighbors
+    with a LARGER (degree, id), i.e. every wedge is charged to its
+    lowest-degree common neighbor, then that oriented adjacency is
+    cut to the first {LP_MID_CAP} out-neighbors by id
     (WindowGroupLimit -- a documented algorithmic contract shared
     verbatim with the oracle, the USER_CAP recipe from the item-CF
-    pipeline), bounding wedges at |nodes| x {LP_MID_CAP}^2 / 2 --
-    LINEAR in nodes at any scale. Scores become capped-adjacency
-    CN/AA (standard practice for hub middles, whose per-wedge AA
-    weight 1/ln(deg) is smallest anyway); Jaccard denominators keep
-    the TRUE degrees. Adamic-Adar denominators are a broadcast degree
+    pipeline). Capped wedge volume is therefore
+    sum_mid min(outdeg, {LP_MID_CAP})^2
+    <= {LP_MID_CAP} * sum_mid outdeg = {LP_MID_CAP} * E --
+    it tracks EDGES at any scale (and in the unsaturated regime the
+    orientation alone gives the Chiba-Nishizeki E^1.5 wedge bound,
+    with outdeg <= sqrt(2E) for every middle); the id-ordered cap on
+    the UNORIENTED adjacency it replaces admitted twice that
+    (2E entries) and spent the budget on an arbitrary id-ordered
+    subset. The orientation also keeps exactly the HIGH-WEIGHT
+    wedges: Adamic-Adar weighs a middle 1/ln(deg_mid), largest for
+    low-degree middles, which are precisely the middles the
+    orientation lets enumerate. Scores become oriented-capped CN/AA
+    (standard hub-middle practice); Jaccard denominators keep the
+    TRUE degrees. Adamic-Adar denominators are a broadcast degree
     join; non-adjacency is a left anti join against the canonical u<v
     edge set; the final cut is orderBy+limit (TakeOrderedAndProject
     -- a distributed heap, never a global sort). AA floor-quantizes
@@ -558,21 +572,34 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = und.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("d"))
+    # degree orientation: keep (mid=v -> nbr=u) only when the
+    # neighbor's (degree, id) exceeds the middle's, so each wedge is
+    # charged to its lowest-degree common neighbor (broadcast degree
+    # joins -- |nodes| rows); then cap the oriented out-adjacency.
+    dmid = deg.select(F.col("node").alias("v"), F.col("d").alias("d_mid"))
+    dnbr = deg.select(F.col("node").alias("u"), F.col("d").alias("d_nbr"))
+    oriented = (und.join(F.broadcast(dmid), "v")
+                .join(F.broadcast(dnbr), "u")
+                .where((F.col("d_nbr") > F.col("d_mid"))
+                       | ((F.col("d_nbr") == F.col("d_mid"))
+                          & (F.col("u") > F.col("v")))))
     wadj = Window.partitionBy("v").orderBy(F.col("u").asc())
-    adj = (und.withColumn("rn", F.row_number().over(wadj))
+    # the middle's AA weight rides the (bounded) adjacency rows, so
+    # the wedge stream -- the only table that is ever CAP * E wide --
+    # joins nothing downstream and never carries the mid column.
+    adj = (oriented.withColumn("rn", F.row_number().over(wadj))
            .where(F.col("rn") <= LP_MID_CAP)
-           .select(F.col("v").alias("mid"), F.col("u").alias("nbr")))
+           .select(F.col("v").alias("mid"), F.col("u").alias("nbr"),
+                   (F.lit(1.0) / F.log(F.col("d_mid"))).alias("w_mid")))
     wa, wb = adj.alias("wa"), adj.alias("wb")
-    wedges = (wa.join(wb, (F.col("wa.mid") == F.col("wb.mid"))
-                      & (F.col("wa.nbr") < F.col("wb.nbr")))
-              .select(F.col("wa.nbr").alias("x"), F.col("wb.nbr").alias("y"),
-                      F.col("wa.mid").alias("mid")))
-    dm = deg.select(F.col("node").alias("mid"), F.col("d").alias("dmid"))
-    cand = (wedges.join(F.broadcast(dm), "mid")
+    cand = (wa.join(wb, (F.col("wa.mid") == F.col("wb.mid"))
+                    & (F.col("wa.nbr") < F.col("wb.nbr")))
+            .select(F.col("wa.nbr").alias("x"), F.col("wb.nbr").alias("y"),
+                    F.col("wa.w_mid").alias("w_mid"))
             .groupBy("x", "y")
             .agg(F.count(F.lit(1)).alias("cn"),
-                 (F.floor(F.sum(F.lit(1.0) / F.log(F.col("dmid")))
-                          * _LP_Q + F.lit(0.5)) / _LP_Q).alias("aa")))
+                 (F.floor(F.sum("w_mid") * _LP_Q + F.lit(0.5)) / _LP_Q)
+                 .alias("aa")))
     nonadj = cand.join(e, (cand.x == e.u) & (cand.y == e.v), "left_anti")
     du = deg.select(F.col("node").alias("x"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("y"), F.col("d").alias("dv"))
