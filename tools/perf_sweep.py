@@ -48,6 +48,12 @@ CHECK_SF_DIR = "/root/testdata/sf0.01"
 REFINE_TOP = 15  # slowest N re-measured; median of 3 reported
 
 
+def _median_list(xs):
+    xs = sorted(xs)
+    mid = len(xs) // 2
+    return xs[mid] if len(xs) % 2 else (xs[mid - 1] + xs[mid]) / 2
+
+
 def _quiesce(spark) -> None:
     """Same barrier as bench.py's: cached blocks dropped + full GC
     requested OUTSIDE the timed window, so one query's heap garbage
@@ -57,11 +63,11 @@ def _quiesce(spark) -> None:
     time.sleep(0.3)
 
 
-def _bench_subprocess(sf_dir: str) -> dict[str, float]:
+def _bench_subprocess(sf_dir: str):
     """Run bench.py in a fresh interpreter/JVM and return its
-    per-query medians -- the EXACT numbers a driver-run BENCH_rN
-    records, so PERF.md's headline rows can never disagree with
-    bench by methodology."""
+    per-query medians (raw and calib-normalized) -- the EXACT numbers
+    a driver-run BENCH_rN records, so PERF.md's headline rows can
+    never disagree with bench by methodology."""
     import json
     import subprocess
 
@@ -72,7 +78,8 @@ def _bench_subprocess(sf_dir: str) -> dict[str, float]:
         capture_output=True, text=True, env=env, check=True).stdout
     line = [ln for ln in out.splitlines() if ln.startswith('{"metric"')][-1]
     parsed = json.loads(line)
-    return parsed["queries"], parsed.get("calib_sec")
+    return (parsed["queries"], parsed.get("calib_sec"),
+            parsed.get("queries_norm", {}))
 
 
 def main() -> None:
@@ -88,15 +95,20 @@ def main() -> None:
     if bench_names:
         print(f"bench subprocess: {len(bench_names)} headline queries",
               flush=True)
-        bench_meds, bench_calib = _bench_subprocess(sf_dir)
+        bench_meds, bench_calib, bench_norm = _bench_subprocess(sf_dir)
         for n, t in bench_meds.items():
             tag = "oracle" if specs[n].oracle else "rows-only"
-            bench_rows.append((n, round(t, 2),
-                               tag + ", bench-methodology median/3"))
+            bench_rows.append((n, round(t, 2), bench_norm.get(n, t),
+                               tag + ", bench-methodology median"))
             print(f"{n} {t:.2f}s (bench)", flush=True)
     spark = get_spark(app_name="perf_sweep")
     # warm the JVM outside the timed region
     specs["scan_parquet"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # machine-speed probe (bench.py's): swept rows also report a
+    # calib-NORMALIZED value so BENCH_rN and PERF.md compare on the
+    # same reference machine speed (r7 verdict task 3).
+    from bench import REF_CALIB, _calib_probe
+    calib_start = _calib_probe(spark)
 
     rows = []
     for name in sorted(specs):
@@ -146,7 +158,13 @@ def main() -> None:
               flush=True)
         refined.append((name, round(med, 2),
                         tag.replace(", median/3", "") + ", median/6"))
-    rows = bench_rows + refined + rows[REFINE_TOP:]
+    # sweep-side machine-speed factor: probe again and normalize the
+    # in-process rows to REF_CALIB, like bench.py's queries_norm.
+    sweep_calib = _median_list(calib_start + _calib_probe(spark))
+    factor = REF_CALIB / sweep_calib
+    swept = [(n, t, round(t * factor, 2) if t > 0 else t, k)
+             for n, t, k in refined + rows[REFINE_TOP:]]
+    rows = bench_rows + swept
     rows.sort(key=lambda r: -r[1])
     total = sum(r[1] for r in rows if r[1] > 0)
     out = ["# PERF — full registry sweep",
@@ -158,16 +176,17 @@ def main() -> None:
            "Headline (bench-flagged) rows are bench.py's own fresh-JVM",
            "medians (subprocess; methodology identical to BENCH_rN by",
            "construction); the rest are warm-session per-sample-quiesced",
-           "median-of-3 (top rows median-of-6). Residual BENCH-vs-PERF",
-           "disagreement is VM throttle drift between runs (one refine pass",
-           "measured [6.5, 6.4, 23.8] for the same query back-to-back);",
-           "check the calib_sec ratio between the two artifacts first --",
-           f"this file's bench subprocess measured calib_sec={bench_calib}",
-           "(bench.py's fixed 200M-row CPU probe, median/3).",
+           "median-of-3 (top rows median-of-6). The `norm` column is the",
+           "calibration-NORMALIZED median (raw * REF_CALIB / calib, bench.py's",
+           "fixed 200M-row CPU probe measured before and after the timed",
+           "region) -- cross-artifact comparisons (BENCH_rN vs this file) use",
+           "`norm`, which cancels the VM's 2-4x between-run throttle drift;",
+           f"this run: bench subprocess calib_sec={bench_calib}, in-process",
+           f"sweep calib_sec={round(sweep_calib, 3)}, REF_CALIB={REF_CALIB}.",
            "",
-           "| query | seconds | check |",
-           "|---|---|---|"]
-    out += [f"| {n} | {t} | {k} |" for n, t, k in rows]
+           "| query | seconds | norm | check |",
+           "|---|---|---|---|"]
+    out += [f"| {n} | {t} | {nm} | {k} |" for n, t, nm, k in rows]
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "PERF.md")
     with open(path, "w") as f:
