@@ -431,3 +431,97 @@ def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("b.doc_id").alias("doc_b"),
                     hamming.cast("int").alias("hamming"))
             .dropDuplicates(["doc_a", "doc_b"]))
+
+
+AUDIO_WIN = 64   # frame length in samples (bytes of the fake PCM)
+AUDIO_HOP = 32   # hop between frame starts
+
+
+@register("multimodal_audio_frames", oracle=f"""
+WITH b AS (
+    SELECT doc_id, hex(CAST(text AS BLOB)) AS hx,
+           octet_length(CAST(text AS BLOB)) AS n
+    FROM documents WHERE text IS NOT NULL
+), bs AS (
+    SELECT doc_id, n,
+           list_transform(range(1, CAST(n AS BIGINT) + 1), i ->
+               (strpos('0123456789ABCDEF',
+                       substr(hx, CAST(2 * i - 1 AS BIGINT), 1)) - 1) * 16
+               + (strpos('0123456789ABCDEF',
+                         substr(hx, CAST(2 * i AS BIGINT), 1)) - 1)) AS pcm
+    FROM b WHERE n >= {AUDIO_WIN}
+), f AS (
+    SELECT doc_id, n,
+           CAST(g - 1 AS BIGINT) AS frame_idx,
+           CAST((g - 1) * {AUDIO_HOP} AS BIGINT) AS start_sample,
+           list_sum(list_transform(
+               list_slice(pcm, (g - 1) * {AUDIO_HOP} + 1,
+                          (g - 1) * {AUDIO_HOP} + {AUDIO_WIN}),
+               x -> abs(x - 128))) AS energy
+    FROM bs, LATERAL (SELECT unnest(generate_series(
+        1, CAST(1 + (n - {AUDIO_WIN}) // {AUDIO_HOP} AS BIGINT))) AS g) gs
+)
+SELECT doc_id, frame_idx, start_sample,
+       CAST(energy AS BIGINT) AS energy,
+       CAST(1 + (n - {AUDIO_WIN}) // {AUDIO_HOP} AS BIGINT) AS n_frames
+FROM f
+""")
+def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio frame windowing over the opaque payload column -- the
+    STFT-front-end shape every speech/audio pipeline needs (librosa
+    frame/hop semantics: frame f covers samples [f*hop, f*hop+win)),
+    run as ONE Arrow mapInPandas pass with a vectorized NumPy body.
+    The 'decode' treats each payload byte as an unsigned 8-bit PCM
+    sample (the deterministic stand-in; a real codec swaps ONE
+    function, the plumbing -- schema, batching, frame arithmetic --
+    is exactly what ships) and emits per-frame integer energy
+    sum(|sample - 128|), so the ENTIRE Arrow path is hash-verified by
+    a DuckDB oracle that replays the byte arithmetic from hex(blob)
+    nibbles (the multimodal_features recipe): window placement, tail
+    handling (a doc shorter than one window emits nothing; the last
+    partial window is dropped, librosa center=False), and the energy
+    fold, all in exact integer arithmetic.
+
+    Scale shape: frames = (n_bytes - win) / hop per doc, emitted
+    map-side with zero shuffle (the noop sink sees ONE stage); at
+    100 TB the frame table is the input to batched feature UDFs and
+    is never wider than samples/hop rows. Python cost is one
+    np.frombuffer + one strided matmul-free reduction per batch, not
+    per frame."""
+    pin_session_conf(spark)
+    import numpy as np
+
+    media = (media_table(spark, sf_dir)
+             .where(F.col("payload").isNotNull())
+             .select("doc_id", "payload"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, fidx, starts, energies, totals = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                pcm = np.frombuffer(payload, dtype=np.uint8)
+                n = pcm.shape[0]
+                if n < AUDIO_WIN:
+                    continue
+                n_frames = 1 + (n - AUDIO_WIN) // AUDIO_HOP
+                # strided frame view: (n_frames, WIN) without copying
+                view = np.lib.stride_tricks.sliding_window_view(
+                    pcm, AUDIO_WIN)[::AUDIO_HOP][:n_frames]
+                e = np.abs(view.astype(np.int64) - 128).sum(axis=1)
+                ids.extend([doc_id] * n_frames)
+                fidx.extend(range(n_frames))
+                starts.extend(range(0, n_frames * AUDIO_HOP, AUDIO_HOP))
+                energies.extend(int(x) for x in e)
+                totals.extend([n_frames] * n_frames)
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(fidx, dtype="int64"),
+                "start_sample": pd.Series(starts, dtype="int64"),
+                "energy": pd.Series(energies, dtype="int64"),
+                "n_frames": pd.Series(totals, dtype="int64"),
+            })
+
+    return media.mapInPandas(
+        batches,
+        schema=("doc_id bigint, frame_idx bigint, start_sample bigint, "
+                "energy bigint, n_frames bigint"))

@@ -2510,3 +2510,73 @@ def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pred.groupBy("true_lang",
                          F.col("cand").alias("pred_lang"))
             .agg(F.count(F.lit(1)).cast("long").alias("n")))
+
+
+_TEMP_Q = 1_000_000  # micro-unit quantization for the sqrt weights
+
+
+@register("pipeline_mixture_temperature", oracle=f"""
+WITH c AS (
+    SELECT source, count(*) AS n_docs FROM documents
+    WHERE source IS NOT NULL GROUP BY source
+), s AS (
+    SELECT source, n_docs,
+           CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * {_TEMP_Q} + 0.5)
+                AS BIGINT) AS su
+    FROM c
+), t AS (
+    SELECT sum(su) AS stot, sum(n_docs) AS n FROM s
+)
+SELECT s.source, CAST(s.n_docs AS BIGINT) AS n_docs,
+       floor(CAST(s.n_docs AS DOUBLE) / t.n * {_TEMP_Q} + 0.5) / {_TEMP_Q}
+           AS p_raw,
+       floor(CAST(s.su AS DOUBLE) / t.stot * {_TEMP_Q} + 0.5) / {_TEMP_Q}
+           AS w_temp,
+       CAST((s.su * t.n) // t.stot AS BIGINT) AS epoch_quota
+FROM s, t
+""")
+def pipeline_mixture_temperature(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling weights -- the multilingual
+    mixing rule of mBERT / XLM-R (Conneau et al. 2020): sample source
+    s with probability q_s proportional to p_s^alpha, alpha < 1, so
+    head sources are downweighted and tail sources upsampled WITHOUT
+    the hard inverse-sqrt gate of pipeline_domain_mixture (which
+    drops rows; this emits the per-source QUOTA table an epoch
+    sampler consumes). Ships the alpha = 1/2 instance because sqrt is
+    IEEE-correctly-rounded -- bit-identical cross-engine where a
+    fractional pow() is libm-dependent; the alpha knob generalizes by
+    swapping the sqrt.
+
+    Determinism shape (the agg_mann_whitney integer discipline): the
+    per-source sqrt quantizes to INTEGER micro-units BEFORE the
+    normalizing sum, so the denominator is an exact BIGINT in any
+    summation order -- a raw double sum would carry partition-order
+    ulp noise into every weight and the floor'd quota could flip at
+    an integer boundary (the fixture's uniform 25-docs-per-source
+    corpus lands w * N EXACTLY on integers, making this a certainty
+    not an edge case). epoch_quota = su * N DIV stot is pure integer
+    arithmetic end to end.
+
+    Scale: one groupBy(source) collapse (bounded keyspace), one
+    broadcast 1-row total -- the weight table is |sources| rows at
+    any corpus size."""
+    pin_session_conf(spark)
+    c = (load(spark, sf_dir, "documents")
+         .where(F.col("source").isNotNull())
+         .groupBy("source").agg(F.count(F.lit(1)).alias("n_docs")))
+    s = c.select(
+        "source", "n_docs",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * _TEMP_Q
+                + F.lit(0.5)).cast("long").alias("su"))
+    t = s.agg(F.sum("su").alias("stot"), F.sum("n_docs").alias("n"))
+    q6 = lambda col: F.floor(col * _TEMP_Q + F.lit(0.5)) / _TEMP_Q
+    return (s.crossJoin(F.broadcast(t))
+            .select("source",
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    q6(F.col("n_docs").cast("double") / F.col("n"))
+                    .alias("p_raw"),
+                    q6(F.col("su").cast("double") / F.col("stot"))
+                    .alias("w_temp"),
+                    F.expr("(su * n) DIV stot").cast("long")
+                    .alias("epoch_quota")))

@@ -1,0 +1,71 @@
+"""Round-8 operator tests: audio frame windowing and temperature
+mixture quotas (oracle parity is auto-covered by the parametrized
+tests/test_oracle_parity.py; these assert the algebraic invariants
+the hash cannot see)."""
+
+import pyspark.sql.functions as F
+
+from recommendation_system_spark_ml_spark.registry import all_specs
+from tests.conftest import SF_SMOKE
+
+
+def _specs():
+    return all_specs()
+
+
+def test_audio_frames_window_arithmetic(spark):
+    """librosa center=False semantics: every doc with n_bytes >= WIN
+    emits exactly 1 + (n - WIN) // HOP frames, frame f starts at
+    f * HOP, and the integer energy is bounded by the byte range."""
+    from recommendation_system_spark_ml_spark.operators.multimodal import (
+        AUDIO_HOP, AUDIO_WIN, media_table)
+
+    frames = _specs()["multimodal_audio_frames"].fn(spark, SF_SMOKE).cache()
+    try:
+        sizes = {r.doc_id: r.n for r in
+                 (media_table(spark, SF_SMOKE)
+                  .where(F.col("payload").isNotNull())
+                  .select("doc_id", F.length("payload").alias("n"))
+                  .collect())}
+        got = {r.doc_id: r.cnt for r in
+               frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("cnt"))
+               .collect()}
+        want = {d: 1 + (n - AUDIO_WIN) // AUDIO_HOP
+                for d, n in sizes.items() if n >= AUDIO_WIN}
+        assert got == want, "frame counts disagree with the hop formula"
+        bad = frames.where(
+            (F.col("start_sample") != F.col("frame_idx") * AUDIO_HOP)
+            | (F.col("energy") < 0)
+            | (F.col("energy") > AUDIO_WIN * 128)
+            | (F.col("frame_idx") >= F.col("n_frames"))).count()
+        assert bad == 0
+    finally:
+        frames.unpersist()
+
+
+def test_audio_frames_single_map_stage(spark):
+    """The frame table is emitted map-side: no Exchange anywhere in
+    the plan (scan -> ArrowEvalPython-class node -> output)."""
+    df = _specs()["multimodal_audio_frames"].fn(spark, SF_SMOKE)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_mixture_temperature_flattens_the_head(spark):
+    """Temperature alpha < 1 must move weight from head to tail:
+    for any two sources, the larger one's w/p ratio is <= the
+    smaller one's; quotas sum to <= N and track w * N."""
+    rows = (_specs()["pipeline_mixture_temperature"].fn(spark, SF_SMOKE)
+            .collect())
+    assert rows
+    n = sum(r.n_docs for r in rows)
+    assert sum(r.epoch_quota for r in rows) <= n
+    for r in rows:
+        assert abs(r.w_temp * n - r.epoch_quota) <= 1 + n * 1e-5
+    by_size = sorted(rows, key=lambda r: r.n_docs)
+    for small, big in zip(by_size, by_size[1:]):
+        if small.n_docs < big.n_docs:
+            assert (small.w_temp / max(small.p_raw, 1e-12)
+                    >= big.w_temp / max(big.p_raw, 1e-12) - 1e-9)
