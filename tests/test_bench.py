@@ -21,7 +21,8 @@ def test_bench_contract_smoke():
     assert len(lines) == 1, out.stdout
     rec = json.loads(lines[0])
     assert set(rec) == {"metric", "value", "unit", "queries", "sf",
-                        "repeat", "calib_sec"}
+                        "repeat", "calib_sec", "calib_all_sec",
+                        "ref_calib_sec", "queries_norm", "value_norm"}
     assert rec["unit"] == "sec"
     assert rec["value"] > 0
     assert rec["sf"] == 0.001
@@ -29,6 +30,18 @@ def test_bench_contract_smoke():
     assert rec["calib_sec"] > 0  # machine-speed probe (r7: throttle
     # drift between artifact runs is attributable via this scalar)
     assert all(v >= 0 for v in rec["queries"].values())
+    # r8: the normalization contract -- six probe samples (before +
+    # after), and queries_norm = raw * REF_CALIB / median(probe),
+    # one entry per raw entry, same rescale factor for every query.
+    assert len(rec["calib_all_sec"]) == 6
+    assert all(c > 0 for c in rec["calib_all_sec"])
+    assert rec["ref_calib_sec"] > 0
+    assert set(rec["queries_norm"]) == set(rec["queries"])
+    ratios = {n: rec["queries_norm"][n] / rec["queries"][n]
+              for n in rec["queries"] if rec["queries"][n] > 0}
+    lo, hi = min(ratios.values()), max(ratios.values())
+    assert hi - lo < 0.02 * hi  # one shared factor (rounding aside)
+    assert rec["value_norm"] > 0
 
 
 def test_bench_median_helper():
