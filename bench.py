@@ -116,37 +116,46 @@ def main() -> None:
     # isolated medians -- a heavy neighbor's shuffle-block garbage was
     # still being collected inside the NEXT query's timed window; with
     # the barrier per sample, the GC debt is paid on the barrier).
-    samples: dict[str, list[float]] = {name: [] for name in specs}
+    # Every timed sample is bracketed by its OWN probe run (r8: the
+    # run-level factor was not enough -- probes within one bench run
+    # measured 0.109..0.316 s, i.e. the VM's throttle flips on a
+    # timescale SHORTER than the run, so normalizing 28 queries by one
+    # scalar left ±30% residuals). A 0.2 s probe adjacent to each
+    # sample tracks the throttle state the sample actually ran under;
+    # queries_norm is the median of per-sample-normalized times.
+    samples: dict[str, list[tuple[float, float]]] = {n: [] for n in specs}
+
+    def timed_sample(spec) -> tuple[float, float]:
+        _quiesce(spark)
+        p0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr("sum(id * 2 + 1)").collect()
+        probe = time.perf_counter() - p0
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0, probe
+
     tiers: dict[int, dict] = {}
     for name, spec in specs.items():
         tiers.setdefault(tier(name), {})[name] = spec
     for t in sorted(tiers):
         for _ in range(repeat):
             for name, spec in tiers[t].items():
-                _quiesce(spark)
-                t0 = time.perf_counter()
-                spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                samples[name].append(time.perf_counter() - t0)
+                samples[name].append(timed_sample(spec))
     # Queries whose median exceeds 10 s get two extra samples (median
     # of 5, r7 verdict task 3): long queries integrate over more
     # throttle windows, so their per-sample variance is the largest
     # and three samples leave the median one bad window away from a
     # 25% swing.
     for name, ts in samples.items():
-        if repeat >= 3 and _median(ts) > 10.0:
-            spec = specs[name]
+        if repeat >= 3 and _median([dt for dt, _ in ts]) > 10.0:
             for _ in range(2):
-                _quiesce(spark)
-                t0 = time.perf_counter()
-                spec.fn(spark, sf_dir).write.format("noop").mode(
-                    "overwrite").save()
-                ts.append(time.perf_counter() - t0)
-    times = {name: round(_median(ts), 3) for name, ts in samples.items()}
-
+                ts.append(timed_sample(specs[name]))
+    times = {name: round(_median([dt for dt, _ in ts]), 3)
+             for name, ts in samples.items()}
+    times_norm = {
+        name: round(_median([dt * REF_CALIB / p for dt, p in ts]), 3)
+        for name, ts in samples.items()}
     calib_all = calib_start + _calib_probe(spark)
-    calib_mid = _median(calib_all)
-    factor = REF_CALIB / calib_mid
-    times_norm = {name: round(t * factor, 3) for name, t in times.items()}
 
     print(json.dumps({
         "metric": "bench_total",

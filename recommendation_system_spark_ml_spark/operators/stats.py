@@ -692,3 +692,83 @@ def ml_logistic_irls_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("y") * eta
                       - F.log(F.lit(1.0) + F.exp(eta))), 4).alias("log_lik"),
         (F.floor(F.avg(correct) * _Q + F.lit(0.5)) / _Q).alias("train_acc"))
+
+
+# --------------------------------------------------- winsorized mean
+
+_WZ_LO, _WZ_HI = 0.05, 0.95  # winsorization quantiles
+_WZ_Q = 1_000_000
+
+
+@register("agg_winsorized_mean", oracle=f"""
+WITH c AS (
+    SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+    FROM lineitem WHERE l_extendedprice IS NOT NULL
+),
+thr AS (
+    SELECT CAST(floor(quantile_cont(CAST(cents AS DOUBLE), {_WZ_LO}))
+                AS BIGINT) AS lo_c,
+           CAST(floor(quantile_cont(CAST(cents AS DOUBLE), {_WZ_HI}))
+                AS BIGINT) AS hi_c
+    FROM c
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN cents < lo_c THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clipped_lo,
+       CAST(sum(CASE WHEN cents > hi_c THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clipped_hi,
+       CAST(lo_c AS BIGINT) AS lo_cents, CAST(hi_c AS BIGINT) AS hi_cents,
+       floor(CAST(sum(least(greatest(cents, lo_c), hi_c)) AS DOUBLE)
+             / count(*) / 100.0 * {_WZ_Q} + 0.5) / {_WZ_Q}
+           AS winsorized_mean,
+       floor(CAST(sum(cents) AS DOUBLE)
+             / count(*) / 100.0 * {_WZ_Q} + 0.5) / {_WZ_Q} AS raw_mean
+FROM c, thr GROUP BY lo_c, hi_c
+""")
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean of l_extendedprice (clip at the 5th/95th
+    percentile, then average) -- the robust location estimate revenue
+    dashboards want when a handful of whale orders would otherwise own
+    the mean; emitted next to the raw mean so the gap itself is the
+    outlier-influence metric.
+
+    Exactness discipline (the agg_mann_whitney integer recipe): prices
+    become exact integer CENTS first, so the clipped sum is a BIGINT
+    in any summation order -- no float accumulation anywhere until the
+    two final divisions (exact integer inputs, IEEE-identical
+    quotients, 1e-6 floor quantization). The percentile thresholds
+    floor to whole cents on both engines, collapsing the Spark
+    percentile() vs DuckDB quantile_cont() interpolation difference
+    (the text_ccnet_buckets lesson) to integers before any comparison.
+
+    One scan, one partial-combinable aggregate, a broadcast 1-row
+    threshold join: the 100 TB cost is the scan."""
+    pin_session_conf(spark)
+    c = (load(spark, sf_dir, "lineitem")
+         .where(F.col("l_extendedprice").isNotNull())
+         .select(F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                 .alias("cents")))
+    thr = c.agg(
+        F.floor(F.expr(f"percentile(CAST(cents AS DOUBLE), {_WZ_LO})"))
+        .cast("long").alias("lo_c"),
+        F.floor(F.expr(f"percentile(CAST(cents AS DOUBLE), {_WZ_HI})"))
+        .cast("long").alias("hi_c"))
+    clipped = F.least(F.greatest(F.col("cents"), F.col("lo_c")),
+                      F.col("hi_c"))
+    q = lambda col: F.floor(col * _WZ_Q + F.lit(0.5)) / _WZ_Q
+    return (c.crossJoin(F.broadcast(thr))
+            .groupBy("lo_c", "hi_c")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum((F.col("cents") < F.col("lo_c")).cast("long"))
+                 .alias("n_clipped_lo"),
+                 F.sum((F.col("cents") > F.col("hi_c")).cast("long"))
+                 .alias("n_clipped_hi"),
+                 F.sum(clipped).alias("wsum"),
+                 F.sum("cents").alias("rsum"))
+            .select(F.col("n"), "n_clipped_lo", "n_clipped_hi",
+                    F.col("lo_c").cast("long").alias("lo_cents"),
+                    F.col("hi_c").cast("long").alias("hi_cents"),
+                    q(F.col("wsum").cast("double") / F.col("n") / 100.0)
+                    .alias("winsorized_mean"),
+                    q(F.col("rsum").cast("double") / F.col("n") / 100.0)
+                    .alias("raw_mean")))

@@ -2580,3 +2580,64 @@ def pipeline_mixture_temperature(spark: SparkSession,
                     .alias("w_temp"),
                     F.expr("(su * n) DIV stot").cast("long")
                     .alias("epoch_quota")))
+
+
+PAD_GRAIN = 64  # length-bucket granularity (tokens)
+
+
+@register("pipeline_padding_efficiency", oracle=f"""
+WITH t AS (
+    SELECT doc_id,
+           len(list_filter(string_split(lower(text), ' '),
+                           w -> w <> '')) AS n_tok
+    FROM documents WHERE text IS NOT NULL
+), nz AS (SELECT * FROM t WHERE n_tok > 0),
+b AS (
+    SELECT ((n_tok + {PAD_GRAIN} - 1) // {PAD_GRAIN}) * {PAD_GRAIN}
+               AS bucket_len,
+           n_tok
+    FROM nz
+)
+SELECT CAST(bucket_len AS BIGINT) AS bucket_len,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS real_tokens,
+       CAST(count(*) * bucket_len AS BIGINT) AS padded_tokens,
+       floor((1.0 - CAST(sum(n_tok) AS DOUBLE)
+                    / (count(*) * bucket_len)) * 1000000 + 0.5) / 1000000
+           AS waste_frac
+FROM b GROUP BY bucket_len
+""")
+def pipeline_padding_efficiency(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Padding-waste report for length-bucketed batching -- the
+    trainer-side twin of pipeline_pack_sequences: when batches pad
+    every sequence to its bucket's ceiling (the standard bucketed
+    collator), the wasted-compute fraction per bucket is
+    1 - real/padded. Buckets are {PAD_GRAIN}-token ceilings (the
+    usual power-of-two-ish grain); a fat waste_frac on a populous
+    bucket is the signal to re-grain or switch that range to packing.
+
+    Pure integer arithmetic until the final fraction (token counts
+    and padded counts are exact BIGINTs on both engines), one
+    groupBy over a bounded bucket keyspace -- the report is
+    |buckets| rows at any corpus size, map-side combinable."""
+    pin_session_conf(spark)
+    n_tok = F.size(F.filter(F.split(F.lower("text"), r"\s+"),
+                            lambda w: w != ""))
+    nz = (load(spark, sf_dir, "documents")
+          .where(F.col("text").isNotNull())
+          .select(n_tok.alias("n_tok"))
+          .where(F.col("n_tok") > 0))
+    bucket = (F.floor((F.col("n_tok") + PAD_GRAIN - 1) / PAD_GRAIN)
+              * PAD_GRAIN).cast("long")
+    b = nz.select(bucket.alias("bucket_len"), "n_tok")
+    return (b.groupBy("bucket_len")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_tok").cast("long").alias("real_tokens"))
+            .select("bucket_len", "n_docs", "real_tokens",
+                    (F.col("n_docs") * F.col("bucket_len")).cast("long")
+                    .alias("padded_tokens"),
+                    (F.floor((1.0 - F.col("real_tokens").cast("double")
+                              / (F.col("n_docs") * F.col("bucket_len")))
+                             * 1000000 + F.lit(0.5)) / 1000000)
+                    .alias("waste_frac")))

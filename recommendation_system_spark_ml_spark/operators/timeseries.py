@@ -916,3 +916,70 @@ def ts_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n").cast("long").alias("n"),
                     (F.floor(F.col("n").cast("double") / F.col("row_n")
                              * _MKV_Q + F.lit(0.5)) / _MKV_Q).alias("p")))
+
+
+M4_BUCKET_US = 21_600_000_000  # 6-hour M4 pixel buckets
+_M4_Q = 1_000_000
+
+
+@register("ts_downsample_m4", oracle=f"""
+WITH ev AS (
+    SELECT event_type,
+           epoch_us(ts) AS tu, event_id, value
+    FROM events
+    WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+), k AS (
+    SELECT event_type,
+           CAST(floor(tu / {M4_BUCKET_US}.0) AS BIGINT) AS bucket,
+           tu, value,
+           lpad(CAST(tu AS VARCHAR), 20, '0')
+               || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord
+    FROM ev
+)
+SELECT event_type, bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(arg_min(tu, ord) AS BIGINT) AS t_first,
+       round(arg_min(value, ord), 6) AS v_first,
+       CAST(arg_max(tu, ord) AS BIGINT) AS t_last,
+       round(arg_max(value, ord), 6) AS v_last,
+       round(min(value), 6) AS v_min,
+       round(max(value), 6) AS v_max
+FROM k GROUP BY 1, 2
+""")
+def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., VLDB 2014): per
+    (series, time bucket) keep exactly the four points a pixel-perfect
+    line rendering needs -- first, last, min, max -- so a dashboard
+    over 100 TB of telemetry reads |series| x |pixels| rows instead of
+    the raw stream, with ZERO visual error at the target resolution
+    (unlike averaging/LTTB, M4 is lossless for min/max envelopes).
+
+    Pure partial-combinable aggregation: one groupBy(series, bucket)
+    with min/max/min_by/max_by -- map-side combine collapses each
+    partition to 4 values per open bucket before the shuffle, the
+    canonical mergeable-summary shape. First/last tie-break on the
+    zero-padded (epoch_us, event_id) string key so both engines pick
+    the same row when timestamps collide (arg_min/min_by over a
+    string is byte-order identical cross-engine)."""
+    pin_session_conf(spark)
+    ev = (load(spark, sf_dir, "events")
+          .where(F.col("ts").isNotNull() & F.col("value").isNotNull()
+                 & F.col("event_type").isNotNull())
+          .select("event_type",
+                  F.unix_micros(F.col("ts").cast("timestamp")).alias("tu"),
+                  "event_id", "value"))
+    ordk = F.concat(F.lpad(F.col("tu").cast("string"), 20, "0"),
+                    F.lpad(F.col("event_id").cast("string"), 12, "0"))
+    k = ev.select(
+        "event_type",
+        F.floor(F.col("tu") / F.lit(float(M4_BUCKET_US))).cast("long")
+        .alias("bucket"),
+        "tu", "value", ordk.alias("ord"))
+    return (k.groupBy("event_type", "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.min_by("tu", "ord").cast("long").alias("t_first"),
+                 F.round(F.min_by("value", "ord"), 6).alias("v_first"),
+                 F.max_by("tu", "ord").cast("long").alias("t_last"),
+                 F.round(F.max_by("value", "ord"), 6).alias("v_last"),
+                 F.round(F.min("value"), 6).alias("v_min"),
+                 F.round(F.max("value"), 6).alias("v_max")))

@@ -513,3 +513,115 @@ def window_sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
                      <= F.greatest(F.lit(1),
                                    0.10 * F.col("users_24h_exact")))
                     .alias("est_within_10pct")))
+
+
+SEQ_MAX_STEP_US = 86_400_000_000  # max gap per step (24h) in the 3-step match
+
+
+@register("ts_sequence_pattern", oracle=f"""
+WITH ev AS (
+    SELECT user_id, event_type, epoch_us(ts) AS tu, event_id
+    FROM events
+    WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
+),
+ann AS (
+    SELECT user_id, event_type, tu, event_id,
+           last_value(CASE WHEN event_type = 'view' THEN tu END
+                      IGNORE NULLS) OVER w AS last_view_tu
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY tu ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+ann2 AS (
+    SELECT user_id, event_type, tu,
+           last_value(CASE WHEN event_type = 'click'
+                           THEN [tu, last_view_tu] END
+                      IGNORE NULLS) OVER w AS cv
+    FROM ann
+    WINDOW w AS (PARTITION BY user_id ORDER BY tu ASC,
+                 CASE WHEN event_type = 'click' THEN 1 ELSE 0 END ASC,
+                 event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+m AS (
+    SELECT user_id, tu AS purchase_tu, cv[1] AS click_tu, cv[2] AS view_tu
+    FROM ann2
+    WHERE event_type = 'purchase' AND cv IS NOT NULL
+          AND cv[2] IS NOT NULL
+          AND tu - cv[1] <= {SEQ_MAX_STEP_US}
+          AND cv[1] - cv[2] <= {SEQ_MAX_STEP_US}
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(min(purchase_tu - view_tu) AS BIGINT) AS fastest_span_us,
+       CAST(max(purchase_tu - view_tu) AS BIGINT) AS slowest_span_us
+FROM m GROUP BY 1
+""")
+def ts_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step sequential pattern (view -> ... -> click -> ... ->
+    purchase, each step within 24h) per user -- the MATCH_RECOGNIZE
+    'skip-till-last' shape that funnel_events (eventually-after stage
+    counts) and pattern_adjacent_conversion (strict adjacency) bracket
+    but neither expresses: the matched CLICK is the latest click
+    before the purchase, and the matched VIEW is the latest view
+    before THAT click, so each purchase yields at most one match and
+    the spans are the tightest possible.
+
+    Implementation is two chained running last_value(... IGNORE
+    NULLS) frames over the same per-user ordering: pass 1 annotates
+    every row with the latest preceding view time; pass 2 carries the
+    latest preceding click AS A (click_tu, its view_tu) STRUCT, so
+    the purchase row reads both step times from one running value --
+    pattern length k is k-1 chained running frames, one Exchange on
+    user_id total, O(1) state per row (no self-joins, no explosion).
+    All times are integer microseconds; both passes order by explicit
+    NON-NULL tie keys ((tu, event_id) and (tu, is_click, event_id)),
+    so equal-timestamp rows sequence identically on both engines and
+    an equal-timestamp click is deliberately not matchable
+    (strictly-before semantics)."""
+    pin_session_conf(spark)
+    ev = (load(spark, sf_dir, "events")
+          .where(F.col("user_id").isNotNull()
+                 & F.col("event_type").isNotNull() & F.col("ts").isNotNull())
+          .select("user_id", "event_type",
+                  F.unix_micros(F.col("ts").cast("timestamp")).alias("tu"),
+                  "event_id"))
+    w1 = (W.partitionBy("user_id").orderBy(F.col("tu").asc(),
+                                           F.col("event_id").asc())
+          .rowsBetween(W.unboundedPreceding, -1))
+    ann = ev.withColumn(
+        "last_view_tu",
+        F.last(F.when(F.col("event_type") == "view", F.col("tu")),
+               ignorenulls=True).over(w1))
+    # Explicit NON-NULL tie keys: (tu, is_click, event_id). A null
+    # second key would order differently across engines (Spark ASC is
+    # NULLS FIRST, DuckDB ASC is NULLS LAST), flipping whether a
+    # purchase sees a click that shares its timestamp. is_click=1
+    # sorts clicks AFTER other rows at the same tu on both engines:
+    # equal-timestamp clicks are deliberately NOT matchable
+    # (strictly-before semantics).
+    w2 = (W.partitionBy("user_id")
+          .orderBy(F.col("tu").asc(),
+                   F.when(F.col("event_type") == "click", 1).otherwise(0)
+                   .asc(),
+                   F.col("event_id").asc())
+          .rowsBetween(W.unboundedPreceding, -1))
+    ann2 = ann.withColumn(
+        "cv",
+        F.last(F.when(F.col("event_type") == "click",
+                      F.array(F.col("tu"), F.col("last_view_tu"))),
+               ignorenulls=True).over(w2))
+    m = (ann2.where((F.col("event_type") == "purchase")
+                    & F.col("cv").isNotNull()
+                    & F.col("cv")[1].isNotNull()
+                    & ((F.col("tu") - F.col("cv")[0]) <= SEQ_MAX_STEP_US)
+                    & ((F.col("cv")[0] - F.col("cv")[1])
+                       <= SEQ_MAX_STEP_US))
+         .select("user_id", F.col("tu").alias("purchase_tu"),
+                 F.col("cv")[0].alias("click_tu"),
+                 F.col("cv")[1].alias("view_tu")))
+    return (m.groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_matches"),
+                 F.min(F.col("purchase_tu") - F.col("view_tu"))
+                 .cast("long").alias("fastest_span_us"),
+                 F.max(F.col("purchase_tu") - F.col("view_tu"))
+                 .cast("long").alias("slowest_span_us")))

@@ -30,17 +30,16 @@ def test_bench_contract_smoke():
     assert rec["calib_sec"] > 0  # machine-speed probe (r7: throttle
     # drift between artifact runs is attributable via this scalar)
     assert all(v >= 0 for v in rec["queries"].values())
-    # r8: the normalization contract -- six probe samples (before +
-    # after), and queries_norm = raw * REF_CALIB / median(probe),
-    # one entry per raw entry, same rescale factor for every query.
+    # r8: the normalization contract -- six bracketing probe samples
+    # reported, plus queries_norm = per-query median of samples each
+    # rescaled by its OWN adjacent probe (per-sample calibration; a
+    # single run-level factor measured ±30% residuals because the VM
+    # throttle flips faster than one bench run).
     assert len(rec["calib_all_sec"]) == 6
     assert all(c > 0 for c in rec["calib_all_sec"])
     assert rec["ref_calib_sec"] > 0
     assert set(rec["queries_norm"]) == set(rec["queries"])
-    ratios = {n: rec["queries_norm"][n] / rec["queries"][n]
-              for n in rec["queries"] if rec["queries"][n] > 0}
-    lo, hi = min(ratios.values()), max(ratios.values())
-    assert hi - lo < 0.02 * hi  # one shared factor (rounding aside)
+    assert all(v >= 0 for v in rec["queries_norm"].values())
     assert rec["value_norm"] > 0
 
 

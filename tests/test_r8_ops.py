@@ -69,3 +69,44 @@ def test_mixture_temperature_flattens_the_head(spark):
         if small.n_docs < big.n_docs:
             assert (small.w_temp / max(small.p_raw, 1e-12)
                     >= big.w_temp / max(big.p_raw, 1e-12) - 1e-9)
+
+
+def test_m4_envelope_invariants(spark):
+    """M4 rows: min <= first/last <= max, n >= 1, first <= last in
+    time, and bucket reconstruction: sum(n) == total input rows."""
+    rows = _specs()["ts_downsample_m4"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.n >= 1
+        assert r.v_min <= r.v_first <= r.v_max + 1e-9
+        assert r.v_min <= r.v_last <= r.v_max + 1e-9
+        assert r.t_first <= r.t_last
+    from recommendation_system_spark_ml_spark.sources.catalog import load
+    total = (load(spark, SF_SMOKE, "events")
+             .where(F.col("ts").isNotNull() & F.col("value").isNotNull()
+                    & F.col("event_type").isNotNull()).count())
+    assert sum(r.n for r in rows) == total
+
+
+def test_sequence_pattern_span_bounds(spark):
+    """Every 3-step match spans at most 2 * 24h (two bounded steps)
+    and at least 0; fastest <= slowest per user."""
+    from recommendation_system_spark_ml_spark.operators.windows import (
+        SEQ_MAX_STEP_US)
+
+    rows = _specs()["ts_sequence_pattern"].fn(spark, SF_SMOKE).collect()
+    assert rows, "fixture should contain at least one 3-step match"
+    for r in rows:
+        assert r.n_matches >= 1
+        assert 0 <= r.fastest_span_us <= r.slowest_span_us
+        assert r.slowest_span_us <= 2 * SEQ_MAX_STEP_US
+
+
+def test_winsorized_mean_is_between_thresholds(spark):
+    row = _specs()["agg_winsorized_mean"].fn(spark, SF_SMOKE).collect()[0]
+    assert row.lo_cents <= row.hi_cents
+    assert row.lo_cents / 100.0 <= row.winsorized_mean <= row.hi_cents / 100.0
+    assert row.n_clipped_lo + row.n_clipped_hi < row.n
+    # clipping pulls the mean toward the center vs the raw mean only
+    # when tails are asymmetric; always true: the winsorized mean is
+    # within [lo, hi] while the raw mean may not be.

@@ -104,13 +104,26 @@ def main() -> None:
     spark = get_spark(app_name="perf_sweep")
     # warm the JVM outside the timed region
     specs["scan_parquet"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    # machine-speed probe (bench.py's): swept rows also report a
-    # calib-NORMALIZED value so BENCH_rN and PERF.md compare on the
-    # same reference machine speed (r7 verdict task 3).
+    # machine-speed probe (bench.py's): every timed sample is bracketed
+    # by its OWN adjacent probe (r8: a run-level factor left ±30%
+    # residuals because the VM's throttle flips on a timescale shorter
+    # than the sweep), and the norm column is the median of
+    # per-sample-normalized times -- the same estimator bench.py's
+    # queries_norm uses, so the two artifacts compare cleanly.
     from bench import REF_CALIB, _calib_probe
     calib_start = _calib_probe(spark)
 
+    def probed_sample(spec, q_sf):
+        _quiesce(spark)
+        p0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr("sum(id * 2 + 1)").collect()
+        probe = time.perf_counter() - p0
+        t0 = time.perf_counter()
+        spec.fn(spark, q_sf).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0, probe
+
     rows = []
+    pairs: dict[str, list] = {}
     for name in sorted(specs):
         if name in bench_names:
             continue
@@ -121,16 +134,11 @@ def main() -> None:
             q_sf = CHECK_SF_DIR
             tag += " (exhaustive twin @ sf0.01)"
         try:
-            ts = []
-            for _ in range(3):
-                _quiesce(spark)
-                t0 = time.perf_counter()
-                spec.fn(spark, q_sf).write.format("noop").mode(
-                    "overwrite").save()
-                ts.append(time.perf_counter() - t0)
-            dt = sorted(ts)[1]
+            ts = [probed_sample(spec, q_sf) for _ in range(3)]
+            pairs[name] = ts
+            dt = sorted(t for t, _ in ts)[1]
             rows.append((name, round(dt, 2), tag + ", median/3"))
-            print(f"{name} {dt:.2f}s {[round(x, 2) for x in ts]}",
+            print(f"{name} {dt:.2f}s {[round(x, 2) for x, _ in ts]}",
                   flush=True)
         except Exception as ex:  # pragma: no cover
             rows.append((name, -1.0, f"ERROR {str(ex)[:60]}"))
@@ -146,23 +154,23 @@ def main() -> None:
         spec = specs[name]
         q_sf = CHECK_SF_DIR if (name in EXHAUSTIVE_ORACLES and not full) \
             else sf_dir
-        ts = [t1]
-        for _ in range(3):
-            _quiesce(spark)
-            t0 = time.perf_counter()
-            spec.fn(spark, q_sf).write.format("noop").mode("overwrite").save()
-            ts.append(time.perf_counter() - t0)
-        s = sorted(ts)
+        ts = pairs[name] + [probed_sample(spec, q_sf) for _ in range(3)]
+        pairs[name] = ts
+        s = sorted(t for t, _ in ts)
         med = (s[len(s) // 2 - 1] + s[len(s) // 2]) / 2
-        print(f"refine {name}: {[round(x, 2) for x in ts]} -> {med:.2f}",
+        print(f"refine {name}: {[round(x, 2) for x, _ in ts]} -> {med:.2f}",
               flush=True)
         refined.append((name, round(med, 2),
                         tag.replace(", median/3", "") + ", median/6"))
-    # sweep-side machine-speed factor: probe again and normalize the
-    # in-process rows to REF_CALIB, like bench.py's queries_norm.
+
+    def norm_of(name, raw):
+        ts = pairs.get(name)
+        if not ts or raw < 0:
+            return raw
+        return round(_median_list([t * REF_CALIB / p for t, p in ts]), 2)
+
     sweep_calib = _median_list(calib_start + _calib_probe(spark))
-    factor = REF_CALIB / sweep_calib
-    swept = [(n, t, round(t * factor, 2) if t > 0 else t, k)
+    swept = [(n, t, norm_of(n, t), k)
              for n, t, k in refined + rows[REFINE_TOP:]]
     rows = bench_rows + swept
     rows.sort(key=lambda r: -r[1])
@@ -177,10 +185,10 @@ def main() -> None:
            "medians (subprocess; methodology identical to BENCH_rN by",
            "construction); the rest are warm-session per-sample-quiesced",
            "median-of-3 (top rows median-of-6). The `norm` column is the",
-           "calibration-NORMALIZED median (raw * REF_CALIB / calib, bench.py's",
-           "fixed 200M-row CPU probe measured before and after the timed",
-           "region) -- cross-artifact comparisons (BENCH_rN vs this file) use",
-           "`norm`, which cancels the VM's 2-4x between-run throttle drift;",
+           "calibration-NORMALIZED median: every timed sample is bracketed by",
+           "its own 200M-row CPU probe and rescaled to REF_CALIB before the",
+           "median -- cross-artifact comparisons (BENCH_rN vs this file) use",
+           "`norm`, which cancels the VM's throttle drift at per-sample grain;",
            f"this run: bench subprocess calib_sec={bench_calib}, in-process",
            f"sweep calib_sec={round(sweep_calib, 3)}, REF_CALIB={REF_CALIB}.",
            "",
