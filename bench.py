@@ -116,13 +116,14 @@ def main() -> None:
     # isolated medians -- a heavy neighbor's shuffle-block garbage was
     # still being collected inside the NEXT query's timed window; with
     # the barrier per sample, the GC debt is paid on the barrier).
-    # Every timed sample is bracketed by its OWN probe run (r8: the
-    # run-level factor was not enough -- probes within one bench run
-    # measured 0.109..0.316 s, i.e. the VM's throttle flips on a
-    # timescale SHORTER than the run, so normalizing 28 queries by one
-    # scalar left ±30% residuals). A 0.2 s probe adjacent to each
-    # sample tracks the throttle state the sample actually ran under;
-    # queries_norm is the median of per-sample-normalized times.
+    # Every timed sample is bracketed by its OWN probe run. The probes
+    # are NOT used per-sample -- a paired A/B experiment (r8) showed
+    # probe and query jitter are nearly independent sample-to-sample,
+    # so per-sample division ADDS noise (median cross-run deviation
+    # 15-16%) -- but their RUN-median is the best machine-speed scalar
+    # available: queries_norm = per-query median(raw) * REF_CALIB /
+    # median(ALL probes in the run) measured 6.4% median cross-run
+    # deviation vs 17% for raw medians in the same experiment.
     samples: dict[str, list[tuple[float, float]]] = {n: [] for n in specs}
 
     def timed_sample(spec) -> tuple[float, float]:
@@ -141,21 +142,31 @@ def main() -> None:
         for _ in range(repeat):
             for name, spec in tiers[t].items():
                 samples[name].append(timed_sample(spec))
-    # Queries whose median exceeds 10 s get two extra samples (median
-    # of 5, r7 verdict task 3): long queries integrate over more
-    # throttle windows, so their per-sample variance is the largest
-    # and three samples leave the median one bad window away from a
-    # 25% swing.
-    for name, ts in samples.items():
-        if repeat >= 3 and _median([dt for dt, _ in ts]) > 10.0:
-            for _ in range(2):
-                ts.append(timed_sample(specs[name]))
+    # Every query gets at least 5 samples when repeats are on (r7
+    # verdict task 3 asked for 5 on >10s queries; the r8 A/B
+    # experiment showed the worst cross-run deviations are actually on
+    # SUB-SECOND queries, whose relative jitter is highest and whose
+    # extra samples are nearly free -- so everyone gets the same
+    # treatment, tier by tier to keep heavy-query garbage out of
+    # light-query samples).
+    min_samples = 5
+    if repeat >= 3:
+        for t in sorted(tiers):
+            for name, spec in tiers[t].items():
+                while len(samples[name]) < min_samples:
+                    samples[name].append(timed_sample(spec))
     times = {name: round(_median([dt for dt, _ in ts]), 3)
              for name, ts in samples.items()}
-    times_norm = {
-        name: round(_median([dt * REF_CALIB / p for dt, p in ts]), 3)
-        for name, ts in samples.items()}
     calib_all = calib_start + _calib_probe(spark)
+    all_probes = list(calib_all)
+    for ts in samples.values():
+        all_probes += [p for _, p in ts]
+    factor = REF_CALIB / _median(all_probes)
+    times_norm = {name: round(t * factor, 3) for name, t in times.items()}
+    times_min = {name: round(min(dt for dt, _ in ts), 3)
+                 for name, ts in samples.items()}
+    raw_samples = {name: [[round(dt, 3), round(p, 3)] for dt, p in ts]
+                   for name, ts in samples.items()}
 
     print(json.dumps({
         "metric": "bench_total",
@@ -169,6 +180,8 @@ def main() -> None:
         "ref_calib_sec": REF_CALIB,
         "queries_norm": times_norm,
         "value_norm": round(sum(times_norm.values()), 3),
+        "queries_min": times_min,
+        "samples": raw_samples,
     }))
 
 

@@ -22,7 +22,8 @@ def test_bench_contract_smoke():
     rec = json.loads(lines[0])
     assert set(rec) == {"metric", "value", "unit", "queries", "sf",
                         "repeat", "calib_sec", "calib_all_sec",
-                        "ref_calib_sec", "queries_norm", "value_norm"}
+                        "ref_calib_sec", "queries_norm", "value_norm",
+                        "queries_min", "samples"}
     assert rec["unit"] == "sec"
     assert rec["value"] > 0
     assert rec["sf"] == 0.001
@@ -41,6 +42,13 @@ def test_bench_contract_smoke():
     assert set(rec["queries_norm"]) == set(rec["queries"])
     assert all(v >= 0 for v in rec["queries_norm"].values())
     assert rec["value_norm"] > 0
+    # per-sample (time, probe) pairs ride along for drift diagnosis;
+    # queries_min is the noise-robust cross-run estimator (throttle
+    # only ADDS time, so min-of-samples tracks the true plan cost).
+    assert set(rec["queries_min"]) == set(rec["queries"])
+    for n, pairs in rec["samples"].items():
+        assert len(pairs) >= 1 and all(len(pr) == 2 for pr in pairs)
+        assert abs(min(pr[0] for pr in pairs) - rec["queries_min"][n]) < 1e-6
 
 
 def test_bench_median_helper():

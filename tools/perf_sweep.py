@@ -105,10 +105,11 @@ def main() -> None:
     # warm the JVM outside the timed region
     specs["scan_parquet"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     # machine-speed probe (bench.py's): every timed sample is bracketed
-    # by its OWN adjacent probe (r8: a run-level factor left ±30%
-    # residuals because the VM's throttle flips on a timescale shorter
-    # than the sweep), and the norm column is the median of
-    # per-sample-normalized times -- the same estimator bench.py's
+    # by its OWN adjacent probe, but the probes are used as a RUN-level
+    # median factor (the r8 paired A/B experiment: per-sample division
+    # ADDS noise because probe and query jitter are nearly independent;
+    # median(raw) * REF / median(all probes) measured 6.4% cross-run
+    # deviation vs 17% raw) -- the same estimator bench.py's
     # queries_norm uses, so the two artifacts compare cleanly.
     from bench import REF_CALIB, _calib_probe
     calib_start = _calib_probe(spark)
@@ -163,13 +164,18 @@ def main() -> None:
         refined.append((name, round(med, 2),
                         tag.replace(", median/3", "") + ", median/6"))
 
+    all_probes = list(calib_start) + _calib_probe(spark)
+    for ts in pairs.values():
+        all_probes += [p for _, p in ts]
+    sweep_factor = REF_CALIB / _median_list(all_probes)
+
     def norm_of(name, raw):
         ts = pairs.get(name)
         if not ts or raw < 0:
             return raw
-        return round(_median_list([t * REF_CALIB / p for t, p in ts]), 2)
+        return round(_median_list([t for t, _ in ts]) * sweep_factor, 2)
 
-    sweep_calib = _median_list(calib_start + _calib_probe(spark))
+    sweep_calib = REF_CALIB / sweep_factor
     swept = [(n, t, norm_of(n, t), k)
              for n, t, k in refined + rows[REFINE_TOP:]]
     rows = bench_rows + swept
@@ -185,10 +191,11 @@ def main() -> None:
            "medians (subprocess; methodology identical to BENCH_rN by",
            "construction); the rest are warm-session per-sample-quiesced",
            "median-of-3 (top rows median-of-6). The `norm` column is the",
-           "calibration-NORMALIZED median: every timed sample is bracketed by",
-           "its own 200M-row CPU probe and rescaled to REF_CALIB before the",
-           "median -- cross-artifact comparisons (BENCH_rN vs this file) use",
-           "`norm`, which cancels the VM's throttle drift at per-sample grain;",
+           "calibration-NORMALIZED median: per-query median(raw) rescaled by",
+           "REF_CALIB / median(every 200M-row CPU probe in the run; one probe",
+           "brackets each timed sample) -- cross-artifact comparisons",
+           "(BENCH_rN vs this file) use `norm`; the run-median factor beat",
+           "both raw and per-sample normalization in a paired A/B test;",
            f"this run: bench subprocess calib_sec={bench_calib}, in-process",
            f"sweep calib_sec={round(sweep_calib, 3)}, REF_CALIB={REF_CALIB}.",
            "",
