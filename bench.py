@@ -161,14 +161,20 @@ def main() -> None:
     all_probes = list(calib_all)
     for ts in samples.values():
         all_probes += [p for _, p in ts]
-    factor = REF_CALIB / _median(all_probes)
-    times_norm = {name: round(t * factor, 3) for name, t in times.items()}
+    factor = round(REF_CALIB / _median(all_probes), 4)
+    times_norm = {name: norm_time(t, factor) for name, t in times.items()}
     times_min = {name: round(min(dt for dt, _ in ts), 3)
                  for name, ts in samples.items()}
     raw_samples = {name: [[round(dt, 3), round(p, 3)] for dt, p in ts]
                    for name, ts in samples.items()}
 
-    print(json.dumps({
+    # Stdout contract: ONE COMPACT line. The driver keeps only the
+    # last ~2000 chars of stdout (r8 lesson: inlining per-sample
+    # pairs blew past that and BENCH_r08.json recorded parsed:null).
+    # Scalars only beyond the per-query medians; queries_norm is
+    # derivable (norm_time(raw, norm_factor)); everything bulky goes
+    # to the BENCH_SAMPLES.json side artifact.
+    line = json.dumps({
         "metric": "bench_total",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
@@ -176,20 +182,59 @@ def main() -> None:
         "sf": _sf_of(sf_dir),
         "repeat": repeat,
         "calib_sec": calib,
-        "calib_all_sec": [round(x, 3) for x in calib_all],
         "ref_calib_sec": REF_CALIB,
-        "queries_norm": times_norm,
+        "fixed_lat_sec": FIXED_LAT,
+        "norm_factor": factor,
         "value_norm": round(sum(times_norm.values()), 3),
+    })
+    side = {
+        "calib_all_sec": [round(x, 3) for x in calib_all],
+        "norm_factor": factor,
+        "queries_norm": times_norm,
         "queries_min": times_min,
         "samples": raw_samples,
-    }))
+    }
+    side_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SAMPLES.json")
+    with open(side_path, "w") as f:
+        json.dump(side, f)
+    print(f"per-sample detail -> {side_path}", file=sys.stderr)
+    print(line)
 
 
 # Reference machine speed: seconds for the fixed 200M-row CPU probe
-# on the unthrottled sandbox (observed floor across r7-r8 sessions).
-# queries_norm rescales every median to this speed so two artifacts
-# taken under different throttle states compare apples-to-apples.
-REF_CALIB = 0.200
+# on the idle sandbox. Pinned 2026-08-16 (r9) as the MINIMUM of 20
+# bracketed probes in a fresh quiesced JVM (0.119; the min, not the
+# median, because throttle only ADDS time -- the min IS the hardware
+# floor). Falsifiable: any run whose own min probe undercuts this by
+# >10% falsifies the pin; re-measure and re-pin with a new date.
+# (r8 ADVICE: the old 0.200 "observed floor" was a median under a
+# throttled state and this round's probes ran 2x faster than it.)
+REF_CALIB = 0.120
+
+# Fixed per-query latency (seconds) that does NOT scale with CPU
+# speed: scheduler/sink/Py4J overhead. Fitted r9 from the two-point
+# r7/r8 evidence (probe 0.205 -> 0.10 across rounds; solving
+# t = FIXED_LAT + c * probe for the unchanged sub-second headliners
+# gives FIXED_LAT ~= 0.18 with the SAME c on both rounds for tpch_q6
+# AND agg_avg_groupby; a measured 1-stage noop write costs ~0.07 s
+# and each shuffle stage adds ~0.1-0.3 s of scheduling, consistent).
+FIXED_LAT = 0.18
+
+
+def norm_time(t: float, factor: float) -> float:
+    """Machine-speed-normalized query time: the AFFINE model
+    norm = FIXED_LAT + (raw - FIXED_LAT) * REF_CALIB / probe_median.
+    Only the CPU-scaling component above the fixed scheduler/sink
+    latency is rescaled (r8 ADVICE: a pure linear factor over-corrects
+    sub-second queries -- the r8 probe ran 2x faster than r7's while
+    unchanged TPC-H queries moved only 10-20%, so linear normalization
+    manufactured phantom +57% regressions on untouched code; the
+    affine offset reproduces both rounds' raw numbers with one
+    per-query CPU coefficient)."""
+    if t <= FIXED_LAT:
+        return round(t, 3)
+    return round(FIXED_LAT + (t - FIXED_LAT) * factor, 3)
 
 
 def _calib_probe(spark) -> list[float]:

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from recommendation_system_spark_ml_spark.registry import register
 from recommendation_system_spark_ml_spark.session import pin_session_conf
@@ -696,7 +697,7 @@ def ml_logistic_irls_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------- winsorized mean
 
-_WZ_LO, _WZ_HI = 0.05, 0.95  # winsorization quantiles
+_WZ_LO_PCT, _WZ_HI_PCT = 5, 95  # winsorization percentiles (integer %)
 _WZ_Q = 1_000_000
 
 
@@ -706,11 +707,16 @@ WITH c AS (
     FROM lineitem WHERE l_extendedprice IS NOT NULL
 ),
 thr AS (
-    SELECT CAST(floor(quantile_cont(CAST(cents AS DOUBLE), {_WZ_LO}))
-                AS BIGINT) AS lo_c,
-           CAST(floor(quantile_cont(CAST(cents AS DOUBLE), {_WZ_HI}))
-                AS BIGINT) AS hi_c
-    FROM c
+    -- discrete quantile: the ACTUAL data value at rank ceil(q*n),
+    -- pure integer arithmetic -- no interpolation, so no cross-engine
+    -- 1-ulp drift when neighboring order statistics tie (r8 ADVICE)
+    SELECT min(CASE WHEN cum >= (n * {_WZ_LO_PCT} + 99) // 100
+               THEN cents END) AS lo_c,
+           min(CASE WHEN cum >= (n * {_WZ_HI_PCT} + 99) // 100
+               THEN cents END) AS hi_c
+    FROM (SELECT cents, sum(cnt) OVER (ORDER BY cents) AS cum
+          FROM (SELECT cents, count(*) AS cnt FROM c GROUP BY cents)),
+         (SELECT count(*) AS n FROM c)
 )
 SELECT CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CASE WHEN cents < lo_c THEN 1 ELSE 0 END) AS BIGINT)
@@ -736,23 +742,35 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     become exact integer CENTS first, so the clipped sum is a BIGINT
     in any summation order -- no float accumulation anywhere until the
     two final divisions (exact integer inputs, IEEE-identical
-    quotients, 1e-6 floor quantization). The percentile thresholds
-    floor to whole cents on both engines, collapsing the Spark
-    percentile() vs DuckDB quantile_cont() interpolation difference
-    (the text_ccnet_buckets lesson) to integers before any comparison.
+    quotients, 1e-6 floor quantization). The clip thresholds are
+    DISCRETE quantiles -- the actual data value at rank ceil(q*n),
+    located by an integer cumulative-count walk over the distinct
+    cent values -- so both engines compute the identical BIGINT with
+    zero interpolation (r8 ADVICE: Spark percentile() and DuckDB
+    quantile_cont() can disagree by 1 ulp on tied neighbors, and a
+    1-ulp-low interpolation floors to a different cent).
 
-    One scan, one partial-combinable aggregate, a broadcast 1-row
-    threshold join: the 100 TB cost is the scan."""
+    One scan plus a distinct-cents aggregate for the thresholds, then
+    a broadcast 1-row threshold join: the 100 TB cost is the scan.
+    The threshold walk's window sort runs over DISTINCT cent values
+    only (bounded keyspace, same buffer argument as the exact
+    percentile it replaces); the documented approx swap for unbounded
+    domains is approx_percentile (see agg_approx_percentile)."""
     pin_session_conf(spark)
     c = (load(spark, sf_dir, "lineitem")
          .where(F.col("l_extendedprice").isNotNull())
          .select(F.round(F.col("l_extendedprice") * 100, 0).cast("long")
                  .alias("cents")))
-    thr = c.agg(
-        F.floor(F.expr(f"percentile(CAST(cents AS DOUBLE), {_WZ_LO})"))
-        .cast("long").alias("lo_c"),
-        F.floor(F.expr(f"percentile(CAST(cents AS DOUBLE), {_WZ_HI})"))
-        .cast("long").alias("hi_c"))
+    d = c.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = d.select(
+        "cents", F.sum("cnt").over(Window.orderBy("cents")).alias("cum"))
+    n_tot = c.agg(F.count(F.lit(1)).alias("n"))
+    rank = lambda pct: F.expr(f"(n * {pct} + 99) DIV 100")
+    thr = (cum.crossJoin(F.broadcast(n_tot)).agg(
+        F.min(F.when(F.col("cum") >= rank(_WZ_LO_PCT), F.col("cents")))
+        .alias("lo_c"),
+        F.min(F.when(F.col("cum") >= rank(_WZ_HI_PCT), F.col("cents")))
+        .alias("hi_c")))
     clipped = F.least(F.greatest(F.col("cents"), F.col("lo_c")),
                       F.col("hi_c"))
     q = lambda col: F.floor(col * _WZ_Q + F.lit(0.5)) / _WZ_Q

@@ -110,3 +110,33 @@ def test_winsorized_mean_is_between_thresholds(spark):
     # clipping pulls the mean toward the center vs the raw mean only
     # when tails are asymmetric; always true: the winsorized mean is
     # within [lo, hi] while the raw mean may not be.
+
+
+def test_padding_efficiency_bucket_accounting(spark):
+    """Bucket invariants the hash cannot see: bucket ceilings are
+    PAD_GRAIN-aligned, padded == n_docs * bucket_len exactly, the
+    per-bucket waste is < PAD_GRAIN tokens per doc (every doc lands
+    in the tightest ceiling), waste_frac matches the integer ratio,
+    and the buckets partition the nonzero-token corpus."""
+    from recommendation_system_spark_ml_spark.operators.textops import (
+        PAD_GRAIN)
+    from recommendation_system_spark_ml_spark.sources.catalog import load
+
+    rows = (_specs()["pipeline_padding_efficiency"].fn(spark, SF_SMOKE)
+            .collect())
+    assert rows
+    for r in rows:
+        assert r.bucket_len % PAD_GRAIN == 0 and r.bucket_len > 0
+        assert r.padded_tokens == r.n_docs * r.bucket_len
+        assert 0 < r.real_tokens <= r.padded_tokens
+        # tightest-ceiling: each doc pads by at most PAD_GRAIN - 1
+        assert r.padded_tokens - r.real_tokens < r.n_docs * PAD_GRAIN
+        want = 1.0 - r.real_tokens / r.padded_tokens
+        assert abs(r.waste_frac - want) <= 1e-6
+        assert 0.0 <= r.waste_frac < 1.0
+    n_tok = F.size(F.filter(F.split(F.lower("text"), r"\s+"),
+                            lambda w: w != ""))
+    corpus_nz = (load(spark, SF_SMOKE, "documents")
+                 .where(F.col("text").isNotNull())
+                 .where(n_tok > 0).count())
+    assert sum(r.n_docs for r in rows) == corpus_nz

@@ -88,7 +88,11 @@ write("lineitem", {"l_orderkey": pa.array([r[0] for r in li_rows], pa.int64()),
                    "l_suppkey": pa.array([maybe(r[2], 0.05) for r in li_rows], pa.int64()),
                    "l_linenumber": pa.array([r[3] for r in li_rows], pa.int32()),
                    "l_quantity": pa.array([maybe(float(random.randint(1, 50))) for _ in range(L)], pa.float64()),
-                   "l_extendedprice": pa.array([maybe(random.randint(100, 10000000)/100.0) for _ in range(L)], pa.float64()),
+                   # r8 divergence class (agg_winsorized_mean): a small
+                   # tied-price pool so order statistics TIE at the 5%/95%
+                   # ranks -- interpolated percentiles differ by 1 ulp
+                   # across engines there; the discrete quantile must not.
+                   "l_extendedprice": pa.array([maybe(random.choice([199.99, 42.0, 87654.32]) if random.random() < 0.4 else random.randint(100, 10000000)/100.0) for _ in range(L)], pa.float64()),
                    "l_discount": pa.array([maybe(random.randint(0, 10)/100.0) for _ in range(L)], pa.float64()),
                    "l_tax": pa.array([maybe(random.randint(0, 8)/100.0) for _ in range(L)], pa.float64()),
                    "l_returnflag": pa.array([maybe(random.choice("RAN")) for _ in range(L)], pa.string()),
@@ -98,6 +102,12 @@ E = 90
 t = 1_704_067_200
 ev = []
 for i in range(E):
+    # r8 divergence class (ts_downsample_m4 / ts_sequence_pattern):
+    # ~15% duplicate timestamps so pixel buckets hold TIED extremes
+    # (min_by/max_by tie-break) and pattern steps share a ts.
+    if ev and random.random() < 0.15:
+        ev.append((i, ev[-1][1]))
+        continue
     t += random.randint(60, 11000)
     ev.append((i, t))
 # r6 ADVICE divergence class: pre-1970 timestamps (negative epoch)
@@ -109,7 +119,7 @@ write("events", {"event_id": pa.array([r[0] for r in ev], pa.int64()),
                  "ts": pa.array([maybe(r[1]*1_000_000, 0.08) for r in ev], pa.timestamp("us")),
                  "user_id": pa.array([i % 4 for i in range(E)], pa.int64()),
                  "event_type": pa.array([maybe(random.choice(["click","purchase","view","signup","error"]), 0.06) for _ in range(E)], pa.string()),
-                 "value": pa.array([maybe(random.randint(-10000, 10000)/100.0) for _ in range(E)], pa.float64()),
+                 "value": pa.array([maybe(random.choice([7.25, -7.25]) if random.random() < 0.3 else random.randint(-10000, 10000)/100.0) for _ in range(E)], pa.float64()),
                  # 'k' variants exercise fn_map's try_cast: numeric
                  # string, bare int, and NON-numeric (ANSI-cast trap)
                  "props": pa.array([maybe(random.choice(
@@ -127,6 +137,14 @@ for i in range(D):
     else:
         txt = " ".join(random.choice(vocab) for _ in range(random.randint(1, 25)))
     docs.append((i, txt))
+# r8 divergence class (pipeline_padding_efficiency /
+# pipeline_mixture_temperature / multimodal byte-length paths):
+# token counts EXACTLY on the 64-grain bucket boundary (waste 0 in
+# that bucket; ceil-div off-by-one would mis-bucket them) and a
+# single-space text whose token count is ZERO after the empty-token
+# filter (engines must agree the doc contributes to no bucket).
+docs[D - 2] = (D - 2, " ".join(random.choice(vocab) for _ in range(64)))
+docs[D - 1] = (D - 1, " ")
 write("documents", {"doc_id": pa.array([d[0] for d in docs], pa.int64()),
                     "text": pa.array([d[1] for d in docs], pa.string()),
                     # NULL lang/source (r6 ADVICE): contingency-table
@@ -136,9 +154,15 @@ write("documents", {"doc_id": pa.array([d[0] for d in docs], pa.int64()),
                     "source": pa.array([maybe("src%d" % random.randint(0, 3)) for _ in range(D)], pa.string()),
                     "n_chars": pa.array([len(d[1]) for d in docs], pa.int64())})
 V = 30
+vecs = [[random.uniform(-1, 1) for _ in range(64)] for _ in range(V)]
+# r8 divergence class (sim_pq / sim_ivf_persisted / dedup_semantic):
+# duplicate vectors -> EXACT distance ties at the top-k cut; both
+# engines must break them by id after 1e-6 quantization.
+vecs[10] = list(vecs[3])
+vecs[20] = list(vecs[3])
+vecs[21] = list(vecs[7])
 write("embeddings", {"vec_id": pa.array(range(V), pa.int64()),
-                     "embedding": pa.array([[random.uniform(-1,1) for _ in range(64)] for _ in range(V)],
-                                           pa.list_(pa.float32())),
+                     "embedding": pa.array(vecs, pa.list_(pa.float32())),
                      "label": pa.array([i % 4 for i in range(V)], pa.int32())})
 
 duck = duckdb.connect()

@@ -78,8 +78,10 @@ def _bench_subprocess(sf_dir: str):
         capture_output=True, text=True, env=env, check=True).stdout
     line = [ln for ln in out.splitlines() if ln.startswith('{"metric"')][-1]
     parsed = json.loads(line)
-    return (parsed["queries"], parsed.get("calib_sec"),
-            parsed.get("queries_norm", {}))
+    from bench import norm_time
+    factor = parsed["norm_factor"]
+    qnorm = {n: norm_time(t, factor) for n, t in parsed["queries"].items()}
+    return parsed["queries"], parsed.get("calib_sec"), qnorm
 
 
 def main() -> None:
@@ -111,7 +113,7 @@ def main() -> None:
     # median(raw) * REF / median(all probes) measured 6.4% cross-run
     # deviation vs 17% raw) -- the same estimator bench.py's
     # queries_norm uses, so the two artifacts compare cleanly.
-    from bench import REF_CALIB, _calib_probe
+    from bench import REF_CALIB, _calib_probe, norm_time
     calib_start = _calib_probe(spark)
 
     def probed_sample(spec, q_sf):
@@ -173,7 +175,7 @@ def main() -> None:
         ts = pairs.get(name)
         if not ts or raw < 0:
             return raw
-        return round(_median_list([t for t, _ in ts]) * sweep_factor, 2)
+        return norm_time(_median_list([t for t, _ in ts]), sweep_factor)
 
     sweep_calib = REF_CALIB / sweep_factor
     swept = [(n, t, norm_of(n, t), k)
@@ -191,11 +193,13 @@ def main() -> None:
            "medians (subprocess; methodology identical to BENCH_rN by",
            "construction); the rest are warm-session per-sample-quiesced",
            "median-of-3 (top rows median-of-6). The `norm` column is the",
-           "calibration-NORMALIZED median: per-query median(raw) rescaled by",
-           "REF_CALIB / median(every 200M-row CPU probe in the run; one probe",
-           "brackets each timed sample) -- cross-artifact comparisons",
-           "(BENCH_rN vs this file) use `norm`; the run-median factor beat",
-           "both raw and per-sample normalization in a paired A/B test;",
+           "machine-speed-normalized median under bench.py's AFFINE model:",
+           "norm = FIXED_LAT + (raw - FIXED_LAT) * REF_CALIB / median(every",
+           "bracketing 200M-row CPU probe in the run) -- only the CPU-scaling",
+           "component above the fixed scheduler/sink latency is rescaled",
+           "(a pure linear factor over-corrects sub-second queries; see",
+           "bench.norm_time). Cross-artifact comparisons (BENCH_rN vs this",
+           "file) use `norm` via tools/bench_drift_check.py;",
            f"this run: bench subprocess calib_sec={bench_calib}, in-process",
            f"sweep calib_sec={round(sweep_calib, 3)}, REF_CALIB={REF_CALIB}.",
            "",
