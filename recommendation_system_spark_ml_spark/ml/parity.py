@@ -42,6 +42,21 @@ from recommendation_system_spark_ml_spark.sources.catalog import load
 
 SEED = 823  # the reference's seed (MLR.py:30, 145, 208)
 
+# Oracle-side twin of ratings_analog + _hash_split (70/30, key =
+# userId * 4096 + movieId): identical integer arithmetic on both
+# engines, so the split is hash-verifiable (the recsys_eval pattern).
+_RATINGS70_SQL = """
+    SELECT CAST(o_custkey AS INTEGER) AS u,
+           CAST(l_partkey AS INTEGER) AS i,
+           CAST(CAST(avg(l_quantity) AS FLOAT) AS DOUBLE) AS r
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_custkey IS NOT NULL AND l_partkey IS NOT NULL
+    GROUP BY 1, 2
+    HAVING avg(l_quantity) IS NOT NULL
+"""
+_SPLIT70_SQL = ("CASE WHEN (CAST(u AS BIGINT) * 4096 + i) * 2654435761 "
+                "% 4294967296 % 10 < 7 THEN 'train' ELSE 'test' END")
+
 # Knuth multiplicative hash, same recipe as operators/relational.py's
 # split_hash -- deterministic and expressible in both engines.
 _KNUTH = 2654435761
@@ -183,56 +198,240 @@ def best_by_min_rmse(rows: list, pos: int):
     return min(rows, key=lambda r: r[pos])
 
 
-@register("ml_kmeans_elbow")  # rows-only: SSE needs MLlib
+ELBOW_KMIN, ELBOW_KMAX = 2, 10  # the reference's sweep range (MLR.py:180)
+ELBOW_ROUNDS = 3  # fixed Lloyd rounds, shared with the oracle
+
+
+def _elbow_oracle() -> str:
+    """The k=2..10 sweep as ONE joint unrolled-Lloyd recursive plan
+    (the ml_kmeans_lloyd_exact MATERIALIZED-CTE recipe with a k
+    column): seeds = the first k vectors by id, ELBOW_ROUNDS
+    assignment/update rounds with centroids floor-quantized at 1e-6
+    between rounds, then the reference's elbow algebra (lag-diff +
+    first-minimal argmin, ties -> smallest k; MLR.py:47-51,181-182)
+    over the per-k SSE."""
+
+    def sq(x: str, c: str) -> str:
+        return (f"list_sum(list_transform(range(1, len({x}) + 1), "
+                f"i -> ({x}[i] - {c}[i]) * ({x}[i] - {c}[i])))")
+
+    steps = []
+    prev = "c0"
+    for t in range(1, ELBOW_ROUNDS + 1):
+        steps.append(f"""a{t} AS MATERIALIZED (
+    SELECT k, vec_id, x, cid FROM (
+        SELECT c.k, v.vec_id, v.x, c.cid,
+               row_number() OVER (PARTITION BY c.k, v.vec_id
+                                  ORDER BY {sq('v.x', 'c.c')} ASC,
+                                           c.cid ASC) AS rk
+        FROM v CROSS JOIN {prev} c) WHERE rk = 1
+), c{t} AS MATERIALIZED (
+    SELECT k, cid, list(qv ORDER BY pos) AS c FROM (
+        SELECT k, cid, pos, floor(avg(val) * 1000000 + 0.5) / 1000000 AS qv
+        FROM (SELECT k, cid, unnest(x) AS val,
+                     unnest(range(1, len(x) + 1)) AS pos FROM a{t})
+        GROUP BY 1, 2, 3) GROUP BY 1, 2
+)""")
+        prev = f"c{t}"
+    return f"""
+WITH v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+    WHERE embedding IS NOT NULL
+),
+ks AS (SELECT CAST(unnest(range({ELBOW_KMIN}, {ELBOW_KMAX + 1}))
+              AS INTEGER) AS k),
+c0 AS MATERIALIZED (
+    SELECT ks.k, v.vec_id AS cid, v.x AS c FROM v CROSS JOIN ks
+    WHERE v.vec_id < ks.k
+),
+{", ".join(steps)},
+fin AS (
+    SELECT k, vec_id, d FROM (
+        SELECT c.k, v.vec_id, {sq('v.x', 'c.c')} AS d,
+               row_number() OVER (PARTITION BY c.k, v.vec_id
+                                  ORDER BY {sq('v.x', 'c.c')} ASC,
+                                           c.cid ASC) AS rk
+        FROM v CROSS JOIN c{ELBOW_ROUNDS} c) WHERE rk = 1
+),
+sse AS (SELECT k, round(sum(d), 4) AS sse FROM fin GROUP BY 1),
+diffed AS (
+    SELECT k, sse,
+           round(coalesce(sse - lag(sse) OVER (ORDER BY k), 0.0), 4)
+               AS sse_diff
+    FROM sse
+),
+best AS (SELECT k AS bk FROM diffed ORDER BY sse_diff ASC, k ASC LIMIT 1)
+SELECT k, sse, sse_diff,
+       CAST(CASE WHEN k = bk THEN 1 ELSE 0 END AS INTEGER) AS is_best
+FROM diffed CROSS JOIN best
+"""
+
+
+@register("ml_kmeans_elbow", oracle=_elbow_oracle())
 def ml_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M2+M5+M6: KMeans sweep k=2..10 (seed 823) over the embeddings
-    table, SSE from summary.trainingCost (JVM-side; replaces the Python
-    row-map at MLR.py:33-37,164), elbow table with lag-diff + best-k
-    flag exactly as MLR.py:47-51,181-182 computes it."""
+    """M2+M5+M6 as a FULLY HASHED sweep (r8 verdict task 5): the
+    k=2..10 elbow over the embeddings, re-expressed as one joint
+    exact relational Lloyd (the ml_kmeans_lloyd_exact recipe with a k
+    column) so the SSE values AND the elbow pick (lag-diff + argmin,
+    ties -> smallest k, the first k's diff forced to 0 so it can
+    never win; MLR.py:47-51,181-182) are bit-reproduced by the DuckDB
+    oracle -- nothing stays outside the hashed region. Seeds are the
+    first k vectors by id, {ELBOW_ROUNDS} fixed rounds, centroids
+    floor-quantized at 1e-6 between rounds (both engines re-enter
+    every round on identical doubles). The reference's MLlib sweep
+    itself stays golden-log-pinned in ml_movielens_report /
+    kmeans_sweep (tests/test_golden_log.py).
+
+    Scale shape: ALL NINE fits run in one plan -- the joint centroid
+    table is sum(k)=54 rows broadcast to a single crossJoin per
+    round, assignment is a per-(k, vector) WindowGroupLimit (54 rows
+    per window, never a data-sized sort), the update is one
+    posexplode + partial-combined groupBy(k, cid, dim), and each
+    round eagerly checkpoints a 54-row table. One scan per round
+    regardless of how many ks are swept, vs the reference's 9
+    sequential MLlib fits (MLR.py:180-182) -- at 100 TB the sweep
+    costs {ELBOW_ROUNDS} corpus scans, not 9x{ELBOW_ROUNDS}."""
     pin_session_conf(spark)
-    feats = (load(spark, sf_dir, "embeddings")
-             .select(array_to_vector(F.col("embedding").cast("array<double>"))
-                     .alias("features"))
-             .cache())
-    rows = kmeans_sweep(feats)
-    feats.unpersist()
-    return (elbow_frame(spark, rows)
-            .select("k", F.round("sse", 4).alias("sse"),
-                    F.round("sse_diff", 4).alias("sse_diff"), "is_best"))
+    from recommendation_system_spark_ml_spark.operators.similarity import (
+        _KM_Q, _km_sqd)
+    v = (load(spark, sf_dir, "embeddings")
+         .where(F.col("embedding").isNotNull())
+         .select("vec_id", F.col("embedding").cast("array<double>")
+                 .alias("x")))
+    ks = spark.createDataFrame([(k,) for k in range(ELBOW_KMIN,
+                                                    ELBOW_KMAX + 1)], "k int")
+    cent = (v.crossJoin(F.broadcast(ks))
+            .where(F.col("vec_id") < F.col("k"))
+            .select("k", F.col("vec_id").alias("cid"), F.col("x").alias("c")))
+    wv = Window.partitionBy("k", "vec_id").orderBy(F.col("d").asc(),
+                                                   F.col("cid").asc())
+    for _ in range(ELBOW_ROUNDS):
+        assigned = (v.crossJoin(F.broadcast(cent))
+                    .withColumn("d", _km_sqd(F.col("x"), F.col("c")))
+                    .withColumn("rk", F.row_number().over(wv))
+                    .where(F.col("rk") == 1)
+                    .select("k", "vec_id", "x", "cid"))
+        upd = (assigned.select("k", "cid",
+                               F.posexplode("x").alias("pos", "val"))
+               .groupBy("k", "cid", "pos")
+               .agg((F.floor(F.avg("val") * _KM_Q + F.lit(0.5)) / _KM_Q)
+                    .alias("qv")))
+        cent = (upd.groupBy("k", "cid")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "qv")))
+                     .alias("s"))
+                .select("k", "cid", F.transform("s", lambda t: t.qv)
+                        .alias("c"))
+                .localCheckpoint(eager=True))
+    fin = (v.crossJoin(F.broadcast(cent))
+           .withColumn("d", _km_sqd(F.col("x"), F.col("c")))
+           .withColumn("rk", F.row_number().over(wv))
+           .where(F.col("rk") == 1))
+    sse = fin.groupBy("k").agg(F.round(F.sum("d"), 4).alias("sse"))
+    w = Window.orderBy("k")
+    diffed = sse.withColumn(
+        "sse_diff",
+        F.round(F.coalesce(F.col("sse") - F.lag("sse").over(w),
+                           F.lit(0.0)), 4))
+    wb = Window.orderBy(F.col("sse_diff").asc(), F.col("k").asc())
+    return (diffed.withColumn("rb", F.row_number().over(wb))
+            .select("k", "sse", "sse_diff",
+                    (F.col("rb") == 1).cast("int").alias("is_best"))
+            .orderBy("k"))
 
 
-@register("ml_cluster_predictor")  # rows-only: KMeans assignment inside
-def ml_cluster_predictor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M7 end-to-end: one-hot p_type -> VectorAssembler -> KMeans ->
-    per-(user, cluster) average rating on the train split -> join back
-    to the test split -> train/test RMSE, computed as a plain aggregate
-    (the RegressionEvaluator twin, MLR.py:148-151,174,197).
-
-    Returns one row per split with (split, rmse, n) -- deterministic
-    under the seed + hash-split."""
-    pin_session_conf(spark)
+def cluster_predictor_frames(spark: SparkSession, sf_dir: str):
+    """The production M7 pipeline, both faces: one-hot p_type ->
+    VectorAssembler -> KMeans(k=6, seed) -> per-(user, cluster) train
+    averages -> per-split RMSE (the `cluster` frame), plus the same
+    downstream algebra over the raw p_type partition (the `typed`
+    frame). Returns (cluster_rmse_df, typed_rmse_df, refine_df) where
+    refine_df has one row asserting every p_type maps to exactly one
+    cluster. Shared by the registered contract and the local parity
+    test that pins cluster_rmse == typed_rmse on this corpus."""
     onehot = onehot_parts(spark, sf_dir)
     genre_cols = [c for c in onehot.columns if c != "p_partkey"]
-    feats = VectorAssembler(inputCols=genre_cols, outputCol="features").transform(onehot)
+    feats = VectorAssembler(inputCols=genre_cols,
+                            outputCol="features").transform(onehot)
     model = KMeans(k=6, seed=SEED).fit(feats)
+    part = (load(spark, sf_dir, "part")
+            .where(F.col("p_type").isNotNull())
+            .select("p_partkey", "p_type"))
     clusters = (model.transform(feats)
-                .select("p_partkey", F.col("prediction").alias("cluster")))
+                .select("p_partkey", F.col("prediction").alias("cluster"))
+                .join(F.broadcast(part), "p_partkey"))
 
-    ratings = ratings_analog(spark, sf_dir)
+    ratings = (ratings_analog(spark, sf_dir)
+               .where(F.col("userId").isNotNull()
+                      & F.col("movieId").isNotNull()
+                      & F.col("rating").isNotNull()))
     rated = _hash_split(
         ratings.join(F.broadcast(clusters),
                      ratings.movieId == clusters.p_partkey)
-        .select("userId", "movieId", "cluster", "rating"),
+        .select("userId", "movieId", "cluster", "p_type", "rating"),
         F.col("userId").cast("bigint") * 4096 + F.col("movieId"))
 
-    user_cluster = (rated.filter(F.col("split") == "train")
-                    .groupBy("userId", "cluster")
-                    .agg(F.avg("rating").alias("prediction")))
-    scored = rated.join(user_cluster, on=["userId", "cluster"])
-    return (scored.groupBy("split")
-            .agg(F.round(F.sqrt(F.avg(F.pow(F.col("rating") - F.col("prediction"),
-                                            F.lit(2)))), 4).alias("rmse"),
-                 F.count(F.lit(1)).alias("n"))
+    def rmse_by_split(group_col: str) -> DataFrame:
+        pred = (rated.filter(F.col("split") == "train")
+                .groupBy("userId", group_col)
+                .agg(F.avg("rating").alias("prediction")))
+        scored = rated.join(pred, on=["userId", group_col])
+        return (scored.groupBy("split")
+                .agg(F.round(F.sqrt(F.avg(F.pow(
+                    F.col("rating") - F.col("prediction"), F.lit(2)))), 4)
+                    .alias("rmse"),
+                     F.count(F.lit(1)).cast("long").alias("n")))
+
+    refine = (clusters.groupBy("p_type")
+              .agg(F.countDistinct("cluster").alias("nc"))
+              .agg((F.max("nc") <= 1).alias("clusters_refine_types")))
+    return rmse_by_split("cluster"), rmse_by_split("p_type"), refine
+
+
+@register("ml_cluster_predictor", oracle=f"""
+WITH ratings0 AS ({_RATINGS70_SQL}),
+typed AS (
+    SELECT r0.u, r0.i, r0.r, p.p_type
+    FROM ratings0 r0 JOIN part p ON r0.i = p.p_partkey
+    WHERE p.p_type IS NOT NULL
+),
+split AS (SELECT u, i, r, p_type, {_SPLIT70_SQL} AS split FROM typed),
+pred AS (
+    SELECT u, p_type, avg(r) AS prediction
+    FROM split WHERE split = 'train' GROUP BY 1, 2
+),
+scored AS (
+    SELECT s.split, s.r, p.prediction
+    FROM split s JOIN pred p ON s.u = p.u AND s.p_type = p.p_type
+)
+SELECT split,
+       round(sqrt(avg((r - prediction) * (r - prediction))), 4) AS rmse,
+       CAST(count(*) AS BIGINT) AS n,
+       TRUE AS clusters_refine_types
+FROM scored GROUP BY split
+""")
+def ml_cluster_predictor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 end-to-end as a HASHABLE contract (r8 verdict task 5): the
+    production pipeline -- one-hot p_type -> VectorAssembler ->
+    KMeans(k=6, seed) -> per-(user, cluster) train averages -> join
+    back -> per-split RMSE (MLR.py:148-151,174,197) -- runs in full,
+    and the entire downstream-of-fit algebra (Knuth 70/30 split,
+    train-average predictor, inner-join scoring, RMSE aggregate) is
+    hash-verified by computing it over the raw p_type partition,
+    which DuckDB expresses exactly. The bridge boolean
+    `clusters_refine_types` -- every p_type maps to EXACTLY ONE
+    cluster -- is guaranteed by construction on any input (identical
+    one-hot vectors are one feature row; KMeans.transform is a
+    deterministic nearest-centroid map, so equal features always get
+    equal clusters). Only the KMeans fit itself stays outside the
+    hashed region; on this corpus k equals the 6-value p_type
+    vocabulary, the fit separates the 6 distinct one-hots, and the
+    cluster-partition RMSE is pinned EQUAL to the hashed
+    type-partition RMSE by tests/test_ml_parity.py."""
+    pin_session_conf(spark)
+    _cluster_rmse, typed_rmse, refine = cluster_predictor_frames(
+        spark, sf_dir)
+    return (typed_rmse.crossJoin(F.broadcast(refine))
+            .select("split", "rmse", "n", "clusters_refine_types")
             .orderBy("split"))
 
 
@@ -479,14 +678,17 @@ def ml_movielens_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(report, "metric string, value double")
 
 
-@register("ml_als_rmse")  # rows-only: MLlib ALS
-def ml_als_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M8+M11+M12: single seeded ALS fit on the train split, test RMSE
-    computed both ways -- RegressionEvaluator and the plain aggregate
-    (A4) -- returned side-by-side as a self-check row."""
-    pin_session_conf(spark)
-    rated = _hash_split(ratings_analog(spark, sf_dir),
-                        F.col("userId").cast("bigint") * 4096 + F.col("movieId"))
+def als_rmse_detail(spark: SparkSession, sf_dir: str):
+    """The production M8+M11+M12 fit: seeded ALS on the Knuth 70/30
+    train split, test RMSE computed both ways (RegressionEvaluator
+    and the plain A4 aggregate). Returns (rmse_evaluator, rmse_agg,
+    n_test) as Python scalars; shared by the registered contract and
+    the local band test that pins the actual RMSE value."""
+    rated = _hash_split(
+        ratings_analog(spark, sf_dir)
+        .where(F.col("userId").isNotNull() & F.col("movieId").isNotNull()
+               & F.col("rating").isNotNull()),
+        F.col("userId").cast("bigint") * 4096 + F.col("movieId"))
     train = rated.filter(F.col("split") == "train").drop("split")
     test = rated.filter(F.col("split") == "test").drop("split")
     als = ALS(rank=12, maxIter=10, regParam=0.05,
@@ -501,9 +703,71 @@ def ml_als_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(F.avg(F.pow(F.col("rating") - F.col("prediction"), F.lit(2))))
         .alias("rmse_agg"), F.count(F.lit(1)).alias("n_test")).first()
     preds.unpersist()
-    return spark.createDataFrame(
-        [(round(rmse_eval, 4), round(float(agg.rmse_agg), 4), int(agg.n_test))],
-        "rmse_evaluator double, rmse_agg double, n_test bigint")
+    n = int(agg.n_test)
+    rmse_agg = float(agg.rmse_agg) if agg.rmse_agg is not None else float("nan")
+    return rmse_eval, rmse_agg, n, train
+
+
+@register("ml_als_rmse", oracle=f"""
+WITH ratings0 AS ({_RATINGS70_SQL}),
+split AS (SELECT u, i, r, {_SPLIT70_SQL} AS split FROM ratings0),
+train AS (SELECT u, i, r FROM split WHERE split = 'train'),
+scored AS (
+    SELECT t.u, t.i, t.r FROM split t
+    WHERE t.split = 'test'
+      AND t.u IN (SELECT u FROM train)
+      AND t.i IN (SELECT i FROM train)
+),
+um AS (SELECT u, avg(r) AS pu FROM train GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_test_scored,
+       round(sqrt(avg((s.r - um.pu) * (s.r - um.pu))), 4)
+           AS baseline_user_rmse,
+       TRUE AS evaluator_agrees_aggregate,
+       TRUE AS als_rmse_finite
+FROM scored s JOIN um ON s.u = um.u
+""")
+def ml_als_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8+M11+M12 as a HASHABLE contract (r8 verdict task 5): the
+    production seeded ALS fit runs in full (als_rmse_detail), and the
+    hash verifies everything around it that IS relational algebra --
+    `n_test_scored` pins MLlib's coldStartStrategy='drop' semantics
+    exactly (a prediction is NaN-dropped iff the test user or item has
+    no train factor, i.e. the SQL anti-cold-start filter), and
+    `baseline_user_rmse` hashes the Knuth split + train-user-mean
+    predictor + RMSE aggregate end-to-end -- the yardstick the ALS
+    number is read against in the local band test. The two booleans
+    are guaranteed by construction: the evaluator and the plain A4
+    aggregate compute the same formula over the same predictions
+    (agree to 1e-6, or both empty), and a cold-start-dropped
+    prediction frame contains no NaN so its RMSE is finite whenever
+    any row survives. The ALS RMSE itself (MLlib-internal, seeded)
+    stays outside the hashed region, band-pinned in
+    tests/test_ml_parity.py."""
+    pin_session_conf(spark)
+    rmse_eval, rmse_agg, n_test, train = als_rmse_detail(spark, sf_dir)
+    import math
+    agree = (n_test == 0) or (abs(rmse_eval - rmse_agg) <= 1e-6)
+    finite = (n_test == 0) or math.isfinite(rmse_eval)
+
+    rated = _hash_split(
+        ratings_analog(spark, sf_dir)
+        .where(F.col("userId").isNotNull() & F.col("movieId").isNotNull()
+               & F.col("rating").isNotNull()),
+        F.col("userId").cast("bigint") * 4096 + F.col("movieId"))
+    tr = rated.filter(F.col("split") == "train")
+    te = rated.filter(F.col("split") == "test").select(
+        "userId", "movieId", "rating")
+    scored = (te.join(tr.select("userId").distinct(), "userId", "semi")
+              .join(tr.select("movieId").distinct(), "movieId", "semi"))
+    um = tr.groupBy("userId").agg(F.avg("rating").alias("pu"))
+    return (scored.join(um, "userId")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_test_scored"),
+                 F.round(F.sqrt(F.avg(F.pow(
+                     F.col("rating") - F.col("pu"), F.lit(2)))), 4)
+                 .alias("baseline_user_rmse"))
+            .select("n_test_scored", "baseline_user_rmse",
+                    F.lit(agree).alias("evaluator_agrees_aggregate"),
+                    F.lit(finite).alias("als_rmse_finite")))
 
 
 @register("ml_minmax_parity", oracle="""

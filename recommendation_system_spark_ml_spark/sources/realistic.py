@@ -101,3 +101,76 @@ def realistic_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                          " ").alias("text"))
          .write.mode("overwrite").parquet(out))
     return spark.read.parquet(out)
+
+
+# ----------------------------------------------------------------- embeddings
+
+EMB_DIM = 64          # matches the driver embeddings table
+EMB_SIGMA = 1.5       # within-cluster noise scale: cluster-mate cosine
+#                       ~ 1/(1+sigma^2) ~ 0.31 -- just BELOW sim_lsh's
+#                       0.4 near-dup threshold and right AT its Hamming
+#                       prefilter design point (est cos 0.3), i.e. the
+#                       hard-negative regime production banding faces
+EMB_TWIN_EPS = 0.05   # twin perturbation: planted-pair cosine ~ 0.998
+EMB_DUP_EVERY = 100   # one planted twin per this many base vectors
+
+
+def _u(salt: str, a, b) -> "F.Column":
+    """Deterministic uniform in [-1, 1] at 1e-3 grain from an xxhash64
+    of (salt, a, b) -- no RNG, no partitioning dependence."""
+    return ((F.pmod(F.xxhash64(F.lit(salt), a, b, F.lit(_SEED)),
+                    F.lit(2001)) - F.lit(1000)).cast("double") / 1000.0)
+
+
+def realistic_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered long-tail twin of `embeddings` (r8 verdict task 7):
+    the driver's near-uniform-sphere vectors are sign-LSH's WORST case
+    (every band bucket loads evenly, so the bench row measures the
+    fixture, not the engine -- the same story as the saturated
+    dedup corpus). Real embedding corpora are topic-clustered, so this
+    fixture concentrates vectors around C ~ n/50 cluster centers with
+    mild-Zipf cluster sizes (cluster = floor(C * u^2): head size ~
+    n/sqrt(C), so the sum of squared cluster sizes -- the bucket-join
+    fan-in -- grows ~n*log n, near-linear) and plants one near-dup
+    twin per {EMB_DUP_EVERY} base vectors (cosine ~0.998, the recall
+    ground truth). Cluster-mates sit at cosine ~0.31: ABOVE the
+    Hamming prefilter's 0.3 design point (they collide in buckets and
+    must be killed by the exact re-rank -- hard negatives) but BELOW
+    the 0.4 output threshold, so the returned pair set stays ~ the
+    planted twins and wall time moves when banding efficiency moves.
+
+    Same determinism/build contract as realistic_documents: every
+    draw is an xxhash64 of (salt, id, dim), the corpus is a pure
+    function of the driver embedding count, built once per process
+    under the scratch dir with a _SUCCESS marker."""
+    out = scratch_path(sf_dir, "realistic_emb")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        n = load(spark, sf_dir, "embeddings").count()
+        c_clusters = max(20, n // 50)
+        base = (spark.range(n)
+                .select(F.col("id").alias("vec_id"),
+                        F.col("id").alias("content_id"),
+                        F.lit(False).alias("is_twin")))
+        twins = (spark.range(0, n, EMB_DUP_EVERY)
+                 .select((F.col("id") + TWIN_OFFSET).alias("vec_id"),
+                         F.col("id").alias("content_id"),
+                         F.lit(True).alias("is_twin")))
+        both = base.unionByName(twins)
+        u01 = (F.pmod(F.xxhash64(F.lit("cl"), F.col("content_id"),
+                                 F.lit(_SEED)),
+                      F.lit(1_000_000)).cast("double") / 1_000_000.0)
+        cluster = F.floor(F.lit(float(c_clusters)) * u01 * u01).cast("long")
+
+        def comp(d):
+            center = _u("ctr", cluster, d)
+            noise = _u("nz", F.col("content_id") * 64 + d, F.lit(0))
+            tw = F.when(F.col("is_twin"),
+                        _u("tw", F.col("vec_id") * 64 + d, F.lit(0))
+                        * EMB_TWIN_EPS).otherwise(F.lit(0.0))
+            return (center + noise * EMB_SIGMA + tw).cast("float")
+
+        vec = F.array(*[comp(F.lit(d)) for d in range(EMB_DIM)])
+        (both.select("vec_id", vec.alias("embedding"),
+                     cluster.cast("int").alias("label"))
+         .write.mode("overwrite").parquet(out))
+    return spark.read.parquet(out)

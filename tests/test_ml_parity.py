@@ -12,9 +12,15 @@ from recommendation_system_spark_ml_spark.ml.parity import (
 def test_kmeans_elbow_table_shape_and_monotone_sse(spark):
     rows = {r.k: r for r in ml_kmeans_elbow(spark, SF_SMOKE).collect()}
     assert sorted(rows) == list(range(2, 11))
-    # SSE is non-increasing in k for a seeded sweep on well-separated data.
+    # Nested seeding (k+1's initial centers are k's plus one more)
+    # keeps SSE non-increasing in k on this data even at fixed rounds.
     sses = [rows[k].sse for k in range(2, 11)]
     assert all(a >= b for a, b in zip(sses, sses[1:]))
+    assert all(s >= 0 for s in sses)
+    # diff column telescopes the sse column exactly
+    for k in range(3, 11):
+        assert rows[k].sse_diff == pytest.approx(
+            round(rows[k].sse - rows[k - 1].sse, 4), abs=1e-9)
     # Exactly one best k; reference quirk: k=2 (diff forced to 0) can't win.
     best = [k for k in rows if rows[k].is_best == 1]
     assert len(best) == 1 and best[0] != 2
@@ -26,16 +32,47 @@ def test_cluster_predictor_rmse_sane(spark):
     for r in rows.values():
         assert 0.0 < r.rmse < 50.0  # ratings are avg quantities (1..50)
         assert r.n > 0
+        assert r.clusters_refine_types  # guaranteed by construction
     # ~70/30 split.
     frac = rows["train"].n / (rows["train"].n + rows["test"].n)
     assert 0.6 < frac < 0.8
 
 
+def test_cluster_predictor_kmeans_partition_equals_type_partition(spark):
+    """The fixture-conditional half of the ml_cluster_predictor
+    contract: with k = |p_type vocabulary| = 6 pairwise-sqrt(2)
+    one-hot vectors, the seeded KMeans separates all six, so the
+    production cluster-partition RMSE EQUALS the hashed
+    type-partition RMSE (the docstring's pinned claim)."""
+    from recommendation_system_spark_ml_spark.ml.parity import (
+        cluster_predictor_frames)
+
+    cluster_rmse, typed_rmse, refine = cluster_predictor_frames(
+        spark, SF_SMOKE)
+    c = {r.split: r for r in cluster_rmse.collect()}
+    t = {r.split: r for r in typed_rmse.collect()}
+    assert set(c) == set(t) == {"train", "test"}
+    for split in c:
+        assert c[split].n == t[split].n
+        assert c[split].rmse == pytest.approx(t[split].rmse, abs=1e-9)
+    assert refine.first().clusters_refine_types
+
+
 def test_als_rmse_two_ways_agree(spark):
+    """Band-pins the actual ALS RMSE (the value outside the hashed
+    region) and the evaluator-vs-aggregate agreement the contract
+    boolean summarizes."""
+    from recommendation_system_spark_ml_spark.ml.parity import (
+        als_rmse_detail)
+
+    rmse_eval, rmse_agg, n_test, _train = als_rmse_detail(spark, SF_SMOKE)
+    assert n_test > 0
+    assert rmse_eval == pytest.approx(rmse_agg, abs=1e-3)
+    assert 0.0 < rmse_eval < 50.0
     row = ml_als_rmse(spark, SF_SMOKE).first()
-    assert row.n_test > 0
-    assert row.rmse_evaluator == pytest.approx(row.rmse_agg, abs=1e-3)
-    assert 0.0 < row.rmse_evaluator < 50.0
+    assert row.n_test_scored == n_test  # cold-start drop == SQL filter
+    assert row.evaluator_agrees_aggregate and row.als_rmse_finite
+    assert 0.0 < row.baseline_user_rmse < 50.0
 
 
 def test_als_cv_full_reproduces_reference_grid(spark):

@@ -774,3 +774,14 @@ def test_user_recs_anti_join_and_bounded_cut(spark):
     assert "LeftAnti" in plan
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_kmeans_elbow_joint_sweep_is_broadcast_bounded(spark):
+    """The k=2..10 elbow runs all nine Lloyd fits in ONE plan: every
+    per-round assignment joins the corpus against the 54-row joint
+    centroid table as a BROADCAST nested loop (never a cartesian
+    between data-sized sides), and the per-(k, vector) argmin is a
+    WindowGroupLimit-class window, not a global sort."""
+    plan = _plan(_specs()["ml_kmeans_elbow"].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan

@@ -463,3 +463,80 @@ def test_knn_graph_recall_on_anisotropic_geometry(spark):
               for r in sim_knn_graph_edges(spark, sf).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"anisotropic kNN recall@{KNN_K}: {recall:.2f}"
+
+
+def test_components_persisted_is_pure_scan_with_valid_labeling(spark):
+    """The registered probe face of duplicate clustering (r8 verdict
+    task 4): the query plan must be an artifact SCAN -- no join, no
+    aggregate, no iteration -- and the persisted labeling must satisfy
+    the min-label invariants the oracle hash cannot articulate:
+    component <= doc_id, the label is a member of its own cluster,
+    and component_size telescopes to the cluster's row count."""
+    from recommendation_system_spark_ml_spark.operators.dedup import (
+        dedup_components_persisted)
+
+    df = dedup_components_persisted(spark, SF_SMOKE)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    # probe cost = one parquet scan of the artifact (the fixpoint was
+    # paid at build time); any Join/Exchange here means the
+    # amortization contract is broken
+    assert "Join" not in plan and "Exchange" not in plan
+    rows = df.collect()
+    assert rows
+    by_comp = {}
+    for r in rows:
+        assert r.component <= r.doc_id
+        by_comp.setdefault(r.component, []).append(r)
+    for comp, members in by_comp.items():
+        ids = {m.doc_id for m in members}
+        assert comp in ids, "label must be a member of its own cluster"
+        assert all(m.component_size == len(members) for m in members)
+
+
+def test_lsh_realistic_planted_recall_and_geometry(spark):
+    """The clustered scale fixture must behave as designed: planted
+    twins (cosine ~0.998) are recovered by the production banding at
+    >= 90% recall, every returned pair clears the 0.4 floor, and the
+    corpus geometry matches the spec -- cluster-mate cosine
+    concentrates near 0.3 (hard negatives), cross-cluster near 0."""
+    import pyspark.sql.functions as F
+
+    from recommendation_system_spark_ml_spark.operators.similarity import (
+        sim_lsh_realistic)
+    from recommendation_system_spark_ml_spark.sources.realistic import (
+        TWIN_OFFSET, realistic_embeddings)
+
+    pairs = sim_lsh_realistic(spark, SF_SMOKE).cache()
+    try:
+        assert pairs.where(F.col("cosine") < 0.4).count() == 0
+        emb = realistic_embeddings(spark, SF_SMOKE)
+        n_twins = emb.where(F.col("vec_id") >= TWIN_OFFSET).count()
+        assert n_twins > 0
+        hits = pairs.where(
+            F.col("vec_b") == F.col("vec_a") + TWIN_OFFSET).count()
+        assert hits >= 0.9 * n_twins, f"{hits}/{n_twins} planted twins"
+        # geometry: cluster-mate cosine ~0.3, cross ~0 (probe slice)
+        v = emb.select("vec_id",
+                       F.col("embedding").cast("array<double>").alias("v"),
+                       "label")
+
+        def dot(x, y):
+            return F.aggregate(F.zip_with(x, y, lambda a, b: a * b),
+                               F.lit(0.0), lambda acc, z: acc + z)
+
+        w = v.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+        a, b = w.alias("a"), w.alias("b")
+        cos = (dot(F.col("a.v"), F.col("b.v"))
+               / (F.col("a.nrm") * F.col("b.nrm")))
+        probe = (a.join(b, (F.col("a.vec_id") < F.col("b.vec_id"))
+                        & (F.col("a.vec_id") < 100)
+                        & (F.col("b.vec_id") < TWIN_OFFSET))
+                 .select((F.col("a.label") == F.col("b.label"))
+                         .alias("same"), cos.alias("c")))
+        stats = {r.same: r for r in
+                 probe.groupBy("same").agg(F.avg("c").alias("m")).collect()}
+        assert 0.15 < stats[True].m < 0.45   # clustered, sub-threshold
+        assert abs(stats[False].m) < 0.1     # cross-cluster background
+    finally:
+        pairs.unpersist()
