@@ -455,20 +455,23 @@ def _cv_fit_with_retry(cv, train, attempts: int = 3):
 
 
 
-@register("ml_als_cv")  # rows-only: MLlib CV
-def ml_als_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M8-M10: ALS grid CV on the ratings-analog train split. The grid
-    is a scaled-down 2x2x1 of the reference's 3x3x3 (MLR.py:212-221) so
-    the correctness harness stays fast; parallelism=4 replaces the
-    reference's sequential fits (its 2h20m bottleneck, BASELINE.md).
-    Returns the CV grid table (rank, reg_param, avg_rmse, is_best)."""
-    pin_session_conf(spark)
+def als_cv_detail(spark: SparkSession, sf_dir: str):
+    """The production M8-M10 scaled CV (2x2x1 of the reference's
+    3x3x3 grid, MLR.py:212-221; parallelism=8 replaces its sequential
+    fits -- the 2h20m bottleneck, BASELINE.md): returns
+    [(rank, reg_param, avg_rmse)] in ParamGridBuilder order plus the
+    first-minimal best row (idxmin rule, MLR.py:63). Shared by the
+    registered contract and the local test that pins the grid
+    values/winner on the fixture."""
     # cache: CrossValidator's fold splits + per-fold fit/eval re-read
     # this input ~10x; without the cache each re-read replays the
     # join+groupBy lineage of ratings_analog
-    train = (_hash_split(ratings_analog(spark, sf_dir),
-                         F.col("userId").cast("bigint") * 4096 + F.col("movieId"))
-             .filter(F.col("split") == "train").drop("split").cache())
+    train = (_hash_split(
+        ratings_analog(spark, sf_dir)
+        .where(F.col("userId").isNotNull() & F.col("movieId").isNotNull()
+               & F.col("rating").isNotNull()),
+        F.col("userId").cast("bigint") * 4096 + F.col("movieId"))
+        .filter(F.col("split") == "train").drop("split").cache())
     als = ALS(userCol="userId", itemCol="movieId", ratingCol="rating",
               coldStartStrategy="drop", seed=SEED, maxIter=5)
     grid = (ParamGridBuilder()
@@ -484,14 +487,55 @@ def ml_als_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     train.unpersist()
     rows = [(pm[als.rank], float(pm[als.regParam]), float(m))
             for pm, m in zip(grid, cv_model.avgMetrics)]
-    best = best_by_min_rmse(rows, 2)
-    out = spark.createDataFrame(rows, "rank int, reg_param double, avg_rmse double")
-    return (out.withColumn("is_best",
-                           ((F.col("rank") == best[0]) &
-                            (F.col("reg_param") == best[1])).cast("int"))
-            .select("rank", "reg_param", F.round("avg_rmse", 4).alias("avg_rmse"),
-                    "is_best")
-            .orderBy("rank", "reg_param"))
+    return rows, best_by_min_rmse(rows, 2)
+
+
+@register("ml_als_cv", oracle=f"""
+WITH ratings0 AS ({_RATINGS70_SQL}),
+train AS (
+    SELECT u, i, r FROM (
+        SELECT u, i, r, {_SPLIT70_SQL} AS split FROM ratings0
+    ) WHERE split = 'train'
+),
+g AS (SELECT r.v AS rank, CAST(p.v AS DOUBLE) AS reg_param
+      FROM (VALUES (8), (12)) r(v), (VALUES (0.05), (0.5)) p(v))
+SELECT CAST(rank AS INTEGER) AS rank, reg_param,
+       (SELECT CAST(count(*) AS BIGINT) FROM train) AS n_train,
+       TRUE AS rmse_in_band, TRUE AS best_attains_min
+FROM g
+""")
+def ml_als_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8-M10 as a HASHABLE contract (the ml_als_cv_full r6 shape,
+    promoted r9): the production scaled CV runs in full
+    (als_cv_detail), and the hash pins what IS cross-engine
+    expressible -- the 2x2 grid enumeration and the Knuth-split train
+    cardinality the 16 fold-fits consumed (n_train certifies split +
+    NULL-hygiene end to end). Unlike ml_als_cv_full, this CV runs on
+    the sf-scaled ratings analog, so the WINNER identity is
+    data-dependent and stays out of the hash (pinned on the fixture
+    by tests/test_ml_parity.py instead); the contract booleans are
+    guaranteed by construction: every avg RMSE finite inside (0, 50)
+    (ratings are 1..50-ish average quantities; CV averages fold
+    RMSEs of cold-start-dropped predictions) and the best row attains
+    the grid minimum (first-minimal idxmin by definition)."""
+    pin_session_conf(spark)
+    import math
+    rows, best = als_cv_detail(spark, sf_dir)
+    in_band = all(math.isfinite(m) and 0 < m < 50 for _, _, m in rows)
+    attains = best[2] == min(m for _, _, m in rows)
+    grid_df = spark.createDataFrame(
+        [(r, p) for r, p, _ in rows], "rank int, reg_param double")
+    n_train = (_hash_split(
+        ratings_analog(spark, sf_dir)
+        .where(F.col("userId").isNotNull() & F.col("movieId").isNotNull()
+               & F.col("rating").isNotNull()),
+        F.col("userId").cast("bigint") * 4096 + F.col("movieId"))
+        .filter(F.col("split") == "train")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_train")))
+    return (grid_df.crossJoin(F.broadcast(n_train))
+            .select("rank", "reg_param", "n_train",
+                    F.lit(in_band).alias("rmse_in_band"),
+                    F.lit(attains).alias("best_attains_min")))
 
 
 @register("ml_als_cv_full", oracle="""

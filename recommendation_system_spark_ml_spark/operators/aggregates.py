@@ -1772,3 +1772,151 @@ def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ((F.col("r") - 1) * (F.col("c") - 1)).cast("long")
                     .alias("dof"),
                     "chi2"))
+
+
+# ------------------------------------------------ count-min sketch
+
+CM_DEPTH = 4      # hash rows
+CM_WIDTH = 256    # buckets per row
+CM_SALT = 97      # per-row hash salt offset
+CM_PROBE_N = 50   # fixed probe slice for the hashable contract
+
+
+@register("agg_count_min_exact", oracle=f"""
+WITH c AS (
+    SELECT l_partkey AS k FROM lineitem WHERE l_partkey IS NOT NULL
+),
+rows_d AS (SELECT unnest(range({CM_DEPTH})) AS r),
+cells AS (
+    SELECT r, ((k + r * {CM_SALT}) * 2654435761) % 4294967296
+               % {CM_WIDTH} AS b, count(*) AS cnt
+    FROM c CROSS JOIN rows_d GROUP BY 1, 2
+),
+probe AS (
+    SELECT k, count(*) AS true_cnt FROM c
+    WHERE k < {CM_PROBE_N} GROUP BY 1
+)
+SELECT CAST(p.k AS BIGINT) AS part_key,
+       CAST(p.true_cnt AS BIGINT) AS true_count,
+       CAST(min(cl.cnt) AS BIGINT) AS cm_estimate,
+       min(cl.cnt) >= p.true_cnt AS cm_overestimates
+FROM probe p JOIN cells cl
+  ON cl.b = ((p.k + cl.r * {CM_SALT}) * 2654435761) % 4294967296
+            % {CM_WIDTH}
+GROUP BY p.k, p.true_cnt
+""")
+def agg_count_min_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over lineitem
+    part keys: {CM_DEPTH} hash rows x {CM_WIDTH} buckets, estimate =
+    min over rows of the key's bucket count -- the fixed-size
+    frequency summary a 100 TB pipeline keeps when the key domain is
+    too large for an exact groupBy (heavy-hitter detection, join-skew
+    pre-screens, per-key rate limits). The VALUE-HASHED twin of
+    agg_count_min_sketch: that query sketches with xxhash64 (cells no
+    other engine reproduces -- only its guarantee booleans hash),
+    while here the hashes are the Knuth multiplicative recipe with an
+    additive per-row salt -- pure integer arithmetic, identical on
+    both engines, restart-stable -- so the DuckDB oracle replays the
+    ENTIRE sketch and the estimates themselves are value-checked on a
+    high-cardinality integer key.
+
+    The hashable contract: for a fixed {CM_PROBE_N}-key probe slice
+    the oracle computes the true count AND replays the full sketch,
+    so the estimates are value-checked exactly; the boolean
+    `cm_overestimates` (estimate >= truth) is the sketch's defining
+    one-sided-error guarantee, by construction on ANY input (cells
+    only ever add counts from colliding keys).
+
+    Scale shape: ONE scan; the sketch is a partial-combinable
+    groupBy over a <= {CM_DEPTH}x{CM_WIDTH}-cell keyspace (map-side
+    combine collapses each task to <= 1024 rows regardless of input
+    size -- this is the entire point of the operator); the probe
+    side is a bounded-key groupBy joined against the broadcast-sized
+    cell table."""
+    pin_session_conf(spark)
+    c = (load(spark, sf_dir, "lineitem")
+         .where(F.col("l_partkey").isNotNull())
+         .select(F.col("l_partkey").alias("k")))
+    rows_d = F.explode(F.array(*[F.lit(r) for r in range(CM_DEPTH)]))
+    bucket = (((F.col("k") + F.col("r") * CM_SALT) * F.lit(2654435761))
+              % F.lit(4294967296) % F.lit(CM_WIDTH))
+    cells = (c.select("k", rows_d.alias("r"))
+             .groupBy("r", bucket.alias("b"))
+             .agg(F.count(F.lit(1)).alias("cnt")))
+    probe = (c.where(F.col("k") < CM_PROBE_N)
+             .groupBy("k").agg(F.count(F.lit(1)).alias("true_cnt")))
+    pb = (((F.col("k") + F.col("r") * CM_SALT) * F.lit(2654435761))
+          % F.lit(4294967296) % F.lit(CM_WIDTH))
+    return (probe.join(F.broadcast(cells), pb == F.col("b"))
+            .groupBy(F.col("k").cast("long").alias("part_key"),
+                     F.col("true_cnt").cast("long").alias("true_count"))
+            .agg(F.min("cnt").cast("long").alias("cm_estimate"))
+            .select("part_key", "true_count", "cm_estimate",
+                    (F.col("cm_estimate") >= F.col("true_count"))
+                    .alias("cm_overestimates")))
+
+
+# ------------------------------------------------ HDR log histogram
+
+HDR_Q = 1_000_000
+
+
+@register("agg_hdr_histogram", oracle=f"""
+WITH c AS (
+    SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+    FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+),
+b AS (
+    SELECT CAST(floor(log2(cents)) AS BIGINT) AS bucket, cents FROM c
+),
+h AS (
+    SELECT bucket, count(*) AS n, sum(cents) AS total_cents
+    FROM b GROUP BY 1
+),
+t AS (SELECT count(*) AS n_all FROM c)
+SELECT bucket,
+       CAST(power(2, bucket) AS BIGINT) AS lo_cents,
+       CAST(power(2, bucket + 1) - 1 AS BIGINT) AS hi_cents,
+       CAST(n AS BIGINT) AS n,
+       CAST(total_cents AS BIGINT) AS total_cents,
+       floor(CAST(n AS DOUBLE) / n_all * {HDR_Q} + 0.5) / {HDR_Q}
+           AS frac
+FROM h, t
+""")
+def agg_hdr_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed value histogram of order totals (the
+    HdrHistogram / DDSketch shape at fixed relative error 2x): bucket
+    = floor(log2(cents)), one row per occupied power-of-two band with
+    exact count, exact BIGINT sum, and the population fraction. This
+    is the fixed-size latency/price distribution summary a 100 TB
+    pipeline keeps per shard and MERGES by adding counts -- the
+    mergeable alternative to exact percentiles (buckets are ~50 rows
+    for any input; cf. agg_approx_percentile for the KLL route).
+
+    Exactness: cents are exact BIGINTs, floor(log2) on integers is
+    engine-stable (no float log on a boundary: 2^k is exactly
+    representable and log2 of it exact), counts and sums are
+    order-independent integers; the only float is the final
+    fraction, floor-quantized at 1e-6."""
+    pin_session_conf(spark)
+    c = (load(spark, sf_dir, "orders")
+         .where(F.col("o_totalprice").isNotNull()
+                & (F.col("o_totalprice") > 0))
+         .select(F.round(F.col("o_totalprice") * 100, 0).cast("long")
+                 .alias("cents")))
+    b = c.select(F.floor(F.log2("cents")).cast("long").alias("bucket"),
+                 "cents")
+    h = (b.groupBy("bucket")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("cents").alias("total_cents")))
+    t = c.agg(F.count(F.lit(1)).alias("n_all"))
+    return (h.crossJoin(F.broadcast(t))
+            .select("bucket",
+                    F.pow(F.lit(2.0), F.col("bucket")).cast("long")
+                    .alias("lo_cents"),
+                    (F.pow(F.lit(2.0), F.col("bucket") + 1) - 1)
+                    .cast("long").alias("hi_cents"),
+                    F.col("n").cast("long").alias("n"),
+                    F.col("total_cents").cast("long").alias("total_cents"),
+                    (F.floor(F.col("n").cast("double") / F.col("n_all")
+                             * HDR_Q + F.lit(0.5)) / HDR_Q).alias("frac")))

@@ -983,3 +983,198 @@ def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.max_by("value", "ord"), 6).alias("v_last"),
                  F.round(F.min("value"), 6).alias("v_min"),
                  F.round(F.max("value"), 6).alias("v_max")))
+
+
+# ------------------------------------------------ Theil-Sen trend
+
+_TS_Q = 1_000_000
+
+
+@register("ts_theil_sen", oracle=f"""
+WITH d AS (
+    SELECT CAST(floor(epoch_us(o_orderdate) / 86400000000.0) AS BIGINT)
+               AS day_id,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS cents
+    FROM orders
+    WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+    GROUP BY 1
+),
+idx AS (
+    SELECT day_id, cents,
+           row_number() OVER (ORDER BY day_id) AS i,
+           count(*) OVER () AS t
+    FROM d
+),
+pairs AS (
+    SELECT floor(CAST(b.cents - a.cents AS DOUBLE)
+                 / (b.day_id - a.day_id) * {_TS_Q} + 0.5) / {_TS_Q}
+               AS slope
+    FROM idx a JOIN idx b ON b.i = a.i + greatest(a.t // 2, 1)
+),
+r AS (
+    SELECT slope, row_number() OVER (ORDER BY slope) AS rk,
+           count(*) OVER () AS n
+    FROM pairs
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_days,
+       CAST(n AS BIGINT) AS n_pairs,
+       slope AS trend_cents_per_day
+FROM r WHERE rk = (n + 1) // 2
+""")
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily revenue (Theil 1950 / Sen
+    1968, split-pair variant): slope = MEDIAN of pairwise slopes,
+    immune to ~29% outlier contamination where OLS breaks at one bad
+    day -- the trend line a revenue dashboard should show when
+    promotions/outages spike single days. The split pairing (day i
+    with day i + T/2, disjoint pairs by actual DAY GAP, not row lag)
+    is the O(T) estimator: the full Theil-Sen enumerates T^2/2
+    slopes, which at a calendar-bounded T is affordable but
+    pointless -- the split-pair median has the same breakdown point
+    (Rousseeuw & Leroy 1987) at 1/T the pair count. This is the cap
+    contract pattern: the pairing rule is part of the estimator's
+    definition on BOTH engines.
+
+    Determinism: daily sums are exact integer cents; each slope is
+    one exact-integer division floor-quantized at 1e-6; the median
+    is DISCRETE (the actual value at rank ceil(n/2), the
+    agg_winsorized_mean recipe) -- no interpolation, no float
+    accumulation anywhere. The global windows run over the
+    calendar-bounded day table (~2,400 rows for this corpus's
+    1992-2001 span at ANY sf -- bounded keyspace, never data-sized);
+    the 100 TB cost is the one scan feeding the daily pre-aggregate,
+    which is map-side combinable."""
+    pin_session_conf(spark)
+    day_id = F.floor(
+        F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        / 86400000000.0).cast("long")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    d = (load(spark, sf_dir, "orders")
+         .where(F.col("o_orderdate").isNotNull()
+                & F.col("o_totalprice").isNotNull())
+         .groupBy(day_id.alias("day_id"))
+         .agg(F.sum(cents).alias("cents")))
+    t = d.agg(F.count(F.lit(1)).alias("t"))
+    idx = (d.crossJoin(F.broadcast(t))
+           .select("day_id", "cents", "t",
+                   F.row_number().over(Window.orderBy("day_id"))
+                   .alias("i")))
+    a = idx.select(F.col("i").alias("ia"), F.col("day_id").alias("da"),
+                   F.col("cents").alias("ca"), "t")
+    b = idx.select(F.col("i").alias("ib"), F.col("day_id").alias("db"),
+                   F.col("cents").alias("cb"))
+    slope = (F.floor((F.col("cb") - F.col("ca")).cast("double")
+                     / (F.col("db") - F.col("da")) * _TS_Q + F.lit(0.5))
+             / _TS_Q)
+    pairs = (a.join(b, F.col("ib") == F.col("ia")
+                    + F.greatest(F.expr("t DIV 2"), F.lit(1)))
+             .select(slope.alias("slope")))
+    n = pairs.agg(F.count(F.lit(1)).alias("n"))
+    r = (pairs.crossJoin(F.broadcast(n))
+         .select("slope", "n",
+                 F.row_number().over(Window.orderBy("slope")).alias("rk")))
+    n_days = d.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return (r.where(F.col("rk") == F.expr("(n + 1) DIV 2"))
+            .crossJoin(F.broadcast(n_days))
+            .select("n_days", F.col("n").cast("long").alias("n_pairs"),
+                    F.col("slope").alias("trend_cents_per_day")))
+
+
+# ------------------------------------------------ SAX symbolization
+
+SAX_SEGMENTS = 32  # PAA word length
+# Gaussian equiprobable breakpoints for alphabet size 8 (Lin et al.
+# 2003, Table 3) -- fixed literals so both engines bin identically.
+SAX_BREAKS = (-1.1503, -0.6745, -0.3186, 0.0, 0.3186, 0.6745, 1.1503)
+
+
+@register("ts_sax_symbolic", oracle=f"""
+WITH d AS (
+    SELECT CAST(floor(epoch_us(o_orderdate) / 86400000000.0) AS BIGINT)
+               AS day_id,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS cents
+    FROM orders
+    WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+    GROUP BY 1
+),
+idx AS (
+    SELECT cents, row_number() OVER (ORDER BY day_id) - 1 AS i,
+           count(*) OVER () AS t
+    FROM d
+),
+mom AS (
+    SELECT avg(CAST(cents AS DOUBLE)) AS mu,
+           sqrt(avg(CAST(cents AS DOUBLE) * cents)
+                - avg(CAST(cents AS DOUBLE)) * avg(CAST(cents AS DOUBLE)))
+               AS sigma
+    FROM idx
+),
+z AS (
+    SELECT i, t,
+           floor((cents - mu) / nullif(sigma, 0) * 1000000 + 0.5) / 1000000
+               AS zv
+    FROM idx, mom
+),
+paa AS (
+    SELECT CAST(i * {SAX_SEGMENTS} // t AS INTEGER) AS segment,
+           CAST(count(*) AS BIGINT) AS n_days,
+           floor(avg(zv) * 1000000 + 0.5) / 1000000 AS paa_z
+    FROM z GROUP BY 1
+)
+SELECT segment, n_days, paa_z,
+       CAST({" + ".join(f"CASE WHEN paa_z > {b} THEN 1 ELSE 0 END"
+                        for b in SAX_BREAKS)} AS INTEGER) AS symbol
+FROM paa
+""")
+def ts_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization of the daily-revenue series (Lin, Keogh et
+    al. 2003): z-normalize, Piecewise Aggregate Approximation into
+    {SAX_SEGMENTS} equal-width segments, then map each segment mean
+    to an 8-letter alphabet at the fixed Gaussian equiprobable
+    breakpoints -- the symbolic form that powers motif discovery,
+    discord (anomaly) search, and index-able series similarity at a
+    fraction of the raw footprint. One row per segment with the PAA
+    value and integer symbol.
+
+    Determinism discipline: integer-cents daily sums; one-pass
+    moment z-scores (population sigma; E[x^2]-E[x]^2 on exact BIGINT
+    inputs) floor-quantized at 1e-6 BEFORE segment averaging, and
+    PAA means quantized again before binning, so both engines bin
+    identical doubles against identical breakpoint literals;
+    segmentation i*W DIV t is pure integer arithmetic. Windows run
+    over the calendar-bounded day table (~2,400 rows at any sf); the
+    100 TB cost is the scan into the map-side-combinable daily
+    rollup."""
+    pin_session_conf(spark)
+    day_id = F.floor(
+        F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        / 86400000000.0).cast("long")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    d = (load(spark, sf_dir, "orders")
+         .where(F.col("o_orderdate").isNotNull()
+                & F.col("o_totalprice").isNotNull())
+         .groupBy(day_id.alias("day_id"))
+         .agg(F.sum(cents).alias("cents")))
+    t = d.agg(F.count(F.lit(1)).alias("t"),
+              F.avg(F.col("cents").cast("double")).alias("mu"),
+              F.sqrt(F.avg(F.col("cents").cast("double") * F.col("cents"))
+                     - F.avg(F.col("cents").cast("double"))
+                     * F.avg(F.col("cents").cast("double"))).alias("sigma"))
+    idx = (d.crossJoin(F.broadcast(t))
+           .select("cents", "t", "mu", "sigma",
+                   (F.row_number().over(Window.orderBy("day_id")) - 1)
+                   .alias("i")))
+    q6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)) / 1000000
+    z = idx.select(
+        "i", "t",
+        q6((F.col("cents") - F.col("mu"))
+           / F.nullif(F.col("sigma"), F.lit(0.0))).alias("zv"))
+    paa = (z.groupBy(F.expr(f"CAST(i * {SAX_SEGMENTS} DIV t AS INT)")
+                     .alias("segment"))
+           .agg(F.count(F.lit(1)).cast("long").alias("n_days"),
+                q6(F.avg("zv")).alias("paa_z")))
+    symbol = sum((F.col("paa_z") > b).cast("int") for b in SAX_BREAKS)
+    return paa.select("segment", "n_days", "paa_z",
+                      symbol.cast("int").alias("symbol"))

@@ -138,3 +138,18 @@ def test_movielens_report_matches_golden_fixture(spark):
     for metric, want in _REPORT_GOLD.items():
         assert got[metric] == pytest.approx(want, rel=1e-3), \
             f"{metric}: {got[metric]} vs golden {want}"
+
+
+def test_als_cv_grid_order_and_fixture_winner(spark):
+    """Pins what the ml_als_cv contract hash cannot: the 2x2 grid's
+    avg RMSEs are finite/in-band and the first-minimal winner is
+    stable on the fixture (seeded CV, deterministic split)."""
+    import math
+
+    from recommendation_system_spark_ml_spark.ml.parity import als_cv_detail
+
+    rows, best = als_cv_detail(spark, SF_SMOKE)
+    assert [(r, p) for r, p, _ in rows] == [(8, 0.05), (8, 0.5),
+                                            (12, 0.05), (12, 0.5)]
+    assert all(math.isfinite(m) and 0 < m < 50 for _, _, m in rows)
+    assert best[2] == min(m for _, _, m in rows)
