@@ -22,9 +22,9 @@ sensitivity, so when their deviations straddle zero some beta in
 same direction). If no bounded model explains the delta, the cause
 is code, not machine state. Tolerance per query: max(gate_pct% of the PERF
 value, ABS_FLOOR seconds) -- the absolute floor is the measured
-sample-to-sample scheduler/sink jitter (sub-second queries carry
-~0.1 s of fixed-latency noise that no normalization can shrink;
-medians of 5-7 samples still wobble by that much run-to-run).
+same-code cross-session jitter on short queries (see ABS_FLOOR's
+derivation below): fixed scheduler/GC noise that no normalization
+can shrink; medians of 5 samples wobble by that much run-to-run.
 
 Inputs: a driver BENCH_rN.json (uses its "parsed" object), or a file
 holding bench.py's raw stdout line.
@@ -44,7 +44,13 @@ sys.path.insert(0, _ROOT)
 
 from bench import FIXED_LAT, norm_time  # noqa: E402
 
-ABS_FLOOR = 0.15  # seconds; measured cross-run jitter floor (r9)
+# Absolute tolerance floor (seconds): the measured SAME-CODE
+# cross-session deviation on ~1 s queries between two r9 bench runs
+# whose machine factors agreed within 5% (tpch_q5 1.19 vs 1.00,
+# fn_json 0.80 vs 0.63 -- 0.17-0.19 s of scheduler/GC noise that no
+# probe normalization explains, on medians of 5). Falsifiable: any
+# same-code pair of runs exceeding it re-pins this constant.
+ABS_FLOOR = 0.25
 
 
 def load_bench(path: str) -> dict:
