@@ -144,6 +144,7 @@ WITH cnt AS (
     SELECT doc_id, w, count(*) AS tf
     FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
           FROM documents)
+    WHERE w <> ''
     GROUP BY 1, 2
 ), df AS (
     SELECT w, count(*) AS df FROM cnt GROUP BY 1
