@@ -188,14 +188,26 @@ def main() -> None:
         "value_norm": round(sum(times_norm.values()), 3),
     })
     side = {
+        "sf": _sf_of(sf_dir),
+        "repeat": repeat,
         "calib_all_sec": [round(x, 3) for x in calib_all],
         "norm_factor": factor,
         "queries_norm": times_norm,
         "queries_min": times_min,
         "samples": raw_samples,
     }
-    side_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_SAMPLES.json")
+    # Side-artifact path is OUTPUT-SCOPED (r9 ADVICE): the committed
+    # repo-root BENCH_SAMPLES.json is the PINNED noise source for
+    # bench_drift_check.perf_noise() and must only be overwritten
+    # deliberately (set $SPARK_GRAFT_BENCH_SAMPLES when re-pinning a
+    # PERF sweep). Default writes go to the untracked *_last.json so
+    # smoke runs (tests/test_bench.py at sf0.001 repeat=1) can never
+    # clobber the pin; the sf/repeat stamps above let perf_noise()
+    # refuse a mismatched pin outright.
+    side_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_SAMPLES",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_SAMPLES_last.json"))
     with open(side_path, "w") as f:
         json.dump(side, f)
     print(f"per-sample detail -> {side_path}", file=sys.stderr)

@@ -54,8 +54,9 @@ _RATINGS70_SQL = """
     GROUP BY 1, 2
     HAVING avg(l_quantity) IS NOT NULL
 """
-_SPLIT70_SQL = ("CASE WHEN (CAST(u AS BIGINT) * 4096 + i) * 2654435761 "
-                "% 4294967296 % 10 < 7 THEN 'train' ELSE 'test' END")
+_SPLIT70_SQL = ("CASE WHEN (CAST(u AS BIGINT) * 4096 + i) % 2147483648 "
+                "* 2654435761 % 4294967296 % 10 < 7 "
+                "THEN 'train' ELSE 'test' END")
 
 # Knuth multiplicative hash, same recipe as operators/relational.py's
 # split_hash -- deterministic and expressible in both engines.
@@ -63,8 +64,17 @@ _KNUTH = 2654435761
 
 
 def _hash_split(df: DataFrame, key_col) -> DataFrame:
-    """70/30 split flag from a bigint key (replaces randomSplit)."""
-    bucket = (key_col * F.lit(_KNUTH)) % F.lit(4294967296) % F.lit(10)
+    """70/30 split flag from a bigint key (replaces randomSplit).
+
+    The key is folded mod 2^31 BEFORE the Knuth multiply (r9 ADVICE):
+    key * 2654435761 overflows INT64 once key > ~3.47e9 (u ≳ 8.5e5,
+    sf ≳ 6), where DuckDB raises and non-ANSI Spark silently wraps
+    negative -- breaking the identical-arithmetic claim at scale. The
+    fold keeps the product ≤ 2^31 * 2654435761 ≈ 5.7e18 < 2^63 on any
+    corpus, and is an identity (same split values) whenever
+    key < 2^31, i.e. every sf this repo verifies at."""
+    bucket = ((key_col % F.lit(2147483648)) * F.lit(_KNUTH)
+              ) % F.lit(4294967296) % F.lit(10)
     return df.withColumn("split", F.when(bucket < 7, "train").otherwise("test"))
 
 
@@ -381,9 +391,20 @@ def cluster_predictor_frames(spark: SparkSession, sf_dir: str):
                     .alias("rmse"),
                      F.count(F.lit(1)).cast("long").alias("n")))
 
+    # Two independent checks (r9 ADVICE): refine (each p_type -> <=1
+    # cluster) is true by construction, so ALSO count both partitions
+    # -- refine AND |clusters| == |types| iff the partitions are
+    # bijective, which is exactly when cluster-RMSE == typed-RMSE.
     refine = (clusters.groupBy("p_type")
               .agg(F.countDistinct("cluster").alias("nc"))
-              .agg((F.max("nc") <= 1).alias("clusters_refine_types")))
+              .agg((F.max("nc") <= 1).alias("refines"),
+                   F.countDistinct("p_type").alias("n_types"))
+              .crossJoin(F.broadcast(
+                  clusters.agg(F.countDistinct("cluster").alias("n_cl"))))
+              .select(
+                  F.col("refines").alias("clusters_refine_types"),
+                  (F.col("refines") & (F.col("n_cl") == F.col("n_types")))
+                  .alias("partition_bijective")))
     return rmse_by_split("cluster"), rmse_by_split("p_type"), refine
 
 
@@ -406,7 +427,9 @@ scored AS (
 SELECT split,
        round(sqrt(avg((r - prediction) * (r - prediction))), 4) AS rmse,
        CAST(count(*) AS BIGINT) AS n,
-       TRUE AS clusters_refine_types
+       TRUE AS clusters_refine_types,
+       TRUE AS partition_bijective,
+       TRUE AS cluster_rmse_matches
 FROM scored GROUP BY split
 """)
 def ml_cluster_predictor(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -426,12 +449,31 @@ def ml_cluster_predictor(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed region; on this corpus k equals the 6-value p_type
     vocabulary, the fit separates the 6 distinct one-hots, and the
     cluster-partition RMSE is pinned EQUAL to the hashed
-    type-partition RMSE by tests/test_ml_parity.py."""
+    type-partition RMSE by tests/test_ml_parity.py.
+
+    r9 ADVICE hardening: refine alone cannot detect the
+    cluster-MERGES-types case (it is true whenever each type lands in
+    one cluster, even if two types share one), which is exactly when
+    the reported rmse stops equaling the production pipeline's. The
+    contract therefore also hashes `partition_bijective` (refine AND
+    |clusters| == |types| -- bijective iff the two partitions induce
+    the same grouping) and `cluster_rmse_matches` (the actual
+    cluster-pipeline RMSE/N joined back per split and compared to the
+    hashed typed values) -- both flip FALSE and hash-mismatch the
+    moment the fit merges types."""
     pin_session_conf(spark)
-    _cluster_rmse, typed_rmse, refine = cluster_predictor_frames(
+    cluster_rmse, typed_rmse, refine = cluster_predictor_frames(
         spark, sf_dir)
-    return (typed_rmse.crossJoin(F.broadcast(refine))
-            .select("split", "rmse", "n", "clusters_refine_types")
+    c = cluster_rmse.select("split",
+                            F.col("rmse").alias("c_rmse"),
+                            F.col("n").alias("c_n"))
+    return (typed_rmse.join(F.broadcast(c), "split")
+            .crossJoin(F.broadcast(refine))
+            .select("split", "rmse", "n", "clusters_refine_types",
+                    "partition_bijective",
+                    ((F.col("rmse") == F.col("c_rmse"))
+                     & (F.col("n") == F.col("c_n")))
+                    .alias("cluster_rmse_matches"))
             .orderBy("split"))
 
 

@@ -1175,6 +1175,11 @@ def ts_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("segment"))
            .agg(F.count(F.lit(1)).cast("long").alias("n_days"),
                 q6(F.avg("zv")).alias("paa_z")))
-    symbol = sum((F.col("paa_z") > b).cast("int") for b in SAX_BREAKS)
+    # NULL-safe per breakpoint (r9 ADVICE): on a constant series
+    # sigma=0 makes zv/paa_z NULL; (NULL > b).cast('int') is NULL in
+    # Spark while the oracle's CASE ... ELSE 0 yields 0 -- mirror the
+    # CASE ELSE 0 semantics so symbol = 0 on both engines.
+    symbol = sum(F.when(F.col("paa_z") > b, 1).otherwise(0)
+                 for b in SAX_BREAKS)
     return paa.select("segment", "n_days", "paa_z",
                       symbol.cast("int").alias("symbol"))

@@ -33,6 +33,9 @@ def test_cluster_predictor_rmse_sane(spark):
         assert 0.0 < r.rmse < 50.0  # ratings are avg quantities (1..50)
         assert r.n > 0
         assert r.clusters_refine_types  # guaranteed by construction
+        # r9 ADVICE cross-checks: falsifiable when the fit merges types
+        assert r.partition_bijective
+        assert r.cluster_rmse_matches
     # ~70/30 split.
     frac = rows["train"].n / (rows["train"].n + rows["test"].n)
     assert 0.6 < frac < 0.8

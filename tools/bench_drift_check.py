@@ -24,8 +24,11 @@ and dedup_minhash_realistic ran 12.9% faster on a machine whose
 probe was only 9% faster, an effective beta ~= 1.46) -- so the
 bracket tops out at the measured beta=1.5. When the beta=0 and
 beta=1.5 deviations straddle zero, some beta inside the bracket
-reconciles the runs exactly and the query passes outright (a real
-code regression pushes BOTH bounds the same direction). If no
+reconciles the runs -- but only deltas up to the measured factor gap
+|(f_b/f_p)^1.5 - 1| are attributable to machine state, so a straddle
+widens the tolerance by that swing rather than waiving the gate
+(r9 ADVICE: an uncapped straddle pass would mask real regressions
+whenever the two runs' probe factors differ, which is always). If no
 bounded model explains the delta, the cause is code, not machine
 state. Tolerance per query: max(gate_pct% of the PERF
 value, ABS_FLOOR seconds) -- the absolute floor is the measured
@@ -105,11 +108,24 @@ def recover_factor(raw: float, norm: float) -> float | None:
 
 def perf_noise() -> dict[str, float]:
     """Per-query noise tolerance (%) from the committed PERF-paired
-    side artifact's raw samples; empty if the file is absent."""
+    side artifact's raw samples; empty if the file is absent.
+
+    Guard (r9 ADVICE): bench.py used to clobber this file on EVERY
+    run (including the sf0.001 repeat=1 test smoke), silently turning
+    the noise band into the run-under-test's own spread. bench.py now
+    writes elsewhere by default and stamps sf/repeat; refuse any pin
+    whose stamps don't match the PERF sweep conditions (sf=0.1,
+    repeat>=3) so a stale or mis-pinned file can't license itself."""
     path = os.path.join(_ROOT, "BENCH_SAMPLES.json")
     if not os.path.exists(path):
         return {}
     side = json.load(open(path))
+    if side.get("sf") != 0.1 or side.get("repeat", 0) < 3:
+        print(f"WARNING: pinned BENCH_SAMPLES.json has sf={side.get('sf')} "
+              f"repeat={side.get('repeat')} (want sf=0.1 repeat>=3); "
+              "ignoring its noise bands -- re-pin from a PERF sweep "
+              "with $SPARK_GRAFT_BENCH_SAMPLES", file=sys.stderr)
+        return {}
 
     def med(xs):
         xs = sorted(xs)
@@ -152,23 +168,33 @@ def main() -> None:
         devs = {k: (b - p) / max(p, 1e-9) * 100.0
                 for k, (b, p) in cands.items()}
         best = min(devs, key=lambda k: abs(devs[k]))
-        # Bracket rule: beta=0 (raw) and beta=1.5 (cpu15) bound the
-        # measured range of machine-speed sensitivity (see module
-        # docstring). If their deviations have OPPOSITE signs, some
-        # beta inside the bracket reconciles the two runs exactly --
-        # the disagreement is attributable to machine state, not code
-        # (a real regression pushes BOTH bounds the same way).
+        b, p = cands[best]
+        tol = max(gate, ABS_FLOOR / p * 100.0, noise.get(name, 0.0))
+        slack = abs(devs[best]) - tol
+        # Bracket rule, CAPPED (r9 ADVICE: the old unconditional
+        # slack=-1.0 auto-pass let any magnitude through whenever the
+        # beta=0 and beta=1.5 deviations straddled zero, which happens
+        # for ANY delta once the two runs' probe factors differ).
+        # Machine state can explain at most the swing the beta bracket
+        # itself can apply between the two runs' factors --
+        # |(f_b/f_p)^1.5 - 1| -- so a straddle widens the tolerance by
+        # exactly that measured factor gap instead of waiving it. The
+        # bracket magnitude is printed (dev = nearer bound) so masked
+        # deltas are visible instead of silently green.
         if ("cpu15" in devs and devs["raw"] != 0
                 and (devs["raw"] > 0) != (devs["cpu15"] > 0)):
-            best = "bracket"
-            devs["bracket"] = min((devs["raw"], devs["cpu15"]), key=abs)
-            cands["bracket"] = (cands["raw"]
-                                if devs["bracket"] == devs["raw"]
-                                else cands["cpu"])
+            swing = abs((bf / pf) ** 1.5 - 1.0) * 100.0
+            bdev = min((devs["raw"], devs["cpu15"]), key=abs)
+            bslack = abs(bdev) - (tol + swing)
+            if bslack < slack:
+                best, slack = "bracket", bslack
+                devs["bracket"] = bdev
+                tol = tol + swing
+                cands["bracket"] = (cands["raw"]
+                                    if bdev == devs["raw"]
+                                    else cands["cpu15"])
         b, p = cands[best]
-        dev = devs[best] if best == "bracket" else (b - p) / p * 100.0
-        tol = max(gate, ABS_FLOOR / p * 100.0, noise.get(name, 0.0))
-        slack = -1.0 if best == "bracket" else abs(dev) - tol
+        dev = devs[best]
         out.append((slack, dev, tol, best, name, b, p))
     out.sort(reverse=True)
     bad = [r for r in out if r[0] > 0]
