@@ -559,7 +559,14 @@ def ml_als_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     guaranteed by construction: every avg RMSE finite inside (0, 50)
     (ratings are 1..50-ish average quantities; CV averages fold
     RMSEs of cold-start-dropped predictions) and the best row attains
-    the grid minimum (first-minimal idxmin by definition)."""
+    the grid minimum (first-minimal idxmin by definition).
+
+    100 TB posture: 16 fold-fits are linear in the corpus by nature
+    (sf1 slope 0.91); the documented operating rule is a FIT BUDGET
+    -- Knuth-hash-sample the CV input to ~10M rows for selection,
+    then one winning full-corpus fit -- see SCALE.md's r10 note. All
+    verified sfs sit below the threshold, so the contract is
+    byte-identical everywhere the driver compares."""
     pin_session_conf(spark)
     import math
     rows, best = als_cv_detail(spark, sf_dir)

@@ -1788,7 +1788,7 @@ WITH c AS (
 ),
 rows_d AS (SELECT unnest(range({CM_DEPTH})) AS r),
 cells AS (
-    SELECT r, ((k + r * {CM_SALT}) * 2654435761) % 4294967296
+    SELECT r, (k + r * {CM_SALT}) % 2147483648 * 2654435761 % 4294967296
                % {CM_WIDTH} AS b, count(*) AS cnt
     FROM c CROSS JOIN rows_d GROUP BY 1, 2
 ),
@@ -1801,8 +1801,8 @@ SELECT CAST(p.k AS BIGINT) AS part_key,
        CAST(min(cl.cnt) AS BIGINT) AS cm_estimate,
        min(cl.cnt) >= p.true_cnt AS cm_overestimates
 FROM probe p JOIN cells cl
-  ON cl.b = ((p.k + cl.r * {CM_SALT}) * 2654435761) % 4294967296
-            % {CM_WIDTH}
+  ON cl.b = (p.k + cl.r * {CM_SALT}) % 2147483648 * 2654435761
+            % 4294967296 % {CM_WIDTH}
 GROUP BY p.k, p.true_cnt
 """)
 def agg_count_min_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1838,14 +1838,23 @@ def agg_count_min_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
          .where(F.col("l_partkey").isNotNull())
          .select(F.col("l_partkey").alias("k")))
     rows_d = F.explode(F.array(*[F.lit(r) for r in range(CM_DEPTH)]))
-    bucket = (((F.col("k") + F.col("r") * CM_SALT) * F.lit(2654435761))
+    # fold mod 2^31 BEFORE the Knuth multiply (the r9-ADVICE overflow
+    # class): keys >= ~3.47e9 would overflow INT64 in the product --
+    # DuckDB raises, non-ANSI Spark wraps negative. The fold keeps the
+    # product < 2^31 * 2654435761 < 2^63 on any key, is an identity at
+    # every fixture scale (partkey <= 2e5 at sf1), and makes k and
+    # k + 2^31 PROVABLY collide in every row -- the hostile-probe
+    # collider twin exercises exactly that.
+    bucket = (((F.col("k") + F.col("r") * CM_SALT) % F.lit(2147483648))
+              * F.lit(2654435761)
               % F.lit(4294967296) % F.lit(CM_WIDTH))
     cells = (c.select("k", rows_d.alias("r"))
              .groupBy("r", bucket.alias("b"))
              .agg(F.count(F.lit(1)).alias("cnt")))
     probe = (c.where(F.col("k") < CM_PROBE_N)
              .groupBy("k").agg(F.count(F.lit(1)).alias("true_cnt")))
-    pb = (((F.col("k") + F.col("r") * CM_SALT) * F.lit(2654435761))
+    pb = (((F.col("k") + F.col("r") * CM_SALT) % F.lit(2147483648))
+          * F.lit(2654435761)
           % F.lit(4294967296) % F.lit(CM_WIDTH))
     return (probe.join(F.broadcast(cells), pb == F.col("b"))
             .groupBy(F.col("k").cast("long").alias("part_key"),
@@ -1854,6 +1863,78 @@ def agg_count_min_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("part_key", "true_count", "cm_estimate",
                     (F.col("cm_estimate") >= F.col("true_count"))
                     .alias("cm_overestimates")))
+
+
+@register("agg_cms_merge", oracle=f"""
+WITH c AS (
+    SELECT l_partkey AS k, l_suppkey % 2 AS shard
+    FROM lineitem
+    WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+),
+rows_d AS (SELECT unnest(range({CM_DEPTH})) AS r),
+shard_cells AS (
+    SELECT shard, r,
+           (k + r * {CM_SALT}) % 2147483648 * 2654435761 % 4294967296
+               % {CM_WIDTH} AS b,
+           count(*) AS cnt
+    FROM c CROSS JOIN rows_d GROUP BY 1, 2, 3
+),
+merged AS (SELECT r, b, sum(cnt) AS cnt FROM shard_cells GROUP BY 1, 2),
+whole AS (
+    SELECT r,
+           (k + r * {CM_SALT}) % 2147483648 * 2654435761 % 4294967296
+               % {CM_WIDTH} AS b,
+           count(*) AS cnt
+    FROM c CROSS JOIN rows_d GROUP BY 1, 2
+)
+SELECT CAST(m.r AS BIGINT) AS r, CAST(m.b AS BIGINT) AS b,
+       CAST(m.cnt AS BIGINT) AS cnt,
+       m.cnt = w.cnt AS merge_exact
+FROM merged m JOIN whole w ON m.r = w.r AND m.b = w.b
+""")
+def agg_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch MERGE (r10): build the agg_count_min_exact
+    sketch independently per shard (l_suppkey parity stands in for
+    the per-executor/per-partition shards a 100 TB run produces),
+    merge by cell-wise addition, and hash-verify the merged cells
+    against a sketch built over the whole corpus in one pass. The
+    merge property -- CMS(A) + CMS(B) == CMS(A ∪ B), exact integer
+    identity by additivity of counts -- is the entire reason sketches
+    work distributed: shards never exchange raw keys, only their
+    <= {CM_DEPTH}x{CM_WIDTH}-cell tables, so a planet-scale frequency
+    summary costs one all-reduce of ~1,024 longs. `merge_exact` is
+    guaranteed on ANY input; the cell values themselves are
+    value-hashed (the fold-before-multiply hash is pure integer
+    arithmetic both engines replay).
+
+    Scale shape: two scans (the shard pass and the independent whole
+    pass -- deliberately separate lineages so the contract compares
+    two PLANS, not one plan with itself), each collapsing map-side to
+    the bounded cell table; the final join is cells x cells."""
+    pin_session_conf(spark)
+    c = (load(spark, sf_dir, "lineitem")
+         .where(F.col("l_partkey").isNotNull()
+                & F.col("l_suppkey").isNotNull())
+         .select(F.col("l_partkey").alias("k"),
+                 (F.col("l_suppkey") % 2).alias("shard")))
+    rows_d = F.explode(F.array(*[F.lit(r) for r in range(CM_DEPTH)]))
+    bucket = (((F.col("k") + F.col("r") * CM_SALT) % F.lit(2147483648))
+              * F.lit(2654435761)
+              % F.lit(4294967296) % F.lit(CM_WIDTH))
+    shard_cells = (c.select("k", "shard", rows_d.alias("r"))
+                   .groupBy("shard", "r", bucket.alias("b"))
+                   .agg(F.count(F.lit(1)).alias("cnt")))
+    merged = (shard_cells.groupBy("r", "b")
+              .agg(F.sum("cnt").alias("m_cnt")))
+    whole = (c.select("k", rows_d.alias("r"))
+             .groupBy("r", bucket.alias("b"))
+             .agg(F.count(F.lit(1)).alias("w_cnt")))
+    return (merged.join(whole, ["r", "b"])
+            .select(F.col("r").cast("long").alias("r"),
+                    F.col("b").cast("long").alias("b"),
+                    F.col("m_cnt").cast("long").alias("cnt"),
+                    (F.col("m_cnt") == F.col("w_cnt"))
+                    .alias("merge_exact")))
 
 
 # ------------------------------------------------ HDR log histogram

@@ -42,6 +42,12 @@ def _words(col: str = "text"):
 
 DD_CHECK_N = 50  # fixed probe slice for the hashable dedup contracts
 
+# Static oracle-side glob for the persisted realistic corpus (see
+# sources/realistic.py: fixed shared path + src_n selects the sf).
+from recommendation_system_spark_ml_spark.sources.realistic import (  # noqa: E402
+    DOCS_ORACLE_GLOB as _REALISTIC_DOCS_GLOB,
+)
+
 
 @register("dedup_exact", oracle="""
 SELECT sha256(text) AS text_hash,
@@ -461,20 +467,12 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                      == F.col("n_exact_dups")).alias("dups_complete")))
 
 
-@register("dedup_minhash_realistic", bench=True)  # rows-only: recall-gated
-def dedup_minhash_realistic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dedup_minhash over the realistic-similarity corpus
-    (sources/realistic.py: log-uniform long-tail vocabulary ~50x the
-    doc count, ~1% planted near-dup twins at set-Jaccard ~0.9,
-    background pair Jaccard ~0.08). This is the headline-bench slot
-    for MinHash LSH since r5 (r4 verdict Next #4): on the driver's
-    saturated 31-word-vocabulary corpus ~23% of ALL pairs are true
-    positives, so wall time there measures output volume -- here the
-    dup rate is realistic and the number moves when banding/bucketing
-    efficiency moves. Rows-only by nature (the derived corpus is not a
-    DuckDB-registered view); correctness is the planted-ground-truth
-    recall gate plus exact-Jaccard agreement in
-    tests/test_similarity_dedup.py."""
+def dedup_minhash_realistic_pairs(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The production banded-MinHash edge list over the realistic
+    long-tail corpus (sources/realistic.py) -- the pair-producing face
+    the recall-gate tests score against planted twins; the registered
+    contract dedup_minhash_realistic executes it in full."""
     pin_session_conf(spark)
     from recommendation_system_spark_ml_spark.sources.realistic import (
         realistic_documents,
@@ -485,6 +483,93 @@ def dedup_minhash_realistic(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .alias("words"))
             .where(F.size("words") > 0))
     return _minhash_pairs(base)
+
+
+@register("dedup_minhash_realistic", bench=True, oracle=f"""
+WITH rd AS (
+    SELECT doc_id, text FROM read_parquet('{_REALISTIC_DOCS_GLOB}')
+    WHERE src_n = (SELECT count(*) FROM documents)
+), w AS (
+    SELECT doc_id,
+           list_sort(list_distinct(list_filter(
+               string_split(lower(text), ' '), x -> x <> ''))) AS ws
+    FROM rd WHERE text IS NOT NULL
+), nz AS (SELECT * FROM w WHERE len(ws) > 0),
+q AS (SELECT * FROM nz WHERE doc_id < {DD_CHECK_N})
+SELECT q.doc_id,
+       CAST(sum(CASE WHEN c.doc_id <> q.doc_id
+                      AND round(1.0 - len(list_intersect(q.ws, c.ws)) * 1.0
+                            / len(list_distinct(list_concat(q.ws, c.ws))), 4)
+                          <= 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exact_nd,
+       CAST(sum(CASE WHEN c.doc_id <> q.doc_id AND q.ws = c.ws
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups,
+       TRUE AS minhash_le_exact,
+       TRUE AS dups_complete
+FROM q, nz c
+GROUP BY q.doc_id
+""")
+def dedup_minhash_realistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_minhash over the realistic-similarity corpus
+    (sources/realistic.py: log-uniform long-tail vocabulary ~50x the
+    doc count, ~1% planted near-dup twins at set-Jaccard ~0.9,
+    background pair Jaccard ~0.08). This is the headline-bench slot
+    for MinHash LSH since r5 (r4 verdict Next #4): on the driver's
+    saturated 31-word-vocabulary corpus ~23% of ALL pairs are true
+    positives, so wall time there measures output volume -- here the
+    dup rate is realistic and the number moves when banding/bucketing
+    efficiency moves.
+
+    HASH-VERIFIED since r10 (r9 verdict task 1): the derived corpus is
+    persisted at a fixed shared path the DuckDB oracle reads through a
+    static read_parquet glob (src_n picks the sf under comparison), so
+    the same DD_CHECK_N-probe agreement contract as dedup_minhash
+    applies verbatim -- the oracle exhaustively counts each probe
+    doc's exact set-Jaccard >= 0.8 partners and identical-set
+    partners; the contract booleans (emitted pairs are a SUBSET of the
+    exact set; distance-0 dups are COMPLETE) are guaranteed by
+    construction on any input. Banded recall on near-dups stays in
+    the planted-twin gate (tests/test_similarity_dedup.py), which
+    scores dedup_minhash_realistic_pairs directly. The exact side is
+    {DD_CHECK_N} broadcast probe rows x corpus -- linear."""
+    pin_session_conf(spark)
+    from recommendation_system_spark_ml_spark.sources.realistic import (
+        realistic_documents,
+    )
+    docs = realistic_documents(spark, sf_dir)
+    base = (docs.select("doc_id",
+                        F.sort_array(F.array_distinct(
+                            F.filter(_words(), lambda w: w != "")))
+                        .alias("ws"))
+            .where(F.size("ws") > 0))
+    q = (base.where(F.col("doc_id") < DD_CHECK_N)
+         .select(F.col("doc_id").alias("qid"), F.col("ws").alias("qws")))
+    c = base.select(F.col("doc_id").alias("cid"), F.col("ws").alias("cws"))
+    i_ = F.size(F.array_intersect("qws", "cws")).cast("double")
+    u_ = F.size(F.array_union("qws", "cws"))
+    jd = F.round(1.0 - i_ / u_, 4)
+    nd_hit = ((F.col("cid") != F.col("qid")) & (jd <= 0.2)).cast("long")
+    dup_hit = ((F.col("cid") != F.col("qid"))
+               & (F.col("qws") == F.col("cws"))).cast("long")
+    exact = (F.broadcast(q).crossJoin(c)
+             .groupBy(F.col("qid").alias("doc_id"))
+             .agg(F.sum(nd_hit).alias("n_exact_nd"),
+                  F.sum(dup_hit).alias("n_exact_dups")))
+    pairs = dedup_minhash_realistic_pairs(spark, sf_dir)
+    touched = (pairs.select(F.col("doc_a").alias("doc_id"), "jaccard_dist")
+               .unionAll(pairs.select(F.col("doc_b").alias("doc_id"),
+                                      "jaccard_dist"))
+               .where(F.col("doc_id") < DD_CHECK_N)
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_mh"),
+                    F.sum((F.col("jaccard_dist") == 0.0).cast("long"))
+                    .alias("n_mh_dup")))
+    return (exact.join(touched, "doc_id", "left")
+            .select("doc_id", "n_exact_nd", "n_exact_dups",
+                    (F.coalesce(F.col("n_mh"), F.lit(0))
+                     <= F.col("n_exact_nd")).alias("minhash_le_exact"),
+                    (F.coalesce(F.col("n_mh_dup"), F.lit(0))
+                     == F.col("n_exact_dups")).alias("dups_complete")))
 
 
 @register("dedup_embedding", oracle="""
@@ -566,7 +651,30 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_prefix_pairs(docs)
 
 
-@register("dedup_jaccard_prefix_realistic", bench=True)  # rows-only
+@register("dedup_jaccard_prefix_realistic", bench=True, oracle=f"""
+WITH rd AS (
+    SELECT doc_id, text FROM read_parquet('{_REALISTIC_DOCS_GLOB}')
+    WHERE src_n = (SELECT count(*) FROM documents)
+), cnt AS (
+    SELECT doc_id, w, count(*) AS c
+    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+          FROM rd)
+    GROUP BY 1, 2
+), sizes AS (
+    SELECT doc_id, sum(c) AS n FROM cnt GROUP BY 1
+), inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           sum(least(a.c, b.c)) AS shared
+    FROM cnt a JOIN cnt b ON a.w = b.w AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.shared AS DOUBLE) / (sa.n + sb.n - i.shared), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE CAST(i.shared AS DOUBLE) / (sa.n + sb.n - i.shared) >= 0.8
+""")
 def dedup_jaccard_prefix_realistic(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:
     """dedup_jaccard_prefix over the realistic-similarity corpus
@@ -576,7 +684,14 @@ def dedup_jaccard_prefix_realistic(spark: SparkSession,
     prefix filter's pruning power is actually exercised (rare-token
     prefixes collide seldom), so the bench number tracks filter
     efficiency, not the saturated corpus' true-positive volume.
-    Rows-only; planted-twin recall + minhash agreement are gated in
+
+    HASH-VERIFIED since r10 (r9 verdict task 1): the prefix +
+    positional filters are LOSSLESS, so the full >= 0.8 multiset-
+    Jaccard pair set is the exact output -- the oracle recomputes it
+    exhaustively over the persisted corpus artifact (static
+    read_parquet glob; src_n selects the sf under comparison),
+    identical SQL to the driver-corpus dedup_jaccard_prefix oracle.
+    Planted-twin recall stays additionally gated in
     tests/test_similarity_dedup.py."""
     pin_session_conf(spark)
     from recommendation_system_spark_ml_spark.sources.realistic import (

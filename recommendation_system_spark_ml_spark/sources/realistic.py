@@ -24,24 +24,65 @@ banding efficiency moves:
   corpus is a pure function of the document count, so any engine or
   session regenerates it bit-identically.
 
-Derived data lives under the per-process scratch dir (the
-sim_ivf_persisted / dedup_incremental pattern): first call per process
-builds and writes parquet with a _SUCCESS marker, later calls read
-parquet only -- under bench repeat>=2 the one-time build drops out of
-the reported median. The planted ground truth (twin doc_id = base
-doc_id + TWIN_OFFSET) is what the recall gate in
-tests/test_similarity_dedup.py scores candidates against.
+Derived data lives at a FIXED shared path (r9 verdict task 1 -- the
+corpus must be readable by the DuckDB oracle through a STATIC
+`read_parquet` glob, so the path cannot be PID-namespaced the way
+other scratch artifacts are): first call builds into a PID-suffixed
+temp dir and atomically os.rename()s it into place, so concurrent
+sessions either see a complete corpus or build their own identical
+copy (every byte is a pure deterministic function of the base-table
+row count -- two builders produce the same data; rename-losers just
+read the winner). Each artifact carries a `src_n` column (the base
+table's row count) so one static SQL glob over every sf's artifact
+can select the corpus matching whichever sf the comparison runs at:
+`... FROM read_parquet('<glob>') WHERE src_n = (SELECT count(*) FROM
+documents)`. The planted ground truth (twin doc_id = base doc_id +
+TWIN_OFFSET) is what the recall gate in tests/test_similarity_dedup.py
+scores candidates against.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from recommendation_system_spark_ml_spark.session import scratch_path
 from recommendation_system_spark_ml_spark.sources.catalog import load
+
+_SHARED_ROOT = "/tmp/rsml_scratch/shared"
+_DOCS_VERSION = "realistic_docs_v2"   # bump when the generator changes
+_EMB_VERSION = "realistic_emb_v2"
+
+# Static DuckDB-side globs (interpolated into oracle SQL at import):
+# match the artifact for EVERY base count built on this machine; the
+# src_n predicate picks the one equal to the registered view's count.
+# Artifacts are keyed by n, NOT by sf dir: the corpus is a pure
+# function of n, and two sf dirs with the same base count (the driver
+# fixtures have 500 documents at BOTH sf0.001 and sf0.01) must share
+# ONE artifact -- a per-sf layout made the glob union two identical
+# corpora and double every oracle-side count (caught by the r10
+# verify run: doc 0's twin counted twice per duplicated probe row).
+DOCS_ORACLE_GLOB = f"{_SHARED_ROOT}/{_DOCS_VERSION}_n*/*.parquet"
+EMB_ORACLE_GLOB = f"{_SHARED_ROOT}/{_EMB_VERSION}_n*/*.parquet"
+
+
+def _shared_path(n: int, version: str) -> str:
+    return os.path.join(_SHARED_ROOT, f"{version}_n{n}")
+
+
+def _atomic_build(df: DataFrame, final: str) -> None:
+    """Write df to a temp dir, then atomically rename into place.
+    Readers (Spark and the DuckDB oracle glob) only ever see complete
+    artifacts; a rename race means another process finished the same
+    deterministic build first -- drop ours and read theirs."""
+    tmp = f"{final}.build{os.getpid()}"
+    df.write.mode("overwrite").parquet(tmp)
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 TWIN_OFFSET = 10_000_000  # planted near-dup id = base id + this
 DUP_EVERY = 100           # one twin per this many base docs (1%)
@@ -65,9 +106,9 @@ def realistic_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     of `documents`, same schema subset (doc_id, text): row count
     matches the sf's documents table plus the planted twins
     (1 per DUP_EVERY base docs)."""
-    out = scratch_path(sf_dir, "realistic_docs")
+    n = load(spark, sf_dir, "documents").count()
+    out = _shared_path(n, _DOCS_VERSION)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        n = load(spark, sf_dir, "documents").count()
         vocab = max(1_000, 50 * n)
         base = (spark.range(n)
                 .select(F.col("id").alias("doc_id"),
@@ -95,11 +136,13 @@ def realistic_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         # map-only generation: one transform over sequence(1, length)
         # per row, no explode, no shuffle -- the build is a scan-free
         # range + parquet write
-        (both.select("doc_id",
-                     F.array_join(
-                         F.transform(F.sequence(F.lit(1), length), token),
-                         " ").alias("text"))
-         .write.mode("overwrite").parquet(out))
+        _atomic_build(
+            both.select("doc_id",
+                        F.array_join(
+                            F.transform(F.sequence(F.lit(1), length), token),
+                            " ").alias("text"),
+                        F.lit(n).cast("long").alias("src_n")),
+            out)
     return spark.read.parquet(out)
 
 
@@ -141,11 +184,11 @@ def realistic_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same determinism/build contract as realistic_documents: every
     draw is an xxhash64 of (salt, id, dim), the corpus is a pure
-    function of the driver embedding count, built once per process
-    under the scratch dir with a _SUCCESS marker."""
-    out = scratch_path(sf_dir, "realistic_emb")
+    function of the driver embedding count, built once at the fixed
+    shared path with an atomic rename."""
+    n = load(spark, sf_dir, "embeddings").count()
+    out = _shared_path(n, _EMB_VERSION)
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        n = load(spark, sf_dir, "embeddings").count()
         c_clusters = max(20, n // 50)
         base = (spark.range(n)
                 .select(F.col("id").alias("vec_id"),
@@ -170,7 +213,9 @@ def realistic_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             return (center + noise * EMB_SIGMA + tw).cast("float")
 
         vec = F.array(*[comp(F.lit(d)) for d in range(EMB_DIM)])
-        (both.select("vec_id", vec.alias("embedding"),
-                     cluster.cast("int").alias("label"))
-         .write.mode("overwrite").parquet(out))
+        _atomic_build(
+            both.select("vec_id", vec.alias("embedding"),
+                        cluster.cast("int").alias("label"),
+                        F.lit(n).cast("long").alias("src_n")),
+            out)
     return spark.read.parquet(out)

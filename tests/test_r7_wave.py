@@ -353,7 +353,9 @@ def test_als_eval_three_way_experiment(spark):
     Metric ORDERING is corpus-dependent (the avg-quantity ratings
     analog carries weak CF signal), so it is deliberately not
     asserted."""
-    als = _specs()["ml_rec_eval_als"].fn(spark, SF_SMOKE).collect()[0]
+    from recommendation_system_spark_ml_spark.operators.recsys_eval import (
+        ml_rec_eval_als_metrics)
+    als = ml_rec_eval_als_metrics(spark, SF_SMOKE).collect()[0]
     pop = _specs()["ml_rec_eval_popularity"].fn(spark, SF_SMOKE).collect()[0]
     cf = _specs()["ml_rec_eval_itemcf"].fn(spark, SF_SMOKE).collect()[0]
     assert set(als.asDict()) == set(pop.asDict()) == set(cf.asDict())

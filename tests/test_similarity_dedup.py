@@ -305,7 +305,7 @@ def test_realistic_corpus_statistics_and_planted_recall(spark):
     trivially satisfiable (23% of ALL pairs qualify); here recall is
     meaningful."""
     from recommendation_system_spark_ml_spark.operators.dedup import (
-        dedup_jaccard_prefix_realistic, dedup_minhash_realistic)
+        dedup_jaccard_prefix_realistic, dedup_minhash_realistic_pairs)
     from recommendation_system_spark_ml_spark.sources.realistic import (
         TWIN_OFFSET, realistic_documents)
 
@@ -342,7 +342,7 @@ def test_realistic_corpus_statistics_and_planted_recall(spark):
     # (16 hashes / 4 bands: P(miss | J>=0.8) ~ 0.12 per pair -- with
     # only ~5 twins at smoke scale a single unlucky miss is plausible,
     # so gate at >= 0.8 recall rather than exactly 1.0)
-    mh = dedup_minhash_realistic(spark, SF_SMOKE)
+    mh = dedup_minhash_realistic_pairs(spark, SF_SMOKE)
     found_mh = {r.doc_a for r in mh.collect()
                 if r.doc_b == r.doc_a + TWIN_OFFSET}
     recall = len(found_mh & qualifying) / len(qualifying)
@@ -503,11 +503,11 @@ def test_lsh_realistic_planted_recall_and_geometry(spark):
     import pyspark.sql.functions as F
 
     from recommendation_system_spark_ml_spark.operators.similarity import (
-        sim_lsh_realistic)
+        sim_lsh_realistic_pairs)
     from recommendation_system_spark_ml_spark.sources.realistic import (
         TWIN_OFFSET, realistic_embeddings)
 
-    pairs = sim_lsh_realistic(spark, SF_SMOKE).cache()
+    pairs = sim_lsh_realistic_pairs(spark, SF_SMOKE).cache()
     try:
         assert pairs.where(F.col("cosine") < 0.4).count() == 0
         emb = realistic_embeddings(spark, SF_SMOKE)

@@ -185,6 +185,111 @@ for name in sorted(specs):
         fails.append((name, "MISMATCH", str(e)[:130]))
     except Exception as e:
         fails.append((name, type(e).__name__, str(e)[:130]))
+# ------------- r9-wave targeted edge twins (r9 verdict task 3) -------
+# Each twin overrides ONE table with a degenerate/adversarial shape the
+# shared hostile tables cannot carry without wrecking every other
+# query's coverage (e.g. a 1-day orders table), then hash-compares just
+# the listed queries on it. Untouched tables are hard-linked from the
+# main twin, so the edge datasets stay cheap.
+ALL_TABLES = ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split()
+DAY_US = 86400 * 1_000_000
+
+
+def orders_like(dates_days, prices):
+    n = len(prices)
+    return {"o_orderkey": pa.array(range(1, n + 1), pa.int64()),
+            "o_custkey": pa.array([1] * n, pa.int64()),
+            "o_orderstatus": pa.array(["F"] * n, pa.string()),
+            "o_totalprice": pa.array(prices, pa.float64()),
+            "o_orderdate": pa.array([d * DAY_US for d in dates_days],
+                                    pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT"] * n, pa.string()),
+            "o_comment": pa.array(["e"] * n, pa.string())}
+
+
+def lineitem_like(partkeys):
+    n = len(partkeys)
+    return {"l_orderkey": pa.array([1 + i % 7 for i in range(n)], pa.int64()),
+            "l_partkey": pa.array(partkeys, pa.int64()),
+            "l_suppkey": pa.array([1 + i % 3 for i in range(n)], pa.int64()),
+            "l_linenumber": pa.array([i % 7 + 1 for i in range(n)], pa.int32()),
+            "l_quantity": pa.array([float(i % 5 + 1) for i in range(n)], pa.float64()),
+            "l_extendedprice": pa.array([100.0 + i for i in range(n)], pa.float64()),
+            "l_discount": pa.array([0.05] * n, pa.float64()),
+            "l_tax": pa.array([0.02] * n, pa.float64()),
+            "l_returnflag": pa.array(["R"] * n, pa.string()),
+            "l_linestatus": pa.array(["F"] * n, pa.string()),
+            "l_shipdate": pa.array([9000 * DAY_US] * n, pa.timestamp("us"))}
+
+
+EDGES = [
+    # Theil-Sen pair-count edges: 1 day -> 0 pairs (both engines must
+    # emit ZERO rows), 2 days -> exactly 1 pair.
+    ("theil_sen_1day",
+     {"orders": orders_like([9000] * 5, [10.0, 20.0, 30.0, 40.0, 50.0])},
+     ["ts_theil_sen"]),
+    ("theil_sen_2day",
+     {"orders": orders_like([9000, 9000, 9001, 9001],
+                            [10.0, 20.0, 30.0, 45.0])},
+     ["ts_theil_sen"]),
+    # Zero-variance daily series: sigma=0 makes every z-score NULL --
+    # the SAX symbol must be 0 on both engines (CASE ELSE 0 semantics,
+    # the r9-ADVICE fix), not NULL on one side.
+    ("sax_constant",
+     {"orders": orders_like(list(range(9000, 9040)), [123.45] * 40)},
+     ["ts_sax_symbolic", "ts_theil_sen"]),
+    # HDR buckets at exact powers of two and their +/-1 neighbors
+    # (cents = 1 lands in bucket 0): floor(log2) must agree at every
+    # boundary, including duplicated boundary values.
+    ("hdr_boundaries",
+     {"orders": orders_like(list(range(9000, 9012)),
+                            [c / 100.0 for c in (1, 2, 3, 4, 255, 256,
+                                                 257, 65535, 65536,
+                                                 65537, 1, 4)])},
+     ["agg_hdr_histogram"]),
+    # CMS adversarial colliders: k and k + 2^31 hash to the SAME
+    # bucket in EVERY row (the mod-2^31 fold is applied before the
+    # Knuth multiply on both engines), so probe keys 5 and 7 are
+    # guaranteed overestimated -- and the 2^31-scale keys would have
+    # overflowed INT64 under the unfolded hash (DuckDB raise vs Spark
+    # wrap, the r9-ADVICE class). Fillers keep multiple cells loaded.
+    ("cms_colliders",
+     {"lineitem": lineitem_like([5, 5, 5, 7, 7]
+                                + [5 + 2 ** 31] * 4 + [7 + 2 ** 31]
+                                + list(range(100, 140)))},
+     ["agg_count_min_exact"]),
+]
+
+for label, overrides, qnames in EDGES:
+    if only and not (set(qnames) & only):
+        continue
+    d = tempfile.mkdtemp(prefix=f"probe_edge_{label}_")
+    for tname in ALL_TABLES:
+        dst = os.path.join(d, f"{tname}.parquet")
+        if tname in overrides:
+            pq.write_table(pa.table(overrides[tname]), dst)
+        else:
+            os.link(os.path.join(out, f"{tname}.parquet"), dst)
+    con = duckdb.connect()
+    for tname in ALL_TABLES:
+        con.execute(f"CREATE VIEW {tname} AS SELECT * FROM "
+                    f"read_parquet('{d}/{tname}.parquet')")
+    for qname in qnames:
+        if only and qname not in only:
+            continue
+        try:
+            got = specs[qname].fn(spark, d)
+            want = con.execute(specs[qname].oracle).df()
+            assert_df_matches(got, want)
+            results["OK"] += 1
+            print(f"EDGE {label}/{qname} OK", flush=True)
+        except AssertionError as e:
+            fails.append((f"{label}/{qname}", "MISMATCH", str(e)[:130]))
+        except Exception as e:
+            fails.append((f"{label}/{qname}", type(e).__name__, str(e)[:130]))
+    con.close()
+
 for f in fails:
     print("FAIL", *f, flush=True)
 print("SUMMARY OK:", results["OK"], "FAIL:", len(fails), flush=True)
