@@ -573,3 +573,68 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.parse_url("url", F.lit("QUERY")).alias("query"),
                 F.parse_url("url", F.lit("QUERY"), F.lit("cust"))
                 .alias("cust_param")))
+
+
+@register("udtf_analyze", oracle="""
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k,
+       json_extract_string(props, '$.device') AS device
+FROM events WHERE props IS NOT NULL
+""")
+def udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF (Spark 4 `analyze()`): the OUTPUT
+    SCHEMA is computed at plan time from a constant argument -- here
+    a comma-separated key list turns into one string column per key,
+    so one registered table function serves any JSON projection
+    without per-shape registrations (the modern surface udtf_python's
+    fixed-schema chunker doesn't show). Per-row pure extraction; the
+    oracle is DuckDB's json_extract_string per requested key.
+    POLICY: row-at-a-time Python is the demonstration price -- the
+    hot-path forms remain fn_map's from_json and fn_variant's
+    parse_json (JVM-side); this key exists to prove the API surface
+    and its exact semantics (string-form scalars, NULL on missing/
+    null, schema-from-argument)."""
+    pin_session_conf(spark)
+    import json as _json
+
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class JsonFields:
+        @staticmethod
+        def analyze(props: AnalyzeArgument,
+                    keys: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType()
+            for k in str(keys.value).split(","):
+                schema = schema.add(k.strip(), StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, props: str, keys: str):
+            names = [k.strip() for k in keys.split(",")]
+            try:
+                obj = _json.loads(props) if props is not None else {}
+            except ValueError:
+                obj = {}
+            if not isinstance(obj, dict):
+                obj = {}
+
+            def form(v):
+                if v is None:
+                    return None
+                if isinstance(v, bool):  # JSON true/false, not 'True'
+                    return "true" if v else "false"
+                if isinstance(v, (dict, list)):
+                    return _json.dumps(v, separators=(",", ":"))
+                return str(v)
+
+            yield tuple(form(obj.get(n)) for n in names)
+
+    spark.udtf.register("json_fields", JsonFields)
+    (load(spark, sf_dir, "events")
+     .where(F.col("props").isNotNull())
+     .createOrReplaceTempView("udtf_events"))
+    return spark.sql("""
+        SELECT e.event_id, f.k, f.device
+        FROM udtf_events e, LATERAL json_fields(e.props, 'k,device') f""")

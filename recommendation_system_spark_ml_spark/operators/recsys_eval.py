@@ -532,6 +532,30 @@ def ml_content_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("rank").cast("int").alias("rank")))
 
 
+EVAL_USER_CAP = 20_000  # absolute cap on the evaluated user population
+
+
+def _eval_user_pool(train: DataFrame, test_users: DataFrame) -> DataFrame:
+    """The evaluated population: test users with >= 1 train rating,
+    deterministically capped at EVAL_USER_CAP by the Knuth hash of
+    the user id (orderBy + limit -> TakeOrderedAndProject: per-
+    partition partial top-K, only CAP rows ever merge -- never a
+    global sort). The cap contract (r10, the ml_als_cv fit-budget
+    sibling): offline recommender evaluation is a MEASUREMENT, and
+    its statistical power saturates long before 20k users -- scoring
+    every user at 100 TB multiplies recommendForAllUsers' users x
+    items factor work for zero extra decision value (measured: 346 s
+    at sf1, slope 1.22, before the cap). The hash makes the sample
+    restart-stable and oracle-expressible; the cap engages at NO
+    driver-verified sf (cotrained populations are 149 / 1.5k / ~15k
+    at sf0.001/0.01/0.1), so every hashed value is unchanged there."""
+    gate = ((F.col("u").cast("bigint") % F.lit(2147483648))
+            * F.lit(_KNUTH)) % F.lit(4294967296)
+    return (test_users.join(train.select("u").distinct(), "u")
+            .orderBy(gate.asc(), F.col("u").asc())
+            .limit(EVAL_USER_CAP))
+
+
 def ml_rec_eval_als_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Held-out evaluation of the ALS factorization recommender --
     completing the three-way experiment: ml_rec_eval_popularity
@@ -542,15 +566,16 @@ def ml_rec_eval_als_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     directly comparable -- the model-selection memo the reference's
     RMSE-only CV never produces.
 
-    ALS is fit on the train split only (seeded, rank 10, the
+    ALS is fit on the FULL train split (seeded, rank 10, the
     ml_als_rmse hyper-parameters); candidates come from
-    recommendForAllUsers(k + {POP_POOL}) -- a bounded per-user list
-    -- then seen-items are anti-joined out and the list re-cut to
-    {EVAL_K} by the shared WindowGroupLimit rule. Factor values are
-    MLlib internals; the evaluation arithmetic downstream of them is
-    the hash-verified shared code. The registered contract
-    ml_rec_eval_als executes this in full and hashes its
-    SQL-expressible pins."""
+    recommendForUserSubset over the capped evaluation pool
+    (_eval_user_pool -- at most EVAL_USER_CAP hash-selected users,
+    the factor-matmul top-k runs for THEM only), then seen-items are
+    anti-joined out and the list re-cut to {EVAL_K} by the shared
+    WindowGroupLimit rule. Factor values are MLlib internals; the
+    evaluation arithmetic downstream of them is the hash-verified
+    shared code. The registered contract ml_rec_eval_als executes
+    this in full and hashes its SQL-expressible pins."""
     pin_session_conf(spark)
     from pyspark.ml.recommendation import ALS
     ratings = _base_ratings(spark, sf_dir)
@@ -559,6 +584,7 @@ def ml_rec_eval_als_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
               rank=10, maxIter=10, regParam=0.05, seed=823,
               coldStartStrategy="drop", nonnegative=True)
     model = als.fit(train)
+    pool = _eval_user_pool(train, test_users).select("u", "n_test")
     # Headroom must survive the seen-filter for the HEAVIEST rater:
     # a user whose top-k_pool ALS list is mostly already-seen train
     # items would silently get < EVAL_K recs, deflating the ALS arm
@@ -567,7 +593,7 @@ def ml_rec_eval_als_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # >= EVAL_K fresh candidates for any train history up to POP_POOL
     # items of overlap — far above the fixture's per-user maximum.
     k_pool = EVAL_K + POP_POOL
-    recs_raw = (model.recommendForAllUsers(k_pool)
+    recs_raw = (model.recommendForUserSubset(pool.select("u"), k_pool)
                 .select(F.col("u"),
                         F.posexplode("recommendations")
                         .alias("pos", "rec"))
@@ -578,19 +604,26 @@ def ml_rec_eval_als_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          F.col("i").asc())
     recs = (unseen.withColumn("rn", F.row_number().over(wr))
             .where(F.col("rn") <= EVAL_K).select("u", "i", "rn"))
-    return _eval_metrics(recs, test, test_users)
+    # metrics over the capped pool: test rows of pool users only, so
+    # the population is identical whether or not the cap engages
+    test_p = test.join(pool.select("u"), "u", "left_semi")
+    return _eval_metrics(recs, test_p, pool)
 
 
 @register("ml_rec_eval_als", oracle=f"""
 WITH ratings0 AS ({_RATINGS_SQL}),
 {_SPLIT_CTES},
-tr_u AS (SELECT DISTINCT u FROM train)
+tr_u AS (SELECT DISTINCT u FROM train),
+pool AS (
+    SELECT tu.u FROM test_users tu JOIN tr_u ON tu.u = tr_u.u
+    ORDER BY (CAST(tu.u AS BIGINT) % 2147483648) * {_KNUTH} % 4294967296,
+             tu.u
+    LIMIT {EVAL_USER_CAP}
+)
 SELECT (SELECT CAST(count(*) AS BIGINT) FROM train) AS n_train,
        (SELECT CAST(count(*) AS BIGINT) FROM test) AS n_test,
-       (SELECT CAST(count(*) AS BIGINT)
-        FROM test_users tu JOIN tr_u ON tu.u = tr_u.u)
-           AS n_cotrained_users,
-       TRUE AS scored_subset_of_cotrained,
+       (SELECT CAST(count(*) AS BIGINT) FROM pool) AS n_eval_users,
+       TRUE AS scored_subset_of_pool,
        TRUE AS metrics_in_unit_range,
        TRUE AS ndcg_in_band
 """)
@@ -601,14 +634,15 @@ def ml_rec_eval_als(spark: SparkSession, sf_dir: str) -> DataFrame:
     recommendForAllUsers candidates, shared seen-filter + metric tail
     -- and the hash pins what IS cross-engine expressible:
 
-    - the split integers n_train / n_test / n_cotrained_users (test
-      users with >= 1 train rating -- the population eligible for
-      scoring), certifying the Knuth split gate + NULL hygiene end to
+    - the split integers n_train / n_test / n_eval_users (the capped
+      evaluation pool: test users with >= 1 train rating, Knuth-hash
+      top-EVAL_USER_CAP -- the cap is part of the estimator's
+      definition on BOTH engines, the cap-contract pattern),
+      certifying the split gate + NULL hygiene + pool rule end to
       end exactly as ml_als_cv's n_train does;
-    - scored_subset_of_cotrained: the evaluated user count never
-      exceeds the eligible population (guaranteed: _eval_metrics
-      inner-joins recs to test_users, and every rec user is a train
-      user by construction of recommendForAllUsers);
+    - scored_subset_of_pool: the evaluated user count never exceeds
+      the pool (guaranteed: _eval_metrics inner-joins recs to the
+      pool, and recommendForUserSubset only sees pool users);
     - metrics_in_unit_range / ndcg_in_band: all four metrics finite
       in [0, 1] (guaranteed: hits <= min(K, n_test) bounds precision
       and recall; dcg sums a subset of idcg's per-rank weights, so
@@ -633,11 +667,11 @@ def ml_rec_eval_als(spark: SparkSession, sf_dir: str) -> DataFrame:
     train, test, test_users = _split_ratings(ratings)
     n_train = train.count()
     n_test = test.count()
-    n_cotrained = test_users.join(train.select("u").distinct(), "u").count()
-    subset = int(row["n_users"] or 0) <= n_cotrained
+    n_pool = _eval_user_pool(train, test_users).count()
+    subset = int(row["n_users"] or 0) <= n_pool
     return spark.createDataFrame(
-        [(n_train, n_test, n_cotrained,
+        [(n_train, n_test, n_pool,
           bool(subset), bool(in_range), bool(ndcg_band))],
-        "n_train bigint, n_test bigint, n_cotrained_users bigint, "
-        "scored_subset_of_cotrained boolean, "
+        "n_train bigint, n_test bigint, n_eval_users bigint, "
+        "scored_subset_of_pool boolean, "
         "metrics_in_unit_range boolean, ndcg_in_band boolean")

@@ -57,10 +57,14 @@ def test_bench_contract_smoke():
     derived = sum(norm_time(t, rec["norm_factor"])
                   for t in rec["queries"].values())
     assert abs(derived - rec["value_norm"]) < 0.01
-    # bulk per-sample detail lives in the side artifact
-    side = json.load(open(os.path.join(ROOT, "BENCH_SAMPLES.json")))
-    assert set(side) == {"calib_all_sec", "norm_factor", "queries_norm",
-                         "queries_min", "samples"}
+    # bulk per-sample detail lives in the side artifact -- at the
+    # OUTPUT-SCOPED default path (r9 ADVICE: a smoke run must never
+    # clobber the committed PERF-paired BENCH_SAMPLES.json pin), with
+    # sf/repeat stamps so bench_drift_check can refuse a bad pin
+    side = json.load(open(os.path.join(ROOT, "BENCH_SAMPLES_last.json")))
+    assert set(side) == {"sf", "repeat", "calib_all_sec", "norm_factor",
+                         "queries_norm", "queries_min", "samples"}
+    assert side["sf"] == 0.001 and side["repeat"] == 1
     assert len(side["calib_all_sec"]) == 6
     assert all(c > 0 for c in side["calib_all_sec"])
     assert set(side["queries_norm"]) == set(rec["queries"])

@@ -48,13 +48,16 @@ def test_realistic_trio_contracts_green(spark):
 
 
 def test_als_eval_contract_invariants(spark):
+    from recommendation_system_spark_ml_spark.operators.recsys_eval import (
+        EVAL_USER_CAP)
+
     row = _specs()["ml_rec_eval_als"].fn(spark, SF_SMOKE).collect()[0]
     assert row.n_train > 0 and row.n_test > 0
-    assert 0 < row.n_cotrained_users <= row.n_test
+    assert 0 < row.n_eval_users <= min(row.n_test, EVAL_USER_CAP)
     # ~80/20 Knuth split
     frac = row.n_train / (row.n_train + row.n_test)
     assert 0.7 < frac < 0.9
-    assert row.scored_subset_of_cotrained
+    assert row.scored_subset_of_pool
     assert row.metrics_in_unit_range and row.ndcg_in_band
 
 

@@ -66,10 +66,17 @@ ABS_FLOOR = 0.30
 # Noise-band multiplier for the per-query sampling-spread term: the
 # committed BENCH_SAMPLES.json (the side artifact of the bench run
 # whose medians ARE PERF.md's headline rows) records each query's 5
-# raw samples; tol widens to NOISE_K * MAD/median where the run's own
-# spread demonstrates the medians cannot resolve 10% (sigma ~=
-# 1.48*MAD and the difference of two medians-of-5 has sigma_diff ~=
-# 0.79*sigma, so 2.5*MAD is a ~95% band for same-code disagreement).
+# raw samples; tol widens to NOISE_K * meanAD/median where the run's
+# own spread demonstrates the medians cannot resolve 10%. MEAN
+# absolute deviation, not median absolute deviation (r10): a noise
+# band must CAPTURE the spread, not resist it -- with 5 samples of
+# which 2 are throttle outliers (graph_pagerank pinned run: 10.6 to
+# 21.0 s around a 14.8 s median), MAD reports the quiet majority's
+# 0.4 s and flags the very same-code 11% cross-run delta the band
+# exists to absorb; meanAD weighs the outliers that make the median
+# itself wobble. For tight-sample queries meanAD ~= MAD, so stable
+# rows keep their ~10% gates. (sigma ~= 1.25*meanAD for a normal;
+# 2.5*meanAD remains a ~95% band for a difference of medians-of-5.)
 NOISE_K = 2.5
 
 
@@ -137,7 +144,8 @@ def perf_noise() -> dict[str, float]:
         ts = [dt for dt, _ in prs]
         m = med(ts)
         if m > 0:
-            out[q] = NOISE_K * med([abs(t - m) for t in ts]) / m * 100.0
+            mean_ad = sum(abs(t - m) for t in ts) / len(ts)
+            out[q] = NOISE_K * mean_ad / m * 100.0
     return out
 
 

@@ -133,6 +133,10 @@ CURVE_QUERIES = (
     "vec_anisotropy_report",  # 64-cell posexplode + scalar cross
     "vec_top_pc",             # n*d^2 covariance, d^2-cell combine
     "sim_mmr_rerank",         # linear top-k scan + bounded greedy
+    # --- r10 wave ---
+    "agg_cms_merge",          # two bounded-cell sketch passes + cell join
+    "vec_matryoshka_agreement",  # broadcast-probe dual ranking, linear
+    "sim_lsh_realistic",      # promoted contract: probe + banded pipeline
 )
 
 
