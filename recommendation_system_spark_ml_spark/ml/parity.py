@@ -303,7 +303,7 @@ def ml_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs {ELBOW_ROUNDS} corpus scans, not 9x{ELBOW_ROUNDS}."""
     pin_session_conf(spark)
     from recommendation_system_spark_ml_spark.operators.similarity import (
-        _KM_Q, _km_sqd)
+        _KM_Q, _ranked_dc)
     v = (load(spark, sf_dir, "embeddings")
          .where(F.col("embedding").isNotNull())
          .select("vec_id", F.col("embedding").cast("array<double>")
@@ -313,14 +313,19 @@ def ml_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = (v.crossJoin(F.broadcast(ks))
             .where(F.col("vec_id") < F.col("k"))
             .select("k", F.col("vec_id").alias("cid"), F.col("x").alias("c")))
-    wv = Window.partitionBy("k", "vec_id").orderBy(F.col("d").asc(),
-                                                   F.col("cid").asc())
+    # per-k collapsed centroid arrays (9 rows) + map-side argmin
+    # (_ranked_dc -- same (d, cid) order as the old (k, vec_id)
+    # row_number window, guide §2.4): the window version exchanged and
+    # sorted the 54x-fanned vector stream EVERY round; this fans x9
+    # and never shuffles the vectors.
     for _ in range(ELBOW_ROUNDS):
-        assigned = (v.crossJoin(F.broadcast(cent))
-                    .withColumn("d", _km_sqd(F.col("x"), F.col("c")))
-                    .withColumn("rk", F.row_number().over(wv))
-                    .where(F.col("rk") == 1)
-                    .select("k", "vec_id", "x", "cid"))
+        cs_k = cent.groupBy("k").agg(
+            F.collect_list(F.struct("c", "cid")).alias("cs"))
+        assigned = (v.crossJoin(F.broadcast(cs_k))
+                    .select("k", "vec_id", "x",
+                            F.element_at(_ranked_dc(F.col("cs"),
+                                                    F.col("x")), 1)
+                            .getField("cid").alias("cid")))
         upd = (assigned.select("k", "cid",
                                F.posexplode("x").alias("pos", "val"))
                .groupBy("k", "cid", "pos")
@@ -332,10 +337,12 @@ def ml_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("k", "cid", F.transform("s", lambda t: t.qv)
                         .alias("c"))
                 .localCheckpoint(eager=True))
-    fin = (v.crossJoin(F.broadcast(cent))
-           .withColumn("d", _km_sqd(F.col("x"), F.col("c")))
-           .withColumn("rk", F.row_number().over(wv))
-           .where(F.col("rk") == 1))
+    cs_k = cent.groupBy("k").agg(
+        F.collect_list(F.struct("c", "cid")).alias("cs"))
+    fin = (v.crossJoin(F.broadcast(cs_k))
+           .select("k", "vec_id",
+                   F.element_at(_ranked_dc(F.col("cs"), F.col("x")), 1)
+                   .getField("d").alias("d")))
     sse = fin.groupBy("k").agg(F.round(F.sum("d"), 4).alias("sse"))
     w = Window.orderBy("k")
     diffed = sse.withColumn(
@@ -735,9 +742,14 @@ def ml_movielens_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("movieId", F.col("prediction").alias("cluster")))
     feats.unpersist()
 
+    # cache the split WITHIN this run (guide §5: reuse beats recompute
+    # -- train/test feed five downstream consumers: the user-cluster
+    # averages, two RMSE joins, the ALS fit and its transform; without
+    # the cache each consumer re-parses the 1M-row '::' ratings text
+    # and re-joins the clusters). Unpersisted before returning.
     rated = _hash_split(
         ratings.join(F.broadcast(clusters), "movieId"),
-        F.col("userId").cast("bigint") * 4096 + F.col("movieId"))
+        F.col("userId").cast("bigint") * 4096 + F.col("movieId")).cache()
     train = rated.filter(F.col("split") == "train")
     test = rated.filter(F.col("split") == "test")
     user_cluster = (train.groupBy("userId", "cluster")
@@ -768,6 +780,7 @@ def ml_movielens_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("kmeans_test_rmse", round(rmse_of(test), 4)),
         ("als_test_rmse", round(als_rmse, 4)),
     ]
+    rated.unpersist()
     return spark.createDataFrame(report, "metric string, value double")
 
 

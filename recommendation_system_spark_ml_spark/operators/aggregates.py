@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from recommendation_system_spark_ml_spark.registry import register
 from recommendation_system_spark_ml_spark.session import pin_session_conf
@@ -561,28 +562,82 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     check), matching the oracle's constant."""
     pin_session_conf(spark)
 
-    def disc(q):
-        return F.expr(f"percentile_disc({q}) WITHIN GROUP "
-                      "(ORDER BY l_extendedprice)")
-
     multi = F.expr(
         "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
     band_qs = ("24", "26", "49", "51", "74", "76")
     exact_qs = ("25", "50", "75") + band_qs
-    # ONE array-percentile buffers the group once for all nine exact
-    # ranks (nine scalar percentile() calls each buffer independently:
-    # measured 14 s -> ~half at sf0.1); percentile_disc has no array
-    # form, so the six band-edge data values keep their own calls.
-    exact_arr = F.expr(
-        "percentile(l_extendedprice, array("
-        + ", ".join(str(int(name) / 100) for name in exact_qs) + "))")
-    g = (load(spark, sf_dir, "lineitem")
-         .groupBy("l_returnflag")
-         .agg(multi.alias("_pq"), exact_arr.alias("_ex"),
-              *[disc(int(name) / 100).alias(f"_d{name}")
-                for name in band_qs]))
-    g = g.select("*", *[F.element_at("_ex", k + 1).alias(f"_e{name}")
-                        for k, name in enumerate(exact_qs)])
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag",
+                                                "l_extendedprice")
+    # r10 rewrite (guide §2.4): the agg form paid SEVEN independent
+    # value-buffering aggregates (one array-percentile + six
+    # percentile_disc, each building its own per-group value/count
+    # map and sorting it -- measured 7.4 s at sf0.1). All fifteen
+    # exact ranks are order statistics of ONE sort: window-rank the
+    # non-NULL prices per flag (one Exchange + one Sort), keep only
+    # the <=15 needed positions per group, and rebuild both aggregate
+    # semantics exactly -- pinned empirically against the native
+    # aggregates over 186 adversarial groups (n=1..1000, duplicates,
+    # boundary ranks; /tmp experiment r10, 0 mismatches):
+    #   percentile_disc(q)  = value at row_number ceil(q * n)
+    #   percentile(q):        pos = q*(n-1), lo/hi = floor/ceil(pos);
+    #                         v_lo if lo == hi OR v_lo == v_hi else
+    #                         v_lo*(hi-pos) + v_hi*(pos-lo)
+    # The sketch keeps its own partial-combining groupBy branch and
+    # supplies the full group list (groups with only NULL prices have
+    # no window rows; left join keeps them NULL/TRUE like the oracle).
+    nn = li.where(F.col("l_extendedprice").isNotNull())
+    wr = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wn = Window.partitionBy("l_returnflag")
+    ranked = nn.select(
+        "l_returnflag", "l_extendedprice",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"))
+
+    def lo_rn(name):
+        return F.floor(F.lit(int(name) / 100) * (F.col("n") - 1)) + 1
+
+    def hi_rn(name):
+        return F.ceil(F.lit(int(name) / 100) * (F.col("n") - 1)) + 1
+
+    def disc_rn(name):
+        return F.ceil(F.lit(int(name) / 100) * F.col("n"))
+
+    needed = None
+    for name in exact_qs:
+        for rn in (lo_rn(name), hi_rn(name)):
+            cond = F.col("rn") == rn
+            needed = cond if needed is None else (needed | cond)
+    for name in band_qs:
+        needed = needed | (F.col("rn") == disc_rn(name))
+    picks = []
+    for name in exact_qs:
+        picks.append(F.min(F.when(F.col("rn") == lo_rn(name),
+                                  F.col("l_extendedprice")))
+                     .alias(f"_lo{name}"))
+        picks.append(F.min(F.when(F.col("rn") == hi_rn(name),
+                                  F.col("l_extendedprice")))
+                     .alias(f"_hi{name}"))
+    for name in band_qs:
+        picks.append(F.min(F.when(F.col("rn") == disc_rn(name),
+                                  F.col("l_extendedprice")))
+                     .alias(f"_d{name}"))
+    exact = (ranked.where(needed)
+             .groupBy("l_returnflag")
+             .agg(F.max("n").alias("n"), *picks))
+
+    def interp(name):
+        q = int(name) / 100
+        pos = F.lit(q) * (F.col("n") - 1)
+        lo, hi = F.floor(pos), F.ceil(pos)
+        vlo, vhi = F.col(f"_lo{name}"), F.col(f"_hi{name}")
+        return F.when((lo == hi) | (vlo == vhi), vlo).otherwise(
+            vlo * (hi.cast("double") - pos) + vhi * (pos - lo.cast("double")))
+
+    exact = exact.select("l_returnflag", *[interp(name).alias(f"_e{name}")
+                                           for name in exact_qs],
+                         *[F.col(f"_d{name}") for name in band_qs])
+    g = (li.groupBy("l_returnflag").agg(multi.alias("_pq"))
+         .join(exact, "l_returnflag", "left"))
 
     def band(est, lo, hi):
         return est.between(F.least(F.col(f"_e{lo}"), F.col(f"_d{lo}")),

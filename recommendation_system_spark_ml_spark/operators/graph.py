@@ -34,6 +34,32 @@ N_ITER = 10
 CHECKPOINT_EVERY = 5  # cut lineage mid-loop; value-neutral
 TOL = 1e-6            # early-exit threshold on max |delta(rank * n)|
 
+# Per-iteration join strategy gate (r10, guide §3.1/§2.4): every
+# iterative graph algorithm here joins the E-sized edge table against
+# a |V|-sized vector (ranks / labels / alive set). Under the default
+# sort-merge plan BOTH sides are re-exchanged and re-sorted EVERY
+# round (PLANS.md graph_pagerank: one Exchange+Sort of the
+# checkpointed edge RDD per iteration -- the dominant cost, since
+# E >> V). Broadcasting the vector side turns each round into
+# BroadcastHashJoin(edges) + one partial-combined aggregation
+# exchange: the edge table is never shuffled again after its one
+# materialization. The gate keeps the plan scale-honest: vectors
+# bigger than this node count fall back to the shuffle join (the
+# 8 GB / 512M-row broadcast cap, driver memory, and executor build
+# memory all bound how big a broadcast vector can be; ~4M rows of
+# (string node, double) is low hundreds of MB built). Override via
+# SPARK_GRAFT_GRAPH_BCAST_MAX_NODES for cluster tuning.
+import os as _os
+
+GRAPH_BCAST_MAX_NODES = int(
+    _os.environ.get("SPARK_GRAFT_GRAPH_BCAST_MAX_NODES", "4000000"))
+
+
+def _vec(df: DataFrame, n_nodes: int) -> DataFrame:
+    """The |V|-sized side of a per-iteration join: broadcast when the
+    node count is under the gate, else leave the planner's choice."""
+    return F.broadcast(df) if n_nodes <= GRAPH_BCAST_MAX_NODES else df
+
 
 def _power_iterate(ed: DataFrame, ranks: DataFrame, n_nodes: int,
                    max_iter: int = N_ITER, tol: float = TOL,
@@ -69,7 +95,7 @@ def _power_iterate(ed: DataFrame, ranks: DataFrame, n_nodes: int,
     it = 0
     for i in range(1, max_iter + 1):
         it = i
-        contrib = (ed.join(ranks, ed.src == ranks.node)
+        contrib = (ed.join(_vec(ranks, n_nodes), ed.src == ranks.node)
                    .select(F.col("dst"),
                            (F.col("rank") / F.col("outdeg")).alias("c")))
         new_ranks = (contrib.groupBy("dst")
@@ -79,7 +105,8 @@ def _power_iterate(ed: DataFrame, ranks: DataFrame, n_nodes: int,
             if check_convergence:
                 new_ranks = new_ranks.localCheckpoint(eager=True)
                 delta, = (new_ranks.join(
-                    ranks.withColumnRenamed("rank", "old"), "node")
+                    _vec(ranks.withColumnRenamed("rank", "old"), n_nodes),
+                    "node")
                     .agg(F.max(F.abs((F.col("rank") - F.col("old"))
                                      * n_nodes))).first())
                 if delta is not None and delta < tol:
@@ -164,13 +191,17 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct())
     edges = half.union(half.select(F.col("dst").alias("src"),
                                    F.col("src").alias("dst")))
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # one materialized degree table (V rows): its count is the gate for
+    # the broadcast-vector iteration strategy AND the rank seed.
+    deg = (edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+           .localCheckpoint(eager=True))
+    n_nodes = deg.count()  # driver scalar: node count, never row data
     # one materialized edge+degree table serves all 10 per-iteration
     # joins (localCheckpoint: computed once, lineage cut, blocks
     # reclaimed by the ContextCleaner when unreferenced -- no unpersist
-    # race against the returned lazy plan).
-    ed = edges.join(deg, "src").localCheckpoint(eager=True)
-    n_nodes = deg.count()  # driver scalar: node count, never row data
+    # race against the returned lazy plan). The degree attach is a
+    # broadcast of the V-sized side, so edges pay no shuffle here.
+    ed = edges.join(_vec(deg, n_nodes), "src").localCheckpoint(eager=True)
     ranks = deg.select(F.col("src").alias("node"),
                        F.lit(1.0 / n_nodes).alias("rank"))
     ranks, _ = _power_iterate(ed, ranks, n_nodes)
@@ -277,9 +308,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
          .distinct())
     deg = (e.select(F.col("u").alias("node"))
            .union(e.select(F.col("v").alias("node")))
-           .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
-    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+           .localCheckpoint(eager=True))
+    n_nodes = deg.count()  # driver scalar: broadcast-vector gate
+    du = _vec(deg.select(F.col("node").alias("u"), F.col("d").alias("du")),
+              n_nodes)
+    dv = _vec(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")),
+              n_nodes)
     u_first = (F.struct("du", "u") < F.struct("dv", "v"))
     oriented = (e.join(du, "u").join(dv, "v")
                 .select(F.when(u_first, F.col("u")).otherwise(F.col("v"))
@@ -290,7 +325,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     e1 = oriented.select(F.col("s").alias("x"), F.col("t").alias("y"))
     e2 = oriented.select(F.col("s").alias("y"), F.col("t").alias("z"))
     e3 = oriented.select(F.col("s").alias("x"), F.col("t").alias("z"))
-    tri = (e1.join(e2, "y").join(e3, ["x", "z"])
+    # SHUFFLE_HASH on the E-sized build sides (guide §3.1): sort-merge
+    # sorted the wedge stream -- the one sum(outdeg^2)-sized table in
+    # the plan -- on both join boundaries; hash joins keep the wedge
+    # stream sort-free (it is exchanged, never ordered) and build the
+    # per-partition map from E/partitions rows of 16-byte id pairs.
+    tri = (e1.join(e2.hint("shuffle_hash"), "y")
+           .join(e3.hint("shuffle_hash"), ["x", "z"])
            .select("x", "y", "z"))
     # ONE pass credits all three corners: a union of three projections
     # of `tri` would re-execute the wedge join three times (measured
@@ -369,15 +410,20 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   F.col("src").alias("dst")))
            .localCheckpoint(eager=True))
     alive = und.select(F.col("src").alias("node")).distinct()
+    n_nodes = alive.count()  # driver scalar: broadcast-vector gate
     deg = None
     for t in range(1, KCORE_ROUNDS + 1):
         x = alive.select(F.col("node").alias("src"))
         y = alive.select(F.col("node").alias("dst"))
-        e = und.join(x, "src").join(y, "dst")
+        e = und.join(_vec(x, n_nodes), "src").join(_vec(y, n_nodes), "dst")
         deg = e.groupBy(F.col("src").alias("node")).agg(
             F.count(F.lit(1)).alias("deg"))
         alive = deg.where(F.col("deg") >= K_CORE).select("node")
-        if t % 3 == 0 and t < KCORE_ROUNDS:
+        # checkpoint EVERY round (<=V rows, shrinking): alive is
+        # referenced twice per round (src + dst semi-join sides), so an
+        # un-materialized chain re-executes the E-sized join 2^depth
+        # times once the vector side is broadcast.
+        if t < KCORE_ROUNDS:
             alive = alive.localCheckpoint(eager=True)
     return (deg.where(F.col("deg") >= K_CORE)
             .select("node", F.col("deg").cast("long").alias("degree")))
@@ -455,19 +501,26 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   F.col("src").alias("dst")))
            .localCheckpoint(eager=True))
     lab = (und.select(F.col("src").alias("node")).distinct()
-           .withColumn("label", F.col("node")))
+           .withColumn("label", F.col("node"))
+           .localCheckpoint(eager=True))
+    n_nodes = lab.count()  # driver scalar: broadcast-vector gate
     for t in range(1, LP_ROUNDS + 1):
-        msgs = (und.join(lab.select(F.col("node").alias("src"), "label"),
+        msgs = (und.join(_vec(lab.select(F.col("node").alias("src"),
+                                         "label"), n_nodes),
                          "src")
                 .select(F.col("dst").alias("node"), "label"))
         nbrmin = msgs.groupBy("node").agg(F.min("label").alias("nm"))
-        lab = (lab.join(nbrmin, "node", "left")
+        lab = (lab.join(_vec(nbrmin, n_nodes), "node", "left")
                .select("node",
                        F.when(F.col("nm").isNotNull()
                               & (F.col("nm") < F.col("label")),
                               F.col("nm")).otherwise(F.col("label"))
                        .alias("label")))
-        if t % 2 == 0 and t < LP_ROUNDS:
+        # checkpoint EVERY round (V rows, cheap): lab is referenced
+        # twice per round (message source + left-join stream side), so
+        # an un-materialized chain re-executes the E-sized join 2^depth
+        # times once the vector side is broadcast.
+        if t < LP_ROUNDS:
             lab = lab.localCheckpoint(eager=True)
     return lab
 
@@ -698,8 +751,10 @@ def graph_personalized_pagerank(spark: SparkSession,
         .distinct())
     edges = half.union(half.select(F.col("dst").alias("src"),
                                    F.col("src").alias("dst")))
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ed = edges.join(deg, "src").localCheckpoint(eager=True)
+    deg = (edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+           .localCheckpoint(eager=True))
+    n_nodes = deg.count()  # driver scalar: node count only
+    ed = edges.join(_vec(deg, n_nodes), "src").localCheckpoint(eager=True)
     is_seed = (F.col("node").startswith("p")
                & (F.substring(F.col("node"), 2, 100).cast("bigint")
                   % PPR_SEED_MOD == 0))
@@ -708,17 +763,17 @@ def graph_personalized_pagerank(spark: SparkSession,
              .localCheckpoint(eager=True))
     ns = nodes.agg(F.sum(F.when(F.col("is_seed"), 1).otherwise(0))
                    .cast("double").alias("s"))
-    n_nodes = nodes.count()  # driver scalar: node count only
     ranks = (nodes.crossJoin(F.broadcast(ns))
              .select("node", F.when(F.col("is_seed"),
                                     F.lit(1.0) / F.col("s"))
                      .otherwise(F.lit(0.0)).alias("rank")))
     for t in range(1, PPR_ITERS + 1):
-        contrib = (ed.join(ranks, ed.src == ranks.node)
+        contrib = (ed.join(_vec(ranks, n_nodes), ed.src == ranks.node)
                    .groupBy("dst")
                    .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("m")))
         ranks = (nodes.crossJoin(F.broadcast(ns))
-                 .join(contrib, nodes.node == contrib.dst, "left")
+                 .join(_vec(contrib, n_nodes),
+                       nodes.node == contrib.dst, "left")
                  .select(nodes.node,
                          (F.when(F.col("is_seed"),
                                  (1.0 - DAMPING) / F.col("s"))
@@ -796,9 +851,12 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   F.col("src").alias("dst")))
            .localCheckpoint(eager=True))
     lab = graph_label_propagation(spark, sf_dir).localCheckpoint(eager=True)
+    n_nodes = lab.count()  # driver scalar: broadcast-vector gate
     m = und.agg((F.count(F.lit(1)) / 2.0).alias("m"))
-    la = lab.select(F.col("node").alias("src"), F.col("label").alias("sl"))
-    lb = lab.select(F.col("node").alias("dst"), F.col("label").alias("dl"))
+    la = _vec(lab.select(F.col("node").alias("src"),
+                         F.col("label").alias("sl")), n_nodes)
+    lb = _vec(lab.select(F.col("node").alias("dst"),
+                         F.col("label").alias("dl")), n_nodes)
     internal = (und.join(la, "src").join(lb, "dst")
                 .where(F.col("sl") == F.col("dl"))
                 .groupBy(F.col("sl").alias("label"))

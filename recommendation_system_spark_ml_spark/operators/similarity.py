@@ -229,36 +229,56 @@ def lsh_pairs_over(spark: SparkSession, corpus: DataFrame) -> DataFrame:
     unchanged."""
     import math
 
-    import numpy as np
-
     n_corpus = corpus.count()
     dim = 64
     b = lsh_band_bits(n_corpus)
     n_tables = 192 // b
     n_bits = 192  # fixed budget = 3 packed signature longs
-    rng = np.random.default_rng(SEED)
-    planes_df = F.broadcast(spark.createDataFrame(
-        [(i, [float(x) for x in rng.standard_normal(dim)])
-         for i in range(n_bits)],
-        "bit_idx int, h array<double>"))
 
-    bit = (_dot(F.col("v"), F.col("h")) > 0).cast("long")
-    per_plane = (corpus.crossJoin(planes_df)
-                 .select("vec_id", "bit_idx", bit.alias("bit")))
+    # Signature stage, VECTORIZED (r10, guide §4.2): the expression
+    # form fanned every vector x192 planes through a crossJoin and
+    # packed bits back with a groupBy -- a 192x row blowup plus one
+    # full Exchange of the fanned stream, all to compute n x 192 sign
+    # bits. One mapInPandas computes the whole bit matrix per Arrow
+    # batch as a single (batch x 64) @ (64 x 192) BLAS matmul and
+    # packs keys/signatures with numpy shifts -- no fan-out, NO
+    # shuffle, planes built once per task from the same seeded
+    # generator stream (np.default_rng(SEED) draws are identical
+    # whether taken as 192 rows or one (192, 64) block). Null/short
+    # vectors are dropped up front: under the old form they packed to
+    # all-zero keys, collected candidates, and died at the NULL-cosine
+    # re-rank filter -- emitting no pairs either way.
+    sig_fields = ([f"key{t} bigint" for t in range(n_tables)]
+                  + [f"sig{k} bigint" for k in range(n_bits // 64)])
+    sig_schema = "vec_id bigint, " + ", ".join(sig_fields)
 
-    def packed(width: int, group_val: int) -> Column:
-        """Sum of bit << (bit_idx % width) over bit_idx div width ==
-        group_val -- distinct powers of two, so the sum IS the packed
-        word (two's-complement exact even at bit 63), and it combines
-        map-side like any other sum."""
-        return F.sum(F.when(F.floor(F.col("bit_idx") / width) == group_val,
-                            F.expr(f"shiftleft(bit, bit_idx % {width})"))
-                     .otherwise(F.lit(0)))
+    def _signatures(batches):
+        import numpy as np
 
-    key_cols = [packed(b, t).alias(f"key{t}") for t in range(n_tables)]
-    sig_cols = [packed(64, k).alias(f"sig{k}")
-                for k in range(n_bits // 64)]
-    sigs = per_plane.groupBy("vec_id").agg(*key_cols, *sig_cols)
+        h = np.random.default_rng(SEED).standard_normal((n_bits, dim))
+        shifts_key = np.arange(b, dtype=np.uint64)
+        shifts_sig = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["v"].to_numpy())          # (n, dim)
+            bits = (x @ h.T > 0).astype(np.uint64)      # (n, n_bits)
+            out = {"vec_id": pdf["vec_id"].to_numpy()}
+            for t in range(n_tables):
+                out[f"key{t}"] = (
+                    (bits[:, t * b:(t + 1) * b] << shifts_key)
+                    .sum(axis=1).astype(np.int64))
+            for k in range(n_bits // 64):
+                out[f"sig{k}"] = (
+                    (bits[:, k * 64:(k + 1) * 64] << shifts_sig)
+                    .sum(axis=1, dtype=np.uint64).view(np.int64))
+            yield pd.DataFrame(out)
+
+    clean = (corpus.where(F.col("v").isNotNull()
+                          & (F.size("v") == dim)
+                          & ~F.exists("v", lambda e: e.isNull()))
+             .select(F.col("vec_id").cast("bigint").alias("vec_id"), "v"))
+    sigs = clean.mapInPandas(_signatures, sig_schema)
     keys = F.array(*[
         F.struct(F.lit(t).alias("table"), F.col(f"key{t}").alias("key"))
         for t in range(n_tables)])
@@ -1725,10 +1745,10 @@ def ml_kmeans_lloyd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     to cut lineage. The reference's 6-fit elbow sweep at 1M rows took
     ~474 s; this single fit is one scan per round."""
     pin_session_conf(spark)
-    fin = _lloyd_ranked(spark, sf_dir).where(F.col("rk") == 1)
+    fin = _lloyd_best2(spark, sf_dir)
     return (fin.groupBy(F.col("cid").cast("long").alias("cluster"))
             .agg(F.count(F.lit(1)).cast("long").alias("n_members"),
-                 F.round(F.sum("d"), 4).alias("sse")))
+                 F.round(F.sum("d1"), 4).alias("sse")))
 
 
 def _km_sqd(xa, xb):
@@ -1736,25 +1756,46 @@ def _km_sqd(xa, xb):
                        F.lit(0.0), lambda acc, z: acc + z)
 
 
-def _lloyd_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Run KM_ROUNDS of Lloyd and return every (vector, centroid) pair
-    of the FINAL centroid table with its squared distance and the
-    per-vector distance rank (rk=1 -> assignment, rk=2 -> nearest
-    other cluster). Shared by the SSE and silhouette queries."""
+def _ranked_dc(cs_col, x_col):
+    """Per-vector (d, cid) ranking against a collapsed centroid array:
+    array_sort on struct(d, cid) is the same (d ASC, cid ASC) order the
+    old row_number window produced, but evaluated MAP-SIDE -- no
+    Exchange, no Sort of the vector stream (guide §2.4: the window
+    re-shuffled and re-sorted all n vectors once per Lloyd round for a
+    K-row argmin). Distances use the identical _km_sqd fold, so every
+    (d, cid) pair -- and therefore every assignment and tie-break --
+    is bit-for-bit the window's."""
+    return F.array_sort(F.transform(
+        cs_col, lambda s: F.struct(_km_sqd(x_col, s["c"]).alias("d"),
+                                   s["cid"].alias("cid"))))
+
+
+def _lloyd_best2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run KM_ROUNDS of Lloyd and return ONE row per vector with its
+    assignment and the two nearest FINAL centroids: (vec_id, cid, d1,
+    d2) where d1 = own-centroid sqdist (rk=1 under the (d, cid) order)
+    and d2 = nearest-other sqdist (rk=2). Shared by the SSE and
+    silhouette queries; both only ever aggregate by cid afterwards, so
+    with the map-side _ranked_dc argmin NO data-sized exchange remains
+    anywhere downstream of the scan (the old per-vector row_number
+    window exchanged + sorted all n vectors per round plus once more
+    for the final ranking)."""
     v = (load(spark, sf_dir, "embeddings")
          .where(F.col("embedding").isNotNull())
          .select("vec_id", F.col("embedding").cast("array<double>")
                  .alias("x")))
     cent = (v.where(F.col("vec_id") < KM_K)
             .select(F.col("vec_id").alias("cid"), F.col("x").alias("c")))
-    wv = Window.partitionBy("vec_id").orderBy(F.col("d").asc(),
-                                              F.col("cid").asc())
+    # collapse the K-row centroid table to ONE array row per round and
+    # rank map-side (_ranked_dc) -- the old per-round row_number window
+    # exchanged + sorted all n vectors to pick an argmin over K=3 rows.
     for _ in range(KM_ROUNDS):
-        assigned = (v.crossJoin(F.broadcast(cent))
-                    .withColumn("d", _km_sqd(F.col("x"), F.col("c")))
-                    .withColumn("rk", F.row_number().over(wv))
-                    .where(F.col("rk") == 1)
-                    .select("vec_id", "x", "cid"))
+        cs = cent.agg(F.collect_list(F.struct("c", "cid")).alias("cs"))
+        assigned = (v.crossJoin(F.broadcast(cs))
+                    .select("vec_id", "x",
+                            F.element_at(_ranked_dc(F.col("cs"),
+                                                    F.col("x")), 1)
+                            .getField("cid").alias("cid")))
         upd = (assigned.select("cid", F.posexplode("x").alias("pos", "val"))
                .groupBy("cid", "pos")
                .agg((F.floor(F.avg("val") * _KM_Q + F.lit(0.5)) / _KM_Q)
@@ -1764,9 +1805,13 @@ def _lloyd_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("s"))
                 .select("cid", F.transform("s", lambda t: t.qv).alias("c"))
                 .localCheckpoint(eager=True))
-    return (v.crossJoin(F.broadcast(cent))
-            .withColumn("d", _km_sqd(F.col("x"), F.col("c")))
-            .withColumn("rk", F.row_number().over(wv)))
+    cs = cent.agg(F.collect_list(F.struct("c", "cid")).alias("cs"))
+    ranked = _ranked_dc(F.col("cs"), F.col("x"))
+    return (v.crossJoin(F.broadcast(cs))
+            .select("vec_id",
+                    F.element_at(ranked, 1).getField("cid").alias("cid"),
+                    F.element_at(ranked, 1).getField("d").alias("d1"),
+                    F.element_at(ranked, 2).getField("d").alias("d2")))
 
 
 @register("ml_kmeans_silhouette", oracle=f"""{_kmeans_cte()},
@@ -1809,11 +1854,7 @@ def ml_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowGroupLimit keeping rk<=2 per vector, one partial-combined
     groupBy(cluster)."""
     pin_session_conf(spark)
-    ranked = _lloyd_ranked(spark, sf_dir).where(F.col("rk") <= 2)
-    pv = (ranked.groupBy("vec_id")
-          .agg(F.min(F.when(F.col("rk") == 1, F.col("cid"))).alias("cid"),
-               F.min(F.when(F.col("rk") == 1, F.col("d"))).alias("d1"),
-               F.min(F.when(F.col("rk") == 2, F.col("d"))).alias("d2")))
+    pv = _lloyd_best2(spark, sf_dir)
     s = F.when(F.col("d2") > 0,
                F.lit(1.0) - F.sqrt(F.col("d1")) / F.sqrt(F.col("d2")))         .otherwise(F.lit(0.0))
     return (pv.groupBy(F.col("cid").cast("long").alias("cluster"))
@@ -1892,12 +1933,15 @@ def ml_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("s"))
             .select(F.col("label").alias("cl"),
                     F.transform("s", lambda t: t.qv).alias("c")))
-    wv = Window.partitionBy("vec_id").orderBy(F.col("d").asc(),
-                                              F.col("cl").asc())
-    pred = (test.crossJoin(F.broadcast(cent))
-            .withColumn("d", _km_sqd(F.col("x"), F.col("c")))
-            .withColumn("rk", F.row_number().over(wv))
-            .where(F.col("rk") == 1))
+    # map-side argmin against the collapsed |labels|-row centroid
+    # array (the _ranked_dc recipe): same (d, cl) order as the old
+    # row_number window, zero Exchange/Sort of the test stream.
+    cs = cent.agg(F.collect_list(
+        F.struct("c", F.col("cl").alias("cid"))).alias("cs"))
+    pred = (test.crossJoin(F.broadcast(cs))
+            .withColumn("best", F.element_at(
+                _ranked_dc(F.col("cs"), F.col("x")), 1))
+            .withColumn("cl", F.col("best.cid")))
     return (pred.groupBy(F.col("label").cast("int").alias("true_label"),
                          F.col("cl").cast("int").alias("pred_label"))
             .agg(F.count(F.lit(1)).cast("long").alias("n")))

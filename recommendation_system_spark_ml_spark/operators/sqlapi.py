@@ -278,19 +278,34 @@ def sql_scripting_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     provably equivalent."""
     pin_session_conf(spark)
     register_views(spark, sf_dir)
-    return spark.sql("""
-        BEGIN
-          DECLARE t BIGINT DEFAULT 64;
-          DECLARE n BIGINT DEFAULT 0;
-          REPEAT
-            SET t = t * 2;
-            SET n = (SELECT count(*)
-                     FROM (SELECT o_custkey, sum(o_totalprice) AS s
-                           FROM orders GROUP BY o_custkey)
-                     WHERE s > t);
-          UNTIL n < 10 END REPEAT;
-          SELECT t AS threshold, n AS n_above;
-        END""")
+    # Cache the pre-grouped totals for the duration of the script
+    # (guide §5: the REPEAT loop probes the SAME aggregate ~20 times;
+    # uncached, every iteration re-scanned and re-grouped the full
+    # orders table -- measured 4.7 s at sf0.1, ~1 s cached). The
+    # script's final SELECT returns DECLARE'd scalars, so the cache
+    # can be dropped before returning without the result recomputing.
+    spark.sql("DROP VIEW IF EXISTS __sql_loop_totals")
+    spark.sql("""CACHE TABLE __sql_loop_totals AS
+                 SELECT o_custkey, sum(o_totalprice) AS s
+                 FROM orders GROUP BY o_custkey""")
+    try:
+        return spark.sql("""
+            BEGIN
+              DECLARE t BIGINT DEFAULT 64;
+              DECLARE n BIGINT DEFAULT 0;
+              REPEAT
+                SET t = t * 2;
+                SET n = (SELECT count(*) FROM __sql_loop_totals
+                         WHERE s > t);
+              UNTIL n < 10 END REPEAT;
+              SELECT t AS threshold, n AS n_above;
+            END""")
+    finally:
+        # the scripting block executed eagerly above (its final SELECT
+        # returns DECLARE'd scalars), so dropping the cached view here
+        # cannot invalidate the returned frame
+        spark.sql("UNCACHE TABLE IF EXISTS __sql_loop_totals")
+        spark.sql("DROP VIEW IF EXISTS __sql_loop_totals")
 
 
 @register("sql_udf_declarative", oracle="""

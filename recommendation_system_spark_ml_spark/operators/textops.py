@@ -528,23 +528,82 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     window is per-doc (no global shuffle), and the fingerprint SET --
     not the text -- is what any downstream copy-detection join touches."""
     pin_session_conf(spark)
-    from pyspark.sql import Window as W
+    # r10 rewrite (guide §2.4 + §4.2): the k-gram stream is generated
+    # per document IN ORDER, so the 16-gram sliding min never needed a
+    # window -- the old posexplode + Window(doc_id) exchanged and
+    # sorted ~2k rows/doc (tens of millions of 50-byte md5 rows at
+    # sf0.1) to compute something each row already had locally. The
+    # whole fingerprint now derives inside one Arrow batch pass:
+    # hashlib md5 per k-gram (same UTF-8-bytes md5 as the SQL
+    # function), numpy sliding-window min over the hex strings
+    # (lexicographic on ASCII hex = the SQL min's byte order), sorted
+    # distinct minima, digest. Zero shuffles, one output row per doc,
+    # map-side. Docs with fewer than 16 k-grams (len < 23) produced no
+    # window rows before and are filtered identically here. (A pure
+    # expression form -- array_min over slice(transform(...)) -- was
+    # rejected: nested higher-order lambdas re-evaluate the invariant
+    # k-gram array per window position, a 2000x blowup.)
     docs = (load(spark, sf_dir, "documents")
             .select("doc_id", F.substring("text", 1, 2048).alias("s"))
-            .filter(F.length("s") >= 8))
-    kg = (docs.select(
-        "doc_id", (F.length("s") - 8 + 1).alias("n_kg"),
-        F.posexplode(F.expr(
-            "transform(sequence(1, length(s) - 8 + 1),"
-            " i -> md5(substring(s, i, 8)))")).alias("pos0", "h"))
-        .select("doc_id", "n_kg", (F.col("pos0") + 1).alias("pos"), "h"))
-    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 15)
-    mins = (kg.filter(F.col("pos") <= F.col("n_kg") - 16 + 1)
-            .select("doc_id", F.min("h").over(w).alias("mh")))
-    return (mins.groupBy("doc_id")
-            .agg(F.countDistinct("mh").cast("int").alias("n_fp"),
-                 F.md5(F.concat_ws("", F.array_sort(F.collect_set("mh"))))
-                 .alias("fp_digest")))
+            .filter(F.length("s") >= 8 + 16 - 1))
+    # guide §2.5 (input skew): the fixture tables are single-row-group
+    # parquet, so the scan is ONE task and the ~2k md5/doc Python
+    # stage would run single-threaded. When the scan has fewer
+    # partitions than cores, one cheap shuffle of (id, 2KB text)
+    # spreads the hashing; at scale (many files) the condition is
+    # false and no exchange is added.
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+
+    def _winnow(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        win = np.lib.stride_tricks.sliding_window_view
+        u64max = np.uint64(0xFFFFFFFFFFFFFFFF)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, nfps, digs = [], [], []
+            for doc_id, s in zip(pdf["doc_id"], pdf["s"]):
+                # md5 digests as (hi, lo) uint64 pairs: big-endian
+                # 128-bit order IS the hex-string order, and numpy can
+                # reduce integers where it cannot reduce strings.
+                # contract quirk, kept bit-for-bit: the registered
+                # shape filters k-gram starts to the first n_kg-15
+                # BEFORE the window, so trailing windows TRUNCATE at
+                # that boundary (the last 15 k-grams never contribute)
+                # -- replicate by hashing only the first n_kg-15
+                # k-grams and padding with a max sentinel the min
+                # ignores.
+                m = len(s) - 7 - 15
+                raw = b"".join(
+                    hashlib.md5(s[i:i + 8].encode("utf-8")).digest()
+                    for i in range(m))
+                v = np.frombuffer(raw, dtype=">u8").reshape(-1, 2)
+                pad = np.full(15, u64max)
+                hi = np.concatenate([v[:, 0].astype(np.uint64), pad])
+                lo = np.concatenate([v[:, 1].astype(np.uint64), pad])
+                hw, lw = win(hi, 16), win(lo, 16)
+                mh = hw.min(axis=1)
+                ml = np.where(hw == mh[:, None], lw, u64max).min(axis=1)
+                u = np.unique(np.stack([mh, ml], axis=1), axis=0)
+                # unique(axis=0) dedupes by raw row bytes (endian-
+                # dependent order); re-sort numerically = hex order
+                u = u[np.lexsort((u[:, 1], u[:, 0]))]
+                fps = [f"{int(a):016x}{int(b):016x}" for a, b in u]
+                ids.append(doc_id)
+                nfps.append(len(fps))
+                digs.append(hashlib.md5("".join(fps).encode("utf-8"))
+                            .hexdigest())
+            yield pd.DataFrame({"doc_id": ids, "n_fp": nfps,
+                                "fp_digest": digs})
+
+    return docs.mapInPandas(
+        _winnow, "doc_id bigint, n_fp int, fp_digest string")
 
 
 @register("text_pii_redact", oracle="""

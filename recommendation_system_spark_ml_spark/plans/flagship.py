@@ -71,10 +71,18 @@ def flagship_cluster_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").alias("order_year"))
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
 
+    # materialize the 3-table join ONCE (guide §5): both the averages
+    # pass and the deviation pass consume `enriched`; un-materialized,
+    # each pass re-ran the full lineitem ⋈ orders ⋈ customer join
+    # (measured: the two joins dominated the query). localCheckpoint
+    # (lazy) computes it on first use, reuses the blocks for the
+    # second pass, and lets the ContextCleaner reclaim them when the
+    # returned plan is dropped.
     enriched = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
           .join(cust, orders.o_custkey == cust.c_custkey)
-          .select("c_mktsegment", "order_year", "l_quantity", "rev"))
+          .select("c_mktsegment", "order_year", "l_quantity", "rev")
+          .localCheckpoint(eager=False))
 
     grp = enriched.groupBy("c_mktsegment", "order_year").agg(
         F.count(F.lit(1)).alias("n_items"),
