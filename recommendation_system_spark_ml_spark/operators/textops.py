@@ -233,9 +233,15 @@ def text_pipeline_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         IDF(inputCol="tf", outputCol="tfidf"),
     ])
     out = pipe.fit(docs).transform(docs)
-    from pyspark.ml.functions import vector_to_array
-    l2 = F.sqrt(F.aggregate(vector_to_array("tfidf"), F.lit(0.0),
-                            lambda acc, x: acc + x * x))
+    # fold the SPARSE values only (r10, guide §1.2 per-task work):
+    # vector_to_array densified every 16,384-dim hashed vector and ran
+    # the interpreted fold over all 16k slots per doc (~80M lambda
+    # evaluations at sf0.1); unwrap_udt exposes the UDT's values array
+    # (nonzeros only, ~doc-length). Adding 0.0 terms is an exact
+    # no-op in IEEE doubles, so the L2 value is bit-identical.
+    l2 = F.sqrt(F.aggregate(
+        F.unwrap_udt("tfidf").getField("values"), F.lit(0.0),
+        lambda acc, x: acc + x * x))
     return out.select(
         "doc_id",
         F.size("tokens").alias("n_tokens"),
