@@ -89,10 +89,13 @@ def kmeans_sweep(feats: DataFrame, ks=range(2, 11)) -> list[tuple[int, float]]:
     def fit(k: int) -> tuple[int, float]:
         return k, float(KMeans(k=k, seed=SEED).fit(feats).summary.trainingCost)
 
-    # 9 independent fits; 8 in flight keeps all local[32] cores busy
-    # (each fit is itself a multi-job chain with idle gaps the scheduler
-    # fills from the other fits).
-    with ThreadPoolExecutor(max_workers=8) as pool:
+    # all fits in flight at once (r11: 8 workers left the 9th k as a
+    # sequential straggler after the first 8 finished); each fit is
+    # itself a multi-job chain with idle gaps the scheduler fills from
+    # the other fits. Purely scheduling -- seeded fits are
+    # layout-pinned by the caller, so concurrency cannot change SSE.
+    ks = list(ks)
+    with ThreadPoolExecutor(max_workers=max(1, len(ks))) as pool:
         return sorted(pool.map(fit, ks))
 
 
@@ -121,6 +124,18 @@ def ratings_analog(spark: SparkSession, sf_dir: str) -> DataFrame:
     memo = _RATINGS_MEMO.get(key)
     if memo is not None:
         _RATINGS_MEMO.move_to_end(key)
+        # Re-register the cache if a clearCache() dropped it (r10
+        # verdict item 8): bench.py/perf_sweep quiesce barriers clear
+        # ALL cached blocks before every timed sample, which also
+        # removed this plan's CacheManager entry -- consumers then
+        # replayed the fact join per reference with no cache at all.
+        # Re-caching here keeps the contract honest (every timed
+        # sample pays the base join exactly once, INSIDE the timed
+        # region -- the movielens rated.cache() pattern) and restores
+        # within-query reuse for the multi-consumer ML queries.
+        sl = memo.storageLevel
+        if not (sl.useMemory or sl.useDisk):
+            memo.cache()
         return memo
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -373,9 +388,16 @@ def cluster_predictor_frames(spark: SparkSession, sf_dir: str):
     part = (load(spark, sf_dir, "part")
             .where(F.col("p_type").isNotNull())
             .select("p_partkey", "p_type"))
+    # r11 (guide §5): clusters feeds rated + both refine counts (the
+    # KMeans transform + pivot chain re-ran per consumer); rated feeds
+    # FOUR passes (train-averages and scoring join, for each of the
+    # cluster and p_type partitions). One eager materialization each:
+    # clusters is catalog-sized, rated is bounded by the (customer,
+    # part) pair table.
     clusters = (model.transform(feats)
                 .select("p_partkey", F.col("prediction").alias("cluster"))
-                .join(F.broadcast(part), "p_partkey"))
+                .join(F.broadcast(part), "p_partkey")
+                .localCheckpoint(eager=True))
 
     ratings = (ratings_analog(spark, sf_dir)
                .where(F.col("userId").isNotNull()
@@ -385,7 +407,8 @@ def cluster_predictor_frames(spark: SparkSession, sf_dir: str):
         ratings.join(F.broadcast(clusters),
                      ratings.movieId == clusters.p_partkey)
         .select("userId", "movieId", "cluster", "p_type", "rating"),
-        F.col("userId").cast("bigint") * 4096 + F.col("movieId"))
+        F.col("userId").cast("bigint") * 4096 + F.col("movieId")
+    ).localCheckpoint(eager=True)
 
     def rmse_by_split(group_col: str) -> DataFrame:
         pred = (rated.filter(F.col("split") == "train")
@@ -664,9 +687,14 @@ def ml_als_cv_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             .build())
     evaluator = RegressionEvaluator(metricName="rmse", labelCol="rating",
                                     predictionCol="prediction")
+    # parallelism covers the whole 27-point grid per fold (r11, guide
+    # §2.6): fits are independent job chains on a ~1k-row twin, so the
+    # wall-clock is scheduling overlap, not compute -- at 8 the fold
+    # ran as 4 sequential batches. Purely a scheduling knob: the 81
+    # fold-fits, the grid, and avgMetrics are byte-identical.
     cv = CrossValidator(estimator=als, estimatorParamMaps=grid,
                         evaluator=evaluator, numFolds=3,
-                        parallelism=8, seed=SEED)
+                        parallelism=27, seed=SEED)
     cv_model = _cv_fit_with_retry(cv, train)
     rows = [(i, pm[als.rank], pm[als.maxIter], float(pm[als.regParam]), float(m))
             for i, (pm, m) in enumerate(zip(grid, cv_model.avgMetrics))]
@@ -742,14 +770,18 @@ def ml_movielens_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("movieId", F.col("prediction").alias("cluster")))
     feats.unpersist()
 
-    # cache the split WITHIN this run (guide §5: reuse beats recompute
-    # -- train/test feed five downstream consumers: the user-cluster
-    # averages, two RMSE joins, the ALS fit and its transform; without
-    # the cache each consumer re-parses the 1M-row '::' ratings text
-    # and re-joins the clusters). Unpersisted before returning.
+    # materialize the split WITHIN this run (guide §5: reuse beats
+    # recompute -- train/test feed five downstream consumers: the
+    # user-cluster averages, two RMSE joins, the ALS fit and its
+    # transform; un-materialized, each consumer re-parses the 1M-row
+    # '::' ratings text and re-joins the clusters). Eager checkpoint
+    # instead of lazy cache (r11): both the RMSE branch and the ALS
+    # branch start from it CONCURRENTLY below, and a lazy cache would
+    # let the two threads race to compute it twice.
     rated = _hash_split(
         ratings.join(F.broadcast(clusters), "movieId"),
-        F.col("userId").cast("bigint") * 4096 + F.col("movieId")).cache()
+        F.col("userId").cast("bigint") * 4096 + F.col("movieId")
+    ).localCheckpoint(eager=True)
     train = rated.filter(F.col("split") == "train")
     test = rated.filter(F.col("split") == "test")
     user_cluster = (train.groupBy("userId", "cluster")
@@ -761,26 +793,41 @@ def ml_movielens_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        F.lit(2))))).first())
         return float(row[0])
 
-    als = ALS(rank=10, maxIter=10, regParam=0.05,
-              userCol="userId", itemCol="movieId", ratingCol="rating",
-              coldStartStrategy="drop", seed=SEED)
-    # same layout-pinning rationale as feats above: ALS's block
-    # assignment follows the input partitioning
-    als_model = als.fit(train.select("userId", "movieId", "rating")
-                        .repartition(8, "userId"))
-    evaluator = RegressionEvaluator(metricName="rmse", labelCol="rating",
-                                    predictionCol="prediction")
-    als_rmse = float(evaluator.evaluate(
-        als_model.transform(test.select("userId", "movieId", "rating"))))
+    # Overlap the two independent job chains (guide §2.6): the ALS
+    # fit+eval and the cluster-predictor RMSE joins share no state
+    # beyond the checkpointed split, so the scheduler back-fills one
+    # chain's idle gaps with the other's tasks. Results are unchanged
+    # by concurrency: the ALS input layout stays pinned
+    # (repartition(8, userId), seeded fit) and the RMSE aggregates
+    # are the same jobs either way.
+    def als_branch() -> float:
+        als = ALS(rank=10, maxIter=10, regParam=0.05,
+                  userCol="userId", itemCol="movieId", ratingCol="rating",
+                  coldStartStrategy="drop", seed=SEED)
+        # same layout-pinning rationale as feats above: ALS's block
+        # assignment follows the input partitioning
+        als_model = als.fit(train.select("userId", "movieId", "rating")
+                            .repartition(8, "userId"))
+        evaluator = RegressionEvaluator(metricName="rmse",
+                                        labelCol="rating",
+                                        predictionCol="prediction")
+        return float(evaluator.evaluate(
+            als_model.transform(test.select("userId", "movieId", "rating"))))
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        als_fut = pool.submit(als_branch)
+        train_rmse = rmse_of(train)
+        test_rmse = rmse_of(test)
+        als_rmse = als_fut.result()
 
     report = [
         ("kmeans_best_k", float(best_k)),
         ("kmeans_sse_best_k", round(sse[best_k], 4)),
-        ("kmeans_train_rmse", round(rmse_of(train), 4)),
-        ("kmeans_test_rmse", round(rmse_of(test), 4)),
+        ("kmeans_train_rmse", round(train_rmse, 4)),
+        ("kmeans_test_rmse", round(test_rmse, 4)),
         ("als_test_rmse", round(als_rmse, 4)),
     ]
-    rated.unpersist()
     return spark.createDataFrame(report, "metric string, value double")
 
 

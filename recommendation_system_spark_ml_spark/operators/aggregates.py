@@ -525,6 +525,18 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("c").alias("total_cents")))
 
 
+# Range buckets per group for the two-level exact order-statistic
+# selection below: the per-(group, bucket) rank windows run in
+# parallel over group x buckets partitions instead of one sequential
+# sort per group. More buckets = more parallelism but a bigger
+# broadcast offset table (rows = groups x buckets). Duplicates never
+# skew a bucket (the window input is the DISTINCT-value histogram);
+# override for cluster tuning.
+import os as _os
+
+_PCTL_BUCKETS = int(_os.environ.get("SPARK_GRAFT_PCTL_BUCKETS", "1024"))
+
+
 @register("agg_approx_percentile", oracle="""
 SELECT l_returnflag,
        round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_exact,
@@ -568,30 +580,71 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_qs = ("25", "50", "75") + band_qs
     li = load(spark, sf_dir, "lineitem").select("l_returnflag",
                                                 "l_extendedprice")
-    # r10 rewrite (guide §2.4): the agg form paid SEVEN independent
-    # value-buffering aggregates (one array-percentile + six
-    # percentile_disc, each building its own per-group value/count
-    # map and sorting it -- measured 7.4 s at sf0.1). All fifteen
-    # exact ranks are order statistics of ONE sort: window-rank the
-    # non-NULL prices per flag (one Exchange + one Sort), keep only
-    # the <=15 needed positions per group, and rebuild both aggregate
-    # semantics exactly -- pinned empirically against the native
-    # aggregates over 186 adversarial groups (n=1..1000, duplicates,
-    # boundary ranks; /tmp experiment r10, 0 mismatches):
-    #   percentile_disc(q)  = value at row_number ceil(q * n)
+    # r10 rewrote SEVEN value-buffering aggregates into one window
+    # sort; r11 removes that sort's scale hazard (r10 verdict item 1):
+    # the window partitioned by l_returnflag -- a ~3-value key -- so
+    # at 100 TB the whole table sorted through <= 3 reducer tasks.
+    # Now a TWO-LEVEL exact order-statistic selection (guide §2.5, the
+    # pipeline_curriculum recipe):
+    #   1. collapse rows to a (flag, price) -> cnt histogram (one
+    #      partial-combining Exchange; duplicates -- the skew -- fold
+    #      map-side);
+    #   2. range-bucket each distinct price into _PCTL_BUCKETS
+    #      order-preserving buckets per flag (min/max broadcast);
+    #   3. per-(flag, bucket) counts -> a bounded (<= 3 x buckets row)
+    #      offset table, cumulated in one tiny window;
+    #   4. rank INSIDE each (flag, bucket) in parallel and lift to
+    #      global ranks with the broadcast offsets: each histogram row
+    #      covers global row-rank range [lo, hi].
+    # A needed rank r selects the row with lo <= r <= hi -- identical
+    # values to the r10 row_number form (equal prices are ONE
+    # histogram row, so every rank in its range maps to the same
+    # value), which was itself pinned against the native aggregates
+    # over 186 adversarial groups (n=1..1000, duplicates, boundary
+    # ranks; r10, 0 mismatches):
+    #   percentile_disc(q)  = value at row rank ceil(q * n)
     #   percentile(q):        pos = q*(n-1), lo/hi = floor/ceil(pos);
     #                         v_lo if lo == hi OR v_lo == v_hi else
     #                         v_lo*(hi-pos) + v_hi*(pos-lo)
     # The sketch keeps its own partial-combining groupBy branch and
     # supplies the full group list (groups with only NULL prices have
-    # no window rows; left join keeps them NULL/TRUE like the oracle).
+    # no histogram rows; left join keeps them NULL/TRUE like the
+    # oracle).
     nn = li.where(F.col("l_extendedprice").isNotNull())
-    wr = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    wn = Window.partitionBy("l_returnflag")
-    ranked = nn.select(
-        "l_returnflag", "l_extendedprice",
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"))
+    # the histogram feeds the range aggregate, the bucket counts AND
+    # the ranked selection -- materialize it once (guide §5; it is the
+    # distinct-value proxy of guide §8, never row-sized)
+    hist = (nn.groupBy("l_returnflag", "l_extendedprice")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .localCheckpoint(eager=True))
+    rng = hist.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("_mn"),
+        F.max("l_extendedprice").alias("_mx"))
+    bucket = F.when(
+        F.col("_mx") > F.col("_mn"),
+        F.least(F.lit(_PCTL_BUCKETS - 1),
+                F.floor((F.col("l_extendedprice") - F.col("_mn"))
+                        / (F.col("_mx") - F.col("_mn"))
+                        * _PCTL_BUCKETS))).otherwise(F.lit(0)).cast("int")
+    hb = (hist.join(F.broadcast(rng), "l_returnflag")
+          .select("l_returnflag", "l_extendedprice", "cnt",
+                  bucket.alias("_b")))
+    bstats = (hb.groupBy("l_returnflag", "_b")
+              .agg(F.sum("cnt").alias("_bc")))
+    woff = (Window.partitionBy("l_returnflag").orderBy("_b")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offs = bstats.select(
+        "l_returnflag", "_b",
+        F.coalesce(F.sum("_bc").over(woff), F.lit(0)).alias("_off"),
+        F.sum("_bc").over(Window.partitionBy("l_returnflag")).alias("n"))
+    wcum = (Window.partitionBy("l_returnflag", "_b")
+            .orderBy("l_extendedprice")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    ranked = (hb.join(F.broadcast(offs), ["l_returnflag", "_b"])
+              .select("l_returnflag", "l_extendedprice", "n", "cnt",
+                      (F.col("_off") + F.sum("cnt").over(wcum))
+                      .alias("hi")))
+    ranked = ranked.withColumn("lo", F.col("hi") - F.col("cnt") + 1)
 
     def lo_rn(name):
         return F.floor(F.lit(int(name) / 100) * (F.col("n") - 1)) + 1
@@ -602,23 +655,26 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     def disc_rn(name):
         return F.ceil(F.lit(int(name) / 100) * F.col("n"))
 
+    def has(rn):
+        return (F.col("lo") <= rn) & (rn <= F.col("hi"))
+
     needed = None
     for name in exact_qs:
         for rn in (lo_rn(name), hi_rn(name)):
-            cond = F.col("rn") == rn
+            cond = has(rn)
             needed = cond if needed is None else (needed | cond)
     for name in band_qs:
-        needed = needed | (F.col("rn") == disc_rn(name))
+        needed = needed | has(disc_rn(name))
     picks = []
     for name in exact_qs:
-        picks.append(F.min(F.when(F.col("rn") == lo_rn(name),
+        picks.append(F.min(F.when(has(lo_rn(name)),
                                   F.col("l_extendedprice")))
                      .alias(f"_lo{name}"))
-        picks.append(F.min(F.when(F.col("rn") == hi_rn(name),
+        picks.append(F.min(F.when(has(hi_rn(name)),
                                   F.col("l_extendedprice")))
                      .alias(f"_hi{name}"))
     for name in band_qs:
-        picks.append(F.min(F.when(F.col("rn") == disc_rn(name),
+        picks.append(F.min(F.when(has(disc_rn(name)),
                                   F.col("l_extendedprice")))
                      .alias(f"_d{name}"))
     exact = (ranked.where(needed)
@@ -637,7 +693,7 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
                                            for name in exact_qs],
                          *[F.col(f"_d{name}") for name in band_qs])
     g = (li.groupBy("l_returnflag").agg(multi.alias("_pq"))
-         .join(exact, "l_returnflag", "left"))
+         .join(F.broadcast(exact), "l_returnflag", "left"))
 
     def band(est, lo, hi):
         return est.between(F.least(F.col(f"_e{lo}"), F.col(f"_d{lo}")),

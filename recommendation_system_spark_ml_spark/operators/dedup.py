@@ -323,9 +323,15 @@ def _minhash_pairs(base: DataFrame) -> DataFrame:
                  F.xxhash64(*[F.col(f"mh{j * rows_per_band + r}")
                               for r in range(rows_per_band)]).alias("key"))
         for j in range(n_bands)])
+    # r11 (guide §5): buckets feeds both sides of the bucket
+    # self-join, so the full signature stage (per-doc seeded-hash
+    # array folds) previously ran TWICE; the checkpointed table is
+    # (doc_id, band, key) -- a few dozen bytes x n_bands per doc,
+    # never payload-sized.
     buckets = (sig.select("doc_id", F.explode(bands).alias("b"))
                .select("doc_id", F.col("b.band").alias("band"),
-                       F.col("b.key").alias("key")))
+                       F.col("b.key").alias("key"))
+               .localCheckpoint(eager=True))
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.key") == F.col("b.key"))
@@ -785,6 +791,13 @@ def _jaccard_prefix_pairs(docs: DataFrame, t: float = 0.8) -> DataFrame:
                                                 F.coalesce(y, F.lit(0))))),
         F.lit(0).cast("long"), lambda acc, x: acc + x)
     jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    # r11: same §3.1 treatment for the two verify joins -- once the
+    # doc-sized bag tables outgrow the broadcast threshold the default
+    # was sort-merge (plans/r11/dedup_jaccard_prefix_nobroadcast.txt
+    # pre-change: 2 residual SMJ here), which sorts the candidate
+    # stream twice; hash-building the bag side sorts nothing.
+    ba = ba.hint("shuffle_hash")
+    bb = bb.hint("shuffle_hash")
     return (cand.join(ba, "doc_a").join(bb, "doc_b")
             .withColumn("shared", shared)
             .where(jac >= t)
@@ -1448,9 +1461,15 @@ def dedup_minhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.md5(F.concat(*[F.col(f"mh{j * MHC_ROWS + r}")
                                   for r in range(MHC_ROWS)])).alias("key"))
         for j in range(MHC_BANDS)])
+    # r11 (guide §5): buckets feeds both sides of the bucket
+    # self-join, so the full signature stage (per-doc seeded-hash
+    # array folds) previously ran TWICE; the checkpointed table is
+    # (doc_id, band, key) -- a few dozen bytes x n_bands per doc,
+    # never payload-sized.
     buckets = (sig.select("doc_id", F.explode(bands).alias("b"))
                .select("doc_id", F.col("b.band").alias("band"),
-                       F.col("b.key").alias("key")))
+                       F.col("b.key").alias("key"))
+               .localCheckpoint(eager=True))
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.key") == F.col("b.key"))

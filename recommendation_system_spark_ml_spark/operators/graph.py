@@ -623,8 +623,13 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select(F.col("a.item").alias("u"), F.col("b.item").alias("v"))
          .distinct().localCheckpoint(eager=True))
     und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = und.groupBy(F.col("u").alias("node")).agg(
-        F.count(F.lit(1)).alias("d"))
+    # r11 (guide §5): deg is broadcast TWICE into the orientation (and
+    # the before-plan built it four times -- twice per wedge side);
+    # one eager materialization of the |V|-row table replaces four
+    # E-sized aggregation scans.
+    deg = (und.groupBy(F.col("u").alias("node"))
+           .agg(F.count(F.lit(1)).alias("d"))
+           .localCheckpoint(eager=True))
     # degree orientation: keep (mid=v -> nbr=u) only when the
     # neighbor's (degree, id) exceeds the middle's, so each wedge is
     # charged to its lowest-degree common neighbor (broadcast degree
@@ -640,11 +645,22 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the middle's AA weight rides the (bounded) adjacency rows, so
     # the wedge stream -- the only table that is ever CAP * E wide --
     # joins nothing downstream and never carries the mid column.
+    # r11 (guide §5 + §3.1): adj feeds both sides of the wedge
+    # self-join; the before-plan ran the whole und+orientation+window
+    # chain twice (plans/r11/graph_link_prediction_before.txt, nodes
+    # 16-34 and 50-68). One eager checkpoint materializes the capped
+    # oriented adjacency (<= LP_MID_CAP rows per middle) once. The
+    # wedge join then takes the SHUFFLE_HASH hint (the
+    # graph_triangle_count lever): the CAP*E-sized wedge stream is
+    # exchanged but never SORTED -- sort-merge would re-sort both
+    # checkpointed sides, and broadcast is out once the adjacency
+    # outgrows the threshold at scale.
     adj = (oriented.withColumn("rn", F.row_number().over(wadj))
            .where(F.col("rn") <= LP_MID_CAP)
            .select(F.col("v").alias("mid"), F.col("u").alias("nbr"),
-                   (F.lit(1.0) / F.log(F.col("d_mid"))).alias("w_mid")))
-    wa, wb = adj.alias("wa"), adj.alias("wb")
+                   (F.lit(1.0) / F.log(F.col("d_mid"))).alias("w_mid"))
+           .localCheckpoint(eager=True))
+    wa, wb = adj.alias("wa"), adj.alias("wb").hint("shuffle_hash")
     cand = (wa.join(wb, (F.col("wa.mid") == F.col("wb.mid"))
                     & (F.col("wa.nbr") < F.col("wb.nbr")))
             .select(F.col("wa.nbr").alias("x"), F.col("wb.nbr").alias("y"),
@@ -653,7 +669,10 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("cn"),
                  (F.floor(F.sum("w_mid") * _LP_Q + F.lit(0.5)) / _LP_Q)
                  .alias("aa")))
-    nonadj = cand.join(e, (cand.x == e.u) & (cand.y == e.v), "left_anti")
+    # anti-join builds the hash on the edge side per partition instead
+    # of sorting the (bigger) candidate aggregate stream (§3.1)
+    nonadj = cand.join(e.hint("shuffle_hash"),
+                       (cand.x == e.u) & (cand.y == e.v), "left_anti")
     du = deg.select(F.col("node").alias("x"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("y"), F.col("d").alias("dv"))
     scored = (nonadj.join(F.broadcast(du), "x").join(F.broadcast(dv), "y")

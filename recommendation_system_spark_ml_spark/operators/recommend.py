@@ -119,8 +119,15 @@ def _item_neighbors(spark: SparkSession, sf_dir: str,
                            F.col("movieId").alias("i"),
                            F.col("rating").cast("double").alias("r")))
     wcap = Window.partitionBy("u").orderBy(F.col("i").asc())
+    # r11 (guide §5): capped feeds THREE consumers -- both sides of
+    # the pair self-join and the norms aggregate -- and the plan
+    # re-ran the full scan+window chain for each. One eager
+    # localCheckpoint materializes it once; the checkpointed RDD
+    # keeps the window's hashpartitioning(u) + (u, i) sort order, so
+    # the self-join needs no further Exchange or Sort on either side.
     capped = (ratings.withColumn("rn", F.row_number().over(wcap))
-              .where(F.col("rn") <= USER_CAP).drop("rn"))
+              .where(F.col("rn") <= USER_CAP).drop("rn")
+              .localCheckpoint(eager=True))
     norms = capped.groupBy("i").agg(
         F.sqrt(F.sum(F.col("r") * F.col("r"))).alias("nrm"))
     a, b = capped.alias("a"), capped.alias("b")
@@ -132,10 +139,17 @@ def _item_neighbors(spark: SparkSession, sf_dir: str,
              .where(F.col("co_cnt") >= MIN_CO))
     na = norms.select(F.col("i").alias("ia"), F.col("nrm").alias("na"))
     nb = norms.select(F.col("i").alias("ib"), F.col("nrm").alias("nb"))
+    # sims is consumed twice by the symmetrization union; without a
+    # materialization the ENTIRE pair pipeline (self-join + groupBy)
+    # executed once per union branch (r11 before-plan: two full
+    # subtrees). The checkpointed table is the quantized pair list --
+    # the same bytes each union branch already shuffled into its
+    # neighbor-cut window, now written once instead of computed twice.
     sims = (pairs.join(F.broadcast(na), "ia").join(F.broadcast(nb), "ib")
             .select("ia", "ib", F.col("co_cnt").cast("long").alias("co_cnt"),
                     (F.floor(F.col("dot") / (F.col("na") * F.col("nb"))
-                             * _CF_Q + F.lit(0.5)) / _CF_Q).alias("sim")))
+                             * _CF_Q + F.lit(0.5)) / _CF_Q).alias("sim"))
+            .localCheckpoint(eager=True))
     boths = (sims.select(F.col("ia").alias("item"),
                          F.col("ib").alias("neighbor"), "co_cnt", "sim")
              .union(sims.select(F.col("ib").alias("item"),

@@ -187,13 +187,19 @@ FROM fin
 """
 
 
+def _bucket_col():
+    """The Knuth (u, i) split bucket expression -- shared by
+    _split_ratings and the single-pass count aggregate in
+    ml_rec_eval_als so the two can never drift."""
+    num = ((F.col("u").cast("bigint") % 1048576) * 31
+           + (F.col("i").cast("bigint") % 1048576))
+    return (num * _KNUTH) % F.lit(4294967296) % 10
+
+
 def _split_ratings(ratings: DataFrame):
     """(train, test, test_users) under the Knuth (u, i) gate -- the
     Spark twin of _SPLIT_CTES."""
-    num = ((F.col("u").cast("bigint") % 1048576) * 31
-           + (F.col("i").cast("bigint") % 1048576))
-    bucket = (num * _KNUTH) % F.lit(4294967296) % 10
-    split = ratings.withColumn("bucket", bucket)
+    split = ratings.withColumn("bucket", _bucket_col())
     train = split.where(F.col("bucket") < 8).select("u", "i", "r")
     test = split.where(F.col("bucket") >= 8).select("u", "i", "r")
     test_users = test.groupBy("u").agg(F.count(F.lit(1)).alias("n_test"))
@@ -395,7 +401,10 @@ def ml_rec_coverage_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from recommendation_system_spark_ml_spark.operators.recommend import (
         ml_user_topn_recs)
     ratings = _base_ratings(spark, sf_dir)
-    recs = ml_user_topn_recs(spark, sf_dir)
+    # r11 (guide §5): recs feeds two consumers (recpop and the
+    # distinct-user count); un-materialized, each re-ran the whole CF
+    # pipeline. The table is bounded at |users| x EVAL_K rows.
+    recs = ml_user_topn_recs(spark, sf_dir).localCheckpoint(eager=True)
     cat = ratings.agg(F.countDistinct("i").alias("n_items"),
                       F.countDistinct("u").alias("n_users"))
     pop = ratings.groupBy("i").agg(F.count(F.lit(1)).alias("raters"))
@@ -577,14 +586,24 @@ def ml_rec_eval_als_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared code. The registered contract ml_rec_eval_als executes
     this in full and hashes its SQL-expressible pins."""
     pin_session_conf(spark)
-    from pyspark.ml.recommendation import ALS
     ratings = _base_ratings(spark, sf_dir)
     train, test, test_users = _split_ratings(ratings)
+    pool = _eval_user_pool(train, test_users).select("u", "n_test")
+    return _als_eval_over(train, test, pool)
+
+
+def _als_eval_over(train: DataFrame, test: DataFrame,
+                   pool: DataFrame) -> DataFrame:
+    """The fit + recommend + metrics body over prebuilt split/pool
+    frames (r11, guide §5): ml_rec_eval_als builds the bounded pool
+    ONCE (eager localCheckpoint) and shares it between this metrics
+    run and its own hashed n_eval_users count, instead of recomputing
+    the pool's groupBy+join+top-k chain twice per query."""
+    from pyspark.ml.recommendation import ALS
     als = ALS(userCol="u", itemCol="i", ratingCol="r",
               rank=10, maxIter=10, regParam=0.05, seed=823,
               coldStartStrategy="drop", nonnegative=True)
     model = als.fit(train)
-    pool = _eval_user_pool(train, test_users).select("u", "n_test")
     # Headroom must survive the seen-filter for the HEAVIEST rater:
     # a user whose top-k_pool ALS list is mostly already-seen train
     # items would silently get < EVAL_K recs, deflating the ALS arm
@@ -655,7 +674,18 @@ def ml_rec_eval_als(spark: SparkSession, sf_dir: str) -> DataFrame:
     row and three scalar counts are bounded driver objects."""
     pin_session_conf(spark)
     import math
-    row = ml_rec_eval_als_metrics(spark, sf_dir).collect()[0]
+    # r11 (guide §5): ONE split build serves the metrics run and the
+    # hashed counts. The bounded (<= EVAL_USER_CAP rows) pool is
+    # materialized eagerly and shared -- previously the pool chain
+    # (test_users groupBy + train-user join + hash-ordered top-k) ran
+    # twice, and n_train/n_test were two separate full passes; they
+    # are now one single-pass aggregate over the shared bucket
+    # expression (identical arithmetic, same _bucket_col).
+    ratings = _base_ratings(spark, sf_dir)
+    train, test, test_users = _split_ratings(ratings)
+    pool = (_eval_user_pool(train, test_users).select("u", "n_test")
+            .localCheckpoint(eager=True))
+    row = _als_eval_over(train, test, pool).collect()[0]
     metrics = [row["precision_at_k"], row["recall_at_k"],
                row["hit_rate"], row["ndcg_at_k"]]
     in_range = all(m is not None and math.isfinite(m) and 0.0 <= m <= 1.0
@@ -663,11 +693,11 @@ def ml_rec_eval_als(spark: SparkSession, sf_dir: str) -> DataFrame:
     ndcg_band = (row["ndcg_at_k"] is not None
                  and math.isfinite(row["ndcg_at_k"])
                  and 0.0 <= row["ndcg_at_k"] <= 1.0)
-    ratings = _base_ratings(spark, sf_dir)
-    train, test, test_users = _split_ratings(ratings)
-    n_train = train.count()
-    n_test = test.count()
-    n_pool = _eval_user_pool(train, test_users).count()
+    n_train, n_test = ratings.agg(
+        F.sum((_bucket_col() < 8).cast("long")),
+        F.sum((_bucket_col() >= 8).cast("long"))).first()
+    n_train, n_test = int(n_train or 0), int(n_test or 0)
+    n_pool = pool.count()
     subset = int(row["n_users"] or 0) <= n_pool
     return spark.createDataFrame(
         [(n_train, n_test, n_pool,

@@ -282,11 +282,17 @@ def lsh_pairs_over(spark: SparkSession, corpus: DataFrame) -> DataFrame:
     keys = F.array(*[
         F.struct(F.lit(t).alias("table"), F.col(f"key{t}").alias("key"))
         for t in range(n_tables)])
+    # r11 (guide §5): buckets feeds both sides of the bucket
+    # self-join, so the Arrow signature stage (the BLAS matmul over
+    # every vector) previously ran TWICE; the checkpointed table is
+    # (vec_id, 3 sigs, table, key) -- 40 bytes x n_tables per vector,
+    # never vector-sized.
     buckets = (sigs.select("vec_id", "sig0", "sig1", "sig2",
                            F.explode(keys).alias("tk"))
                .select("vec_id", "sig0", "sig1", "sig2",
                        F.col("tk.table").alias("table"),
-                       F.col("tk.key").alias("key")))
+                       F.col("tk.key").alias("key"))
+               .localCheckpoint(eager=True))
     a, c = buckets.alias("a"), buckets.alias("c")
     hamming = sum(
         F.bit_count(F.col(f"a.sig{k}").bitwiseXOR(F.col(f"c.sig{k}")))

@@ -907,9 +907,13 @@ def text_quality_model_scores(spark: SparkSession,
     # The threshold quantizes at 1e-8 (the text_ccnet_buckets recipe)
     # so Spark's percentile() and DuckDB's quantile_cont() agree on
     # every label the text_quality_model contract counts.
+    # r11 (guide §5): labeled is consumed by BOTH the pipeline fit and
+    # the scoring transform, so an un-materialized threshold re-ran
+    # the whole ratio scan + percentile once per consumer; the eager
+    # checkpoint pins the 1-row threshold after a single pass.
     thr_df = with_r.agg(
         (F.floor(F.expr("percentile(sw_ratio, 0.5)") * 1e8 + F.lit(0.5))
-         / 1e8).alias("_thr"))
+         / 1e8).alias("_thr")).localCheckpoint(eager=True)
     labeled = with_r.crossJoin(F.broadcast(thr_df)).select(
         "doc_id", "text",
         (F.col("sw_ratio") > F.col("_thr")).cast("double").alias("label"),

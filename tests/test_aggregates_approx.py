@@ -127,6 +127,33 @@ def test_approx_percentile_within_rank_error(spark):
             f"{r.l_returnflag}: {got[r.l_returnflag]} outside [{r.lo}, {r.hi}]"
 
 
+def test_approx_percentile_bucket_lift_parity(spark, monkeypatch):
+    """r11 focused test for the two-level rank selection: force the
+    range-bucket count tiny so every group's distinct prices SPAN
+    multiple buckets at the smoke SF (with the default 1024 buckets a
+    small corpus can land in few), and assert the bucket-lifted order
+    statistics equal the single-expression exact percentiles -- the
+    cross-bucket offset arithmetic is exactly what this exercises."""
+    from pyspark.sql import functions as F
+
+    from recommendation_system_spark_ml_spark.operators import aggregates
+    from recommendation_system_spark_ml_spark.sources.catalog import load
+
+    monkeypatch.setattr(aggregates, "_PCTL_BUCKETS", 3)
+    rows = {r.l_returnflag: r for r in
+            aggregates.agg_approx_percentile(spark, SF_SMOKE).collect()}
+    exact = (load(spark, SF_SMOKE, "lineitem")
+             .groupBy("l_returnflag")
+             .agg(*[F.round(F.expr(
+                 f"percentile(l_extendedprice, 0.{q})"), 4).alias(f"p{q}")
+                 for q in (25, 50, 75)]).collect())
+    assert exact
+    for e in exact:
+        r = rows[e.l_returnflag]
+        assert (r.p25_exact, r.p50_exact, r.p75_exact) == \
+            (e.p25, e.p50, e.p75), (e.l_returnflag, r, e)
+
+
 def test_kmv_jaccard_error_bound(spark):
     """Bottom-k sketch accuracy contract: with k=256 the standard
     error is ~1/sqrt(k) ~ 0.0625; every pair's estimate must land
