@@ -791,13 +791,14 @@ def _jaccard_prefix_pairs(docs: DataFrame, t: float = 0.8) -> DataFrame:
                                                 F.coalesce(y, F.lit(0))))),
         F.lit(0).cast("long"), lambda acc, x: acc + x)
     jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
-    # r11: same §3.1 treatment for the two verify joins -- once the
-    # doc-sized bag tables outgrow the broadcast threshold the default
-    # was sort-merge (plans/r11/dedup_jaccard_prefix_nobroadcast.txt
-    # pre-change: 2 residual SMJ here), which sorts the candidate
-    # stream twice; hash-building the bag side sorts nothing.
-    ba = ba.hint("shuffle_hash")
-    bb = bb.hint("shuffle_hash")
+    # r11 NOTE: a SHUFFLE_HASH hint on the two bag-verify joins was
+    # tried and REVERTED. Unlike the prefix join's hint (which the
+    # planner only honors once broadcast is off -- see the
+    # *_nobroadcast.txt dumps), hinting ba/bb preempted the size-based
+    # broadcast that wins at bench SF: the r11 PERF sweep measured
+    # 4.4 -> 7.7 s (calib-identical windows). The planner's own
+    # size-based choice (broadcast when the bag table fits, sort-merge
+    # above) is the scale-honest default here.
     return (cand.join(ba, "doc_a").join(bb, "doc_b")
             .withColumn("shared", shared)
             .where(jac >= t)

@@ -222,7 +222,14 @@ def text_pipeline_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     StopWordsRemover)
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    pipe = Pipeline(stages=[
+    # r11 (guide §5): every stage up to HashingTF is a deterministic
+    # transformer -- only IDF actually FITS. Pipeline.fit(docs) +
+    # .transform(docs) tokenized and hashed the corpus TWICE (once
+    # under the IDF fit's aggregate, once for the output transform);
+    # materializing the TF frame once halves the corpus passes, and
+    # the IDF model then maps over the checkpointed rows. Identical
+    # arithmetic -- the same stages run on the same rows, once.
+    tf_stage = Pipeline(stages=[
         RegexTokenizer(inputCol="text", outputCol="tokens",
                        pattern=r"\s+", toLowercase=True),
         StopWordsRemover(inputCol="tokens", outputCol="content_tokens",
@@ -230,9 +237,11 @@ def text_pipeline_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         NGram(n=2, inputCol="content_tokens", outputCol="bigrams"),
         HashingTF(inputCol="content_tokens", outputCol="tf",
                   numFeatures=1 << 14),
-        IDF(inputCol="tf", outputCol="tfidf"),
-    ])
-    out = pipe.fit(docs).transform(docs)
+    ]).fit(docs)  # transformer-only stages: "fit" is a no-op wiring
+    tf_df = (tf_stage.transform(docs)
+             .select("doc_id", "tokens", "content_tokens", "bigrams", "tf")
+             .localCheckpoint(eager=True))
+    out = IDF(inputCol="tf", outputCol="tfidf").fit(tf_df).transform(tf_df)
     # fold the SPARSE values only (r10, guide §1.2 per-task work):
     # vector_to_array densified every 16,384-dim hashed vector and ran
     # the interpreted fold over all 16k slots per doc (~80M lambda
